@@ -1,0 +1,46 @@
+"""Loaders for the driver's synthetic parquet corpus (TESTDATA.md).
+
+One parquet file per table under ``{sf_dir}/{name}.parquet``.  Parquet is
+the engine's native format: columnar, predicate-pushdown- and
+column-pruning-friendly — ``df.explain`` on any downstream query should
+show ``PushedFilters`` / a narrowed ``ReadSchema``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Schema comes from the parquet footer —
+    never ``inferSchema`` over text."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
