@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -33,6 +34,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     never ``inferSchema`` over text."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read the raw int64 nanos and convert to a
+        # micro-precision timestamp — identical to how DuckDB/Arrow
+        # truncate nanos, so oracle comparisons line up exactly.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
