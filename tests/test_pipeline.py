@@ -1,0 +1,124 @@
+"""End-to-end parity pipeline over the deterministic fixtures:
+listing → filter → (fixture) probe → sidecar join → typed records →
+TSV boundary → sorted write → read-back → decode. Plus the merge /
+update properties from SURVEY.md §5.4.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.functions.scalar import TITLE_NOT_SET, in_filtered_directory
+from video_metadata_db_spark.operators.parity import merge_metadata_dbs, update_new_files, variant_report
+from video_metadata_db_spark.operators.pipeline import build_metadata_records, filter_candidates
+from video_metadata_db_spark.operators.probe import probe_from_fixture
+from video_metadata_db_spark.schemas import TSV_HEADER
+from video_metadata_db_spark.sources import fixtures
+from video_metadata_db_spark.sources.tsv import (
+    boundary_sorted,
+    from_boundary,
+    read_metadata_tsv,
+    to_boundary,
+    write_metadata_tsv,
+)
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    listing = fixtures.file_listing(spark, 400).cache()
+    probes = fixtures.probe_results(spark, listing).cache()
+    sidecars = fixtures.sidecar_files(spark, listing).cache()
+    return listing, probes, sidecars
+
+
+@pytest.fixture(scope="module")
+def built(spark, parts):
+    listing, probes, sidecars = parts
+    probed = probe_from_fixture(filter_candidates(listing), probes)
+    records, dead = build_metadata_records(listing, probed, sidecars)
+    return records.cache(), dead.cache()
+
+
+def test_filtering(spark, parts):
+    listing, _, _ = parts
+    kept = filter_candidates(listing)
+    assert 0 < kept.count() < listing.count()
+    assert kept.filter(in_filtered_directory("path")).count() == 0
+    assert kept.filter(~F.lower("ext").isin("mkv", "mp4", "avi", "webm")).count() == 0
+
+
+def test_dead_letter_channel(built):
+    records, dead = built
+    assert dead.count() > 0  # ~5% fixture failure rate
+    assert records.join(dead, "path", "inner").count() == 0  # disjoint split
+
+
+def test_boundary_encoding(spark, built):
+    records, _ = built
+    b = to_boundary(records)
+    assert list(b.columns) == list(TSV_HEADER)
+    rows = b.collect()
+    assert rows
+    for r in rows:
+        assert len(r["Width"]) == 4  # "{:>4}" / "0000"
+        assert r["AV1/HEVC Compression Candidate"] in ("Y", "N")
+        assert r["Title"] is not None  # sentinel applied
+        assert r["Ext. English Subtitle Availability"] in ("Y", "N")
+    missing = [r for r in rows if r["Width"] == "0000"]
+    assert missing, "fixture must include missing-dimension rows"
+    na = [r for r in rows if r["Duration (in s)"] == "N/A"]
+    assert na, "fixture must include N/A durations"
+    no_sub = [r for r in rows if r["Ext. English Subtitle Size"] == " "]
+    assert no_sub, "missing subtitle size must encode as single space"
+
+
+def test_tsv_roundtrip(spark, built, tmp_path):
+    records, _ = built
+    out = str(tmp_path / "db.tsv")
+    write_metadata_tsv(records, out, header=True)
+    back = read_metadata_tsv(spark, out, header=True)
+    assert back.count() == records.count()
+    decoded = from_boundary(back)
+    # typed columns survive the round trip (duration excluded: lossy hms)
+    orig = records.select("path", "width", "raw_size", "sub_en").orderBy("path").collect()
+    got = decoded.select("path", "width", "raw_size", "sub_en").orderBy("path").collect()
+    assert orig == got
+
+
+def test_sort_is_whole_line_desc(spark, built):
+    records, _ = built
+    b = boundary_sorted(to_boundary(records))
+    lines = ["\t".join("" if v is None else v for v in r) for r in b.collect()]
+    assert lines == sorted(lines, reverse=True)
+
+
+def test_merge_property(spark, built):
+    """merge(A ∪ B) row-multiset == A ∪ B (SURVEY §5.4)."""
+    records, _ = built
+    a = records.filter(F.col("raw_size") % 2 == 0)
+    b = records.filter(F.col("raw_size") % 2 == 1)
+    merged = merge_metadata_dbs([a, b], [F.col("path")])
+    assert merged.count() == records.count()
+    assert merged.select("path").subtract(records.select("path")).count() == 0
+
+
+def test_update_idempotent(spark, built):
+    """Running update twice adds nothing (SURVEY §5.4)."""
+    records, _ = built
+    first_half = records.limit(records.count() // 2)
+    new = update_new_files(records, first_half, key="path")
+    assert new.count() == records.count() - first_half.count()
+    merged = first_half.unionByName(new)
+    again = update_new_files(records, merged, key="path")
+    assert again.count() == 0
+
+
+def test_variant_report_on_fixtures(spark, parts):
+    listing, _, _ = parts
+    rep = variant_report(filter_candidates(listing), "name", detail_cols=("path", "size_bytes"))
+    rows = rep.collect()
+    assert rows  # fixture titles repeat by construction
+    for r in rows:
+        assert r["n_variants"] > 1
+        assert len(r["variants"]) == r["n_variants"]

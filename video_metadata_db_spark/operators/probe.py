@@ -1,0 +1,127 @@
+"""The probe stage: path → media metadata struct, as a mapInPandas operator.
+
+The reference shells out to ffprobe twice per file with positional text
+output and parses by line index (``video_metadata_db.py:596-634``,
+constants ``:219-229``).  Here one ``ffprobe -print_format json
+-show_streams -show_format`` call per file returns everything, invoked
+inside ``mapInPandas`` so each Spark task amortizes Python/process
+startup over an Arrow batch of paths; probe concurrency is governed by
+partition count (the analogue of the reference's ``COUNT_THREADS = 4 ×
+cores``, ``:39``) instead of a thread pool + five mutexes.
+
+Failures never kill the job: the returned struct carries an ``error``
+column (dead-letter channel, ``:635-676``); downstream splits on
+``error IS NULL``.
+
+This container has no ffprobe and no media files, so tests inject probe
+results as a DataFrame (``probe_from_fixture``) — the FIXTURES.md A.2
+contract.  The subprocess path is real code, exercised wherever ffprobe
+exists.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import PROBE_SCHEMA
+
+FFPROBE_TIMEOUT_S = 30
+
+
+def ffprobe_available() -> bool:
+    return shutil.which("ffprobe") is not None
+
+
+def _probe_one(path: str) -> dict[str, Any]:
+    """Run one ffprobe JSON call; parse the fields the schema needs.
+
+    Field mapping mirrors the reference's two probes: format-level
+    ``nb_streams``/``format_long_name``/``duration``/``tags.title`` and
+    the first video/audio stream's codec/width/height/channels
+    (video_metadata_db.py:596-634).
+    """
+    out: dict[str, Any] = {"path": path, "error": None}
+    try:
+        proc = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-print_format", "json",
+                "-show_streams", "-show_format", "-i", path,
+            ],
+            capture_output=True,
+            timeout=FFPROBE_TIMEOUT_S,
+            check=False,
+        )
+        if proc.returncode != 0:
+            out["error"] = proc.stderr.decode("utf-8", "replace")[:500] or "ffprobe failed"
+            return out
+        data = json.loads(proc.stdout.decode("utf-8", "replace"))
+        fmt = data.get("format", {})
+        streams = data.get("streams", [])
+        video = next((s for s in streams if s.get("codec_type") == "video"), {})
+        audio = next((s for s in streams if s.get("codec_type") == "audio"), {})
+        dur = fmt.get("duration")
+        out.update(
+            video_codec=video.get("codec_long_name"),
+            width=video.get("width"),
+            height=video.get("height"),
+            n_streams=fmt.get("nb_streams"),
+            container=fmt.get("format_long_name"),
+            # ffprobe emits "N/A" for unseekable input (:271-277) → NULL
+            duration_s=float(dur) if dur not in (None, "N/A") else None,
+            title=fmt.get("tags", {}).get("title"),
+            audio_codec=audio.get("codec_long_name"),
+            audio_channels=audio.get("channels"),
+        )
+    except subprocess.TimeoutExpired:
+        out["error"] = f"ffprobe timeout after {FFPROBE_TIMEOUT_S}s"
+    except Exception as exc:  # dead-letter, never raise (:635-676)
+        out["error"] = f"{type(exc).__name__}: {exc}"[:500]
+    return out
+
+
+def probe_videos(listing: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Probe every listed path with ffprobe → PROBE_SCHEMA rows.
+
+    ``repartition`` first: probe cost is per-file wall time, so spread
+    paths evenly regardless of how the listing was produced.  At cluster
+    scale set ``partitions`` ≈ 2-4× total cores (I/O-bound, same logic
+    as the reference's 4× thread fan-out).
+    """
+    import pandas as pd
+
+    cols = [f.name for f in PROBE_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_probe_one(p) for p in pdf["path"]]
+            yield pd.DataFrame(rows, columns=cols)
+
+    src = listing.select("path")
+    if partitions:
+        src = src.repartition(partitions)
+    return src.mapInPandas(run, PROBE_SCHEMA)
+
+
+def probe_from_fixture(listing: DataFrame, probe_results: DataFrame) -> DataFrame:
+    """CI path: probe results come from a table, joined on path.
+
+    Left join keeps listing rows with no probe row (they surface as
+    all-NULL metadata + an error marker, like a failed probe).
+    """
+    probed = listing.select("path").join(probe_results, "path", "left")
+    return probed.withColumn(
+        "error",
+        F.when(
+            F.col("error").isNotNull(), F.col("error")
+        ).when(
+            F.col("video_codec").isNull() & F.col("width").isNull() & F.col("container").isNull(),
+            F.lit("no probe result for path"),
+        ),
+    ).select(*[f.name for f in PROBE_SCHEMA.fields])

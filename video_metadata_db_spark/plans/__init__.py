@@ -13,6 +13,7 @@ __all__ = ["ORACLES", "QUERIES"]
 def _import_all() -> None:
     # imported lazily so a syntax error in one module is easy to localize
     from . import inventory_queries  # noqa: F401
+    from . import format_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
