@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed twice and the best wall time kept (first run pays
+JVM/codegen warmup; the engine's steady-state cost is what matters at
+cluster scale).  ``value`` = sum of per-query best times, excluding
+session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The headline set: flagship parity query + one per heavy operator
+#: family (agg, star join, window, explode, formatter) — extended as
+#: extension operators land.
+HEADLINE = [
+    "variant_report",
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "window_topk_per_group",
+    "explode_tokens",
+    "fmt_duration_hms",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "text_quality_score",
+]
+
+REPEATS = 2
+
+
+def main() -> None:
+    from video_metadata_db_spark.plans import QUERIES
+    from video_metadata_db_spark.session import get_spark
+
+    spark = get_spark("vmdb-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue  # not yet implemented this round
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # noop sink materializes EVERY column (count() would let
+            # Catalyst prune the projections we're trying to measure)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+        print(f"# {name}: {best:.3f}s", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
