@@ -1,0 +1,100 @@
+"""Extension-operator quality tests: LSH recall vs brute force, MinHash
+agreement with exact Jaccard, SimHash locality, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from video_metadata_db_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    fake_decode,
+    synthesize_assets,
+)
+from video_metadata_db_spark.operators.similarity import brute_force_topk, lsh_topk
+from video_metadata_db_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_finds_true_near_dups(spark):
+    """Every exact-Jaccard ≥0.8 pair must be recovered by MinHash-LSH
+    at threshold 0.5 (banding catches j≥~0.5 w.h.p.; j≥0.8 certainly)."""
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert truth, "corpus must contain planted near-dups"
+    found = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    missed = truth - found
+    assert not missed, f"LSH missed true near-dups: {missed}"
+
+
+def test_simhash_pairs_overlap_truth(spark):
+    docs = load_table(spark, SF, "documents")
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    near = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    # unigram SimHash is coarser than trigram Jaccard; require majority recall
+    recall = len(truth & near) / len(truth)
+    assert recall >= 0.5, f"simhash recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_lsh_topk_recall(spark):
+    """Multiprobe hyperplane LSH must recover a decent fraction of the
+    exact top-10 (8 planes / 500 vectors → modest but real recall)."""
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = lsh_topk(emb, qids, k=10, dim=64).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"LSH recall {recall:.2f}"
+    # scores for recovered pairs must equal the exact scores
+    exact_scores = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9
+
+
+def test_multimodal_plumbing(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    assets = synthesize_assets(docs)
+    feats = extract_features(assets, batch_partitions=4)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["error"] is None
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # L1-normalized
+    # deterministic: same payload → same feature, independent of Spark
+    one = assets.filter(F.col("asset_id") == rows[0]["asset_id"]).collect()[0]
+    assert fake_decode(bytes(one["payload"])) == list(rows[0]["feature"])
+
+
+def test_decode_image_is_gated():
+    from video_metadata_db_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub gate not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG fake")

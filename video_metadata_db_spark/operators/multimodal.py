@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The Spark-side machinery — schemas, partitioning, ``mapInPandas``
+signatures, batch shapes — is real and tested.  The actual media
+decoding is STUBBED: this container has no image/audio libraries, so
+``decode_image`` raises ``NotImplementedError`` unless PIL is present,
+and the tested path uses ``fake_decode`` (deterministic bytes-derived
+features).  Swap ``fake_decode`` for a real decoder on a cluster with
+the codec libraries installed; nothing else changes.
+
+At 100 TB: binary payloads dominate partition size — repartition by
+byte budget (``mapInPandas`` sees Arrow batches, so a handful of 100 MB
+blobs per batch is fine), keep metadata in separate narrow columns so
+non-decoding queries never read the bytes (parquet column pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: A multimodal asset row: opaque payload + typed metadata.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+#: Extracted features: fixed-dim vector + shape metadata.
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires PIL, absent in this container.
+
+    STUB: the import guard is the entire implementation until a codec
+    library exists in the runtime image.
+    """
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "image decoding requires PIL; install it on the cluster image"
+        ) from exc
+
+
+def fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode+feature-extract: a 16-bin byte
+    histogram, L1-normalized.  Exercises the full Spark plumbing with
+    CI-reproducible numbers."""
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    bins = [0] * FEATURE_DIM
+    for b in payload:
+        bins[b % FEATURE_DIM] += 1
+    total = float(len(payload))
+    return [c / total for c in bins]
+
+
+def synthesize_assets(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic binary corpus from ``documents`` (md5
+    bytes repeated) — the CI stand-in for a real media lake."""
+    payload = F.unhex(F.repeat(F.md5(F.col("text")), 4))  # 64 bytes
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def extract_features(assets: DataFrame, batch_partitions: int | None = None) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Error isolation mirrors the probe stage: a failing asset yields a
+    row with ``error`` set, never a failed task.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                try:
+                    feat = fake_decode(row.payload)
+                    out.append((row.asset_id, row.kind, row.n_bytes, feat, None))
+                except Exception as exc:  # dead-letter per asset
+                    out.append((row.asset_id, row.kind, row.n_bytes, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "kind", "n_bytes", "feature", "error"]
+            )
+
+    src = assets
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+    return src.mapInPandas(run, FEATURE_SCHEMA)
