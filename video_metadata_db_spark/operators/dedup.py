@@ -26,12 +26,31 @@ and AQE skew-join splitting for the rest.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 N_HASHES = 64
 BANDS = 16
 ROWS_PER_BAND = N_HASHES // BANDS
+
+#: MinHash permutation family: h_i(x) = (A[i]·h(x) + B[i]) mod MERSENNE_P
+#: over a 31-bit md5-derived base hash.  One md5 per shingle instead of
+#: 64 — the classic affine-permutation scheme (Broder '97).  Constants
+#: are driver-side, seeded, and baked into both the Spark plan and the
+#: generated oracle SQL.  All products stay < 2^62: exact in int64 on
+#: both engines.
+MERSENNE_P = (1 << 31) - 1
+_rng = random.Random(0x5EED)
+PERM_A = [_rng.randrange(1, MERSENNE_P) for _ in range(N_HASHES)]
+PERM_B = [_rng.randrange(0, MERSENNE_P) for _ in range(N_HASHES)]
+
+
+def hash31(c: Column) -> Column:
+    """31-bit base hash: first 8 hex chars of md5, reduced mod 2^31-1."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long") % MERSENNE_P
 
 
 def hash60(c: Column, seed: int | None = None) -> Column:
@@ -131,15 +150,22 @@ def ngram_jaccard_pairs(
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature as 64 columns ``sig_0..sig_63``.
 
-    One row per (doc, shingle) with all 64 hashes computed as columns,
-    then a single groupBy(doc) with 64 ``min`` aggregates — ONE shuffle
-    keyed on the doc id, no 64× row blow-up, fully codegen'd.
+    One md5 per (doc, shingle) row (the base hash, its own projection so
+    codegen computes it once), then 64 affine permutations as pure
+    integer arithmetic, then a single groupBy(doc) with 64 ``min``
+    aggregates — ONE shuffle keyed on the doc id, no 64× row blow-up,
+    no 64× hashing, fully codegen'd with map-side partial mins.
     """
     sh = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles_of(F.col(text_col))).alias("s")
     )
-    hashed = sh.select(
-        "doc", *[hash60(F.col("s"), seed=i).alias(f"h_{i}") for i in range(N_HASHES)]
+    base = sh.select("doc", hash31(F.col("s")).alias("h"))
+    hashed = base.select(
+        "doc",
+        *[
+            ((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"h_{i}")
+            for i in range(N_HASHES)
+        ],
     )
     return hashed.groupBy("doc").agg(
         *[F.min(f"h_{i}").alias(f"sig_{i}") for i in range(N_HASHES)]
@@ -150,17 +176,24 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Banded LSH: docs sharing any band bucket, with the
     signature-estimated similarity (fraction of equal components).
 
-    Scale: bucket join keys are (band_id, md5-of-band), so candidate
-    generation shuffles only signature rows; the pair join is between
-    bucket members — O(Σ bucket²), not O(n²).
+    Three slim stages: (1) bucket keys = md5 of band slices, self-joined
+    on (band_id, bucket) with only (doc, key) columns in the shuffle;
+    (2) ``distinct`` collapses multi-band collisions BEFORE any scoring;
+    (3) the surviving pairs rejoin the array-packed signatures and the
+    similarity is a ``zip_with`` fold — two narrow array joins instead
+    of a 128-column join.  Candidate generation stays O(Σ bucket²), not
+    O(n²), and the wide signature rows never enter the band shuffle.
     """
+    packed = signatures.select(
+        "doc", F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)]).alias("sig")
+    )
     band_cols = []
     for b in range(BANDS):
-        ins = [F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ins = [F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *ins)).alias("bucket"))
         )
-    bands = signatures.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+    bands = packed.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
     )
     l, r = bands.alias("l"), bands.alias("r")
@@ -174,14 +207,12 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
         .distinct()
     )
-    sa = signatures.select(
-        F.col("doc").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(N_HASHES)]
-    )
-    sb = signatures.select(
-        F.col("doc").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(N_HASHES)]
-    )
-    matches = sum(
-        F.when(F.col(f"a_{i}") == F.col(f"b_{i}"), 1).otherwise(0) for i in range(N_HASHES)
+    sa = packed.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = packed.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
     )
     return (
         pairs.join(sa, "doc_a")
@@ -197,8 +228,16 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs by MinHash-LSH, filtered on estimated similarity."""
-    sigs = minhash_signatures(docs, text_col, id_col)
+    """Near-dup pairs by MinHash-LSH, filtered on estimated similarity.
+
+    The signature table is persisted (memory-with-disk-spill): the band
+    join and both rejoin sides consume it, and without an explicit
+    persist the whole shingle→hash→min pipeline executes once per
+    consumer (no exchange reuse across the self-join branches).  At
+    scale that's the difference between one and four passes over the
+    corpus; signatures are ~512 B/doc, far smaller than the text.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= threshold)
 
 
