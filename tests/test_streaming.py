@@ -1,0 +1,142 @@
+"""Structured Streaming tests: batch/stream equivalence, watermark
+late-data policy, cross-run stateful dedup, foreachBatch sinks.
+
+Every test drives a REAL file-source stream with Trigger.AvailableNow
+and a checkpoint dir; two successive runs over the same checkpoint
+reproduce the reference's build-then-update lifecycle
+(video_metadata_db.py:1529-1532) with streaming state as the membership
+book-keeping."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from video_metadata_db_spark.sources.tables import load_table
+from video_metadata_db_spark.streaming.runner import (
+    file_stream,
+    run_available_now,
+    run_available_now_to_parquet,
+    run_foreach_batch,
+)
+from video_metadata_db_spark.streaming.windows import stream_dedup, tumbling_counts
+
+SF = "/root/testdata/sf0.001"
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _t(h: int, m: int) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, h, m, 0)
+
+
+def _write_batch(spark, path: str, rows: list[tuple]) -> None:
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """The same tumbling_counts transformation must produce identical
+    results via readStream (complete mode) and via batch — the unified
+    Dataset API contract."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF, "events").select("event_id", "ts", "event_type", "value")
+    events.write.parquet(src)
+
+    stream = file_stream(spark, src, events.schema)
+    got = run_available_now(
+        tumbling_counts(stream), str(tmp_path / "cp"), output_mode="complete"
+    )
+    want = tumbling_counts(spark.read.schema(events.schema).parquet(src))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_watermark_drops_late_window(spark, tmp_path):
+    """Run 1 advances the watermark past an old window; run 2 delivers a
+    row for that window late → it must be silently dropped, while a
+    fresh row still closes newer windows."""
+    src, cp, out = str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "out")
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, _t(10, 0), "a", 1.0),
+            (2, _t(10, 3), "a", 2.0),
+            (3, _t(11, 0), "a", 3.0),  # max ts → watermark 10:50 after run 1
+        ],
+    )
+    stream = tumbling_counts(
+        file_stream(spark, src, EVENT_SCHEMA), watermark="10 minutes"
+    )
+    first = run_available_now_to_parquet(stream, cp, out)
+    starts1 = {r["win_start"] for r in first.collect()}
+    assert _t(10, 0) in starts1  # closed by the 10:50 watermark
+
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, _t(9, 5), "a", 9.0),  # window [9:00,9:10) ended < watermark → late
+            (5, _t(11, 30), "a", 4.0),  # advances watermark to 11:20, closes [11:00,11:10)
+        ],
+    )
+    stream2 = tumbling_counts(
+        file_stream(spark, src, EVENT_SCHEMA), watermark="10 minutes"
+    )
+    cumulative = run_available_now_to_parquet(stream2, cp, out)
+    starts2 = {r["win_start"] for r in cumulative.collect()} - starts1
+    assert _t(9, 0) not in starts2, "late row must be dropped by the watermark"
+    assert _t(11, 0) in starts2, "newly closed window must flush"
+
+
+def test_dedup_state_survives_restart(spark, tmp_path):
+    """dropDuplicates state persists in the checkpoint: keys seen in run
+    1 are still duplicates in run 2 (the update-mode anti-join,
+    video_metadata_db.py:427-452, as streaming state)."""
+    src, cp, out = str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "out")
+    _write_batch(spark, src, [(1, _t(10, 0), "a", 1.0), (2, _t(10, 1), "a", 2.0)])
+    first = run_available_now_to_parquet(
+        stream_dedup(file_stream(spark, src, EVENT_SCHEMA)), cp, out
+    )
+    assert {r["event_id"] for r in first.collect()} == {1, 2}
+
+    _write_batch(
+        spark,
+        src,
+        [(2, _t(10, 1), "a", 2.0), (1, _t(10, 0), "a", 1.0), (9, _t(10, 2), "a", 9.0)],
+    )
+    cumulative = run_available_now_to_parquet(
+        stream_dedup(file_stream(spark, src, EVENT_SCHEMA)), cp, out
+    )
+    assert {r["event_id"] for r in cumulative.collect()} == {1, 2, 9}
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch-DataFrame sink logic (the
+    reference's side-effect channels, SURVEY.md §2.10)."""
+    src, cp, out = str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "out")
+    rows = [(i, _t(10, i % 60), "a", float(i)) for i in range(100)]
+    _write_batch(spark, src, rows)
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    run_foreach_batch(file_stream(spark, src, EVENT_SCHEMA), cp, sink)
+    written = spark.read.parquet(out)
+    assert written.count() == 100
+    assert written.select(F.sum("value")).first()[0] == sum(float(i) for i in range(100))

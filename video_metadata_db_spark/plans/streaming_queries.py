@@ -1,0 +1,94 @@
+"""Event-time window queries (SURVEY.md §2.10, §7 Phase 3).
+
+Each runs the SAME transformation the streaming tests run
+(streaming/windows.py) — here in batch mode so DuckDB can oracle-check
+values.  Tumbling/sliding oracles bucket epoch seconds arithmetically
+(Spark's window() origin is the epoch, and 1970-01-01 is itself
+10-minute aligned); the session oracle is the classic gap-and-island
+rewrite (lag → new-session flag → running sum → group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from ..streaming.windows import session_stats, sliding_avg, tumbling_counts
+from .registry import query
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 * 1000000) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window × event_type counts + mean value."""
+    return tumbling_counts(load_table(spark, sf_dir, "events")).orderBy(
+        "win_start", "event_type"
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+WITH doubled AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - s.off) * 1000000) AS win_start,
+         event_type, value
+  FROM events, (VALUES (0), (300)) s(off)
+)
+SELECT win_start, event_type, count(*) AS n_events, round(avg(value), 6) AS avg_value
+FROM doubled
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5: each event lands in exactly
+    its 5-minute bucket's window and the previous one, so the oracle is
+    a 2-way unnest — no containment filter needed."""
+    return sliding_avg(load_table(spark, sf_dir, "events")).orderBy(
+        "win_start", "event_type"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""",
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows.  Spark sessions are
+    half-open (an event exactly gap-after the previous one opens a new
+    session), hence ``>=`` in the oracle's island condition."""
+    return session_stats(load_table(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_start"
+    )

@@ -41,8 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncate nanos, so oracle comparisons line up exactly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not `/`: epoch-2024 nanos (~1.7e18) exceed a
+        # double's 53-bit mantissa, so float division truncates wrong by
+        # up to 1 µs — caught by the session-window oracle on min(ts)
         return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         ).select("event_id", "ts", "user_id", "event_type", "value", "props")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
