@@ -1,0 +1,74 @@
+"""Physical-plan quality gates.
+
+Correctness says WHAT came out; these pin HOW — that filters reach the
+parquet scan, projections prune columns, small dimensions broadcast,
+top-k becomes TakeOrderedAndProject / WindowGroupLimit, and nothing
+degenerates into a cartesian product.  A plan regression here is a
+100 TB incident even when sf0.01 results stay identical.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from video_metadata_db_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p, "shipdate filter must reach the scan"
+    assert "l_comment" not in p, "untouched columns must be pruned from ReadSchema"
+    assert "l_orderkey" not in p
+
+
+def test_star_join_broadcasts_dims(spark):
+    p = plan_of(spark, "join_star_revenue")
+    assert p.count("BroadcastHashJoin") >= 3, "every dim of the star must broadcast"
+    assert "SortMergeJoin" not in p, "no shuffle join for sub-threshold dims"
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_stay_broadcast(spark):
+    for name in ("join_semi", "join_anti", "update_anti_join"):
+        p = plan_of(spark, name)
+        assert "BroadcastHashJoin" in p, f"{name}: membership check should broadcast"
+        assert "CartesianProduct" not in p, name
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "topk_global"), (
+        "global ORDER BY + LIMIT must not fully sort"
+    )
+
+
+def test_window_topk_group_limit(spark):
+    assert "WindowGroupLimit" in plan_of(spark, "window_topk_per_group"), (
+        "rank<=k filter must push a per-group limit below the window sort"
+    )
+
+
+def test_knn_broadcasts_queries(spark):
+    p = plan_of(spark, "knn_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in p, "the small query set must broadcast"
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_cartesian_anywhere(spark, name):
+    assert "CartesianProduct" not in plan_of(spark, name), (
+        f"{name}: unintended cartesian product"
+    )
