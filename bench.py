@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "knn_cosine_topk",
     "text_quality_score",
+    "stream_session_windows",
+    "join_asof_attribution",
 ]
 
 REPEATS = 2
