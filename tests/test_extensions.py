@@ -17,7 +17,11 @@ from video_metadata_db_spark.operators.multimodal import (
     fake_decode,
     synthesize_assets,
 )
-from video_metadata_db_spark.operators.similarity import brute_force_topk, lsh_topk
+from video_metadata_db_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from video_metadata_db_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -65,6 +69,24 @@ def test_lsh_topk_recall(spark):
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3, f"LSH recall {recall:.2f}"
     # scores for recovered pairs must equal the exact scores
+    exact_scores = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["cand_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-9
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with 4/16 lists probed must recover a solid fraction of the
+    exact top-10, and every recovered score must be exact."""
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = ivf_topk(emb, qids, k=10).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"
     exact_scores = {(r["query_id"], r["cand_id"]): r["cos_sim"] for r in exact}
     for r in approx:
         key = (r["query_id"], r["cand_id"])

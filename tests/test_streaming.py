@@ -126,6 +126,45 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     assert {r["event_id"] for r in cumulative.collect()} == {1, 2, 9}
 
 
+def test_stateful_totals_accumulate_across_runs(spark, tmp_path):
+    """applyInPandasWithState state survives the checkpoint: run 2's
+    emitted totals include run 1's events (lifetime, not per-batch)."""
+    from video_metadata_db_spark.streaming.stateful import running_user_totals
+
+    src, cp, out = str(tmp_path / "src"), str(tmp_path / "cp"), str(tmp_path / "out")
+    # independent StructType — .add on EVENT_SCHEMA would mutate it in place
+    schema = StructType(EVENT_SCHEMA.fields + [StructField("user_id", LongType())])
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    def run() -> None:
+        run_foreach_batch(
+            running_user_totals(file_stream(spark, src, schema)),
+            cp,
+            sink,
+            output_mode="update",
+        )
+
+    spark.createDataFrame(
+        [(1, _t(10, 0), "a", 1.0, 7), (2, _t(10, 1), "a", 2.0, 7), (3, _t(10, 2), "a", 5.0, 8)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows1 = spark.read.parquet(out).collect()
+    hi1 = max(r["batch_id"] for r in rows1)
+    got1 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows1}
+    assert got1 == {7: (2, 3.0), 8: (1, 5.0)}
+
+    spark.createDataFrame([(4, _t(11, 0), "a", 10.0, 7)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()
+    rows2 = [r for r in spark.read.parquet(out).collect() if r["batch_id"] > hi1]
+    got2 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows2}
+    assert got2 == {7: (3, 13.0)}, "run-2 emission must be lifetime totals for user 7 only"
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch: arbitrary batch-DataFrame sink logic (the
     reference's side-effect channels, SURVEY.md §2.10)."""

@@ -23,8 +23,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_PLANES = 4
 
@@ -143,6 +146,107 @@ def lsh_topk(
             "query_id", "cand_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
         )
         .distinct()  # a pair can collide in several probe buckets
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+# ----------------------------------------------------------------- IVF ---
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Coarse quantization: each vector → its ``n_probe`` nearest
+    centroids (by cosine), via ONE vectorized Pandas UDF.
+
+    This is the documented Python escape hatch (SURVEY.md §2.11): a
+    C×dim matmul per Arrow batch (numpy BLAS) beats C×dim column
+    expressions per row by orders of magnitude, and assignment is
+    embarrassingly parallel — no shuffle.  The centroid matrix rides
+    along as a closure (KBs; a broadcast variable at larger C).
+    """
+    cent_ids = [c[0] for c in centroids]
+    cmat = np.array([c[1] for c in centroids], dtype="float64")
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    probe = min(n_probe, len(centroids))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest(batch: pd.Series) -> pd.Series:
+        m = np.array(batch.tolist(), dtype="float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cmat.T  # (batch, C)
+        # top-probe centroid indices, best first; stable sort keeps the
+        # lower centroid index on ties → deterministic
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+        return pd.Series([[int(cent_ids[j]) for j in row] for row in order])
+
+    return embeddings.withColumn("clusters", nearest(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    centroid_ids: list[int] | None = None,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in exactly one
+    centroid's inverted list; queries probe their ``n_probe`` nearest
+    lists; candidates re-score exactly.
+
+    Deterministic "training": centroids are corpus vectors at fixed ids
+    (k-medoids-style seeding — data-distributed, reproducible, no
+    iterative k-means job; swap in KMeans|| offline at real scale, the
+    dataflow is unchanged).  Scan cost ≈ n_probe/C of the corpus per
+    query versus 1.0 for brute force; the candidate join is an equi-join
+    on cluster id, partition-prunable when the corpus is written
+    bucketed/partitioned by cluster.
+    """
+    if centroid_ids is None:
+        # spread through the id space (present at every SF), away from
+        # the test query ids
+        step = 25
+        centroid_ids = [10 + step * i for i in range(N_CENTROIDS)]
+    emb = embeddings.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    centroids = [
+        (r[id_col], list(r["v"]))
+        for r in emb.filter(F.col(id_col).isin(centroid_ids)).collect()
+    ]
+
+    corpus = ivf_assign(
+        emb.filter(~F.col(id_col).isin(query_ids)), centroids, n_probe=1, id_col=id_col
+    ).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.element_at("clusters", 1).alias("cluster"),
+    )
+    queries = ivf_assign(
+        emb.filter(F.col(id_col).isin(query_ids)), centroids, n_probe=n_probe, id_col=id_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("clusters").alias("cluster"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cluster")
+        .select(
+            "query_id", "cand_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (

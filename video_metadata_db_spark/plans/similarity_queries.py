@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
 from .registry import query
 
@@ -55,3 +55,13 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force baseline is asserted in tests instead)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, QUERY_IDS, k=K, dim=64).orderBy("query_id", "rank")
+
+
+@query("knn_ivf_topk", oracle=None)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF (16 inverted lists, 4 probed per
+    query): vectorized Pandas-UDF centroid assignment, equi-join
+    candidate generation, exact re-scoring.  No value oracle
+    (approximate by design — recall asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, QUERY_IDS, k=K).orderBy("query_id", "rank")

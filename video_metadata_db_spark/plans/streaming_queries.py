@@ -10,9 +10,13 @@ rewrite (lag → new-session flag → running sum → group).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
+from ..streaming.runner import file_stream, run_available_now
+from ..streaming.stateful import running_user_totals
 from ..streaming.windows import session_stats, sliding_avg, tumbling_counts
 from .registry import query
 
@@ -92,3 +96,32 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(load_table(spark, sf_dir, "events")).orderBy(
         "user_id", "session_start"
     )
+
+
+@query(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value,
+       epoch_us(max(ts)) AS last_seen_us
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) under a REAL
+    AvailableNow stream: events staged as one parquet file (one
+    micro-batch, so update mode emits each user exactly once), per-user
+    state updated in the state store, memory sink returned.  The oracle
+    is the equivalent batch aggregate — state starting empty makes the
+    single-batch totals equal lifetime totals."""
+    work = tempfile.mkdtemp(prefix="vmdb_stateful_")
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = file_stream(spark, f"{work}/src", events.schema)
+    sink = run_available_now(
+        running_user_totals(stream), f"{work}/cp", output_mode="update"
+    )
+    return sink.orderBy("user_id")

@@ -1,0 +1,80 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The built-in stateful operators (windowed aggs, dropDuplicates,
+stream-stream joins) cover the reference's surface; this is the escape
+hatch for semantics they can't express — here, per-user RUNNING
+lifetime totals emitted on every update (a feature-store pattern: the
+training pipeline reads the freshest per-entity aggregates without
+recomputing history).
+
+State is one row per user (counts + sums + last-seen micros), stored in
+the state store (RocksDB in production), updated per micro-batch from
+Arrow-batched pandas frames.  At 100 TB the state size is bounded by
+|users|, not |events| — the whole point versus a batch groupBy over
+ever-growing history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("last_seen_us", T.LongType()),
+    ]
+)
+
+
+def _update_user(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            # ts_us is a plain int64 column (converted Spark-side) — no
+            # pandas datetime-unit ambiguity crosses the Arrow boundary
+            last_us = max(last_us, int(pdf["ts_us"].max()))
+    state.update((n, total, last_us))
+    yield pd.DataFrame(
+        [(user_id, n, round(total, 6), last_us)],
+        columns=["user_id", "n_events", "total_value", "last_seen_us"],
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (n_events, total_value, last_seen) — emitted
+    fresh every micro-batch a user appears in.  Streaming-only (Spark
+    rejects applyInPandasWithState in batch queries) — the oracle path
+    drives a real single-batch AvailableNow stream instead."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
