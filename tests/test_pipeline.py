@@ -21,6 +21,7 @@ from video_metadata_db_spark.sources.tsv import (
     read_metadata_tsv,
     to_boundary,
     write_metadata_tsv,
+    write_metadata_tsv_per_volume,
 )
 
 
@@ -112,6 +113,48 @@ def test_update_idempotent(spark, built):
     merged = first_half.unionByName(new)
     again = update_new_files(records, merged, key="path")
     assert again.count() == 0
+
+
+def test_per_volume_write(spark, built, tmp_path):
+    """One db per volume label (reference :508-514): partition dirs
+    exist per volume, rows keep the inline Volume Label column."""
+    import os
+
+    records, _ = built
+    out = str(tmp_path / "per_volume")
+    write_metadata_tsv_per_volume(records, out)
+    parts_dirs = sorted(d for d in os.listdir(out) if d.startswith("_volume="))
+    volumes = sorted(
+        r["volume_label"] for r in records.select("volume_label").distinct().collect()
+    )
+    assert parts_dirs == [f"_volume={v}" for v in volumes]
+    back = read_metadata_tsv(spark, [f"{out}/{d}" for d in parts_dirs])
+    assert back.count() == records.count()
+    assert back.filter(F.col("`Volume Label`").isNull()).count() == 0
+
+
+def test_nomedia_markers(spark, tmp_path):
+    """.nomedia side-effect sink (reference :947-971): markers created
+    in filtered dirs, idempotent on rerun, results reported as rows."""
+    import os
+
+    from video_metadata_db_spark.sources.sideeffects import (
+        create_nomedia_markers,
+        filtered_dirs,
+    )
+
+    root = tmp_path / "media"
+    for d in ("Movies/Extras", "Movies/Collection 1", "Movies/@eaDir"):
+        (root / d).mkdir(parents=True)
+    dirs = filtered_dirs(spark, [str(root)])
+    got = {r["dir_path"] for r in dirs.collect()}
+    assert got == {str(root / "Movies/Extras"), str(root / "Movies/@eaDir")}
+
+    first = {r["dir_path"]: r["status"] for r in create_nomedia_markers(dirs).collect()}
+    assert set(first.values()) == {"created"}
+    assert all(os.path.exists(os.path.join(d, ".nomedia")) for d in got)
+    again = {r["status"] for r in create_nomedia_markers(dirs).collect()}
+    assert again == {"existed"}  # idempotent
 
 
 def test_variant_report_on_fixtures(spark, parts):

@@ -116,6 +116,34 @@ def write_metadata_tsv(
     )
 
 
+def db_name_for(root: str, volume_label: str) -> str:
+    """Reference db naming: ``<root> - <volume>.tsv``
+    (``db_name_generate``, video_metadata_db.py:508-514)."""
+    return f"{root} - {volume_label}.tsv" if volume_label else f"{root}.tsv"
+
+
+def write_metadata_tsv_per_volume(
+    records: DataFrame, base_path: str, header: bool = False, mode: str = "overwrite"
+) -> None:
+    """One db per volume label — the reference opens a separate TSV per
+    input volume (:508-514, :1232).  Spark-idiomatic rendering: a
+    partitioned write (``volume_label=<X>/`` subdirs); the label stays
+    inline in the row too (boundary column 17), unlike a plain
+    ``partitionBy`` which would hoist it out of the data."""
+    boundary = boundary_sorted(to_boundary(records)).withColumn(
+        "_volume", _bcol("Volume Label")
+    )
+    (
+        boundary.write.mode(mode)
+        .partitionBy("_volume")
+        .option("sep", "\t")
+        .option("header", str(header).lower())
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        .csv(base_path)
+    )
+
+
 _BOUNDARY_READ_SCHEMA = T.StructType(
     [T.StructField(name, T.StringType(), True) for name in TSV_HEADER]
 )
