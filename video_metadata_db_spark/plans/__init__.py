@@ -19,6 +19,7 @@ def _import_all() -> None:
     from . import similarity_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import asof_queries  # noqa: F401
+    from . import udf_queries  # noqa: F401
 
 
 try:

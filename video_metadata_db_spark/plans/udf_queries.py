@@ -1,0 +1,97 @@
+"""Skew-mitigation and grouped-map-UDF queries, both value-oracled.
+
+``join_salted_skew`` proves the salt is semantically invisible: the
+oracle is the PLAIN join, so any salt leakage (lost rows, dup rows)
+hash-mismatches.  ``udf_grouped_zscore`` pins the Arrow grouped-map
+path (applyInPandas) against a window-function oracle — the transform
+is deliberately also SQL-expressible so it can be value-checked; the
+operator exists for the transforms that aren't.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.skew import salted_join
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+SELECT s.s_name,
+       count(*) AS n_items,
+       round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+ORDER BY s.s_name
+""",
+)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue through a SALTED join (8 salts on the fact
+    side, replicated dim).  The oracle is the unsalted join — identical
+    values prove salting only reshapes the shuffle, never the result."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    joined = salted_join(lineitem, supplier, key="suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            # decimal sum: exact and order-independent, so the salted
+            # shuffle's different reduce order can't shift the rounding
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("s_name")
+    )
+
+
+_ZSCORE_SCHEMA = "event_id long, event_type string, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)  # sample stddev = stddev_samp = DuckDB stddev
+    z = (pdf["value"] - mu) / sd if sd and sd > 0 else pdf["value"] * 0.0
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "zscore": z.round(6)}
+    )
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+SELECT event_id, event_type,
+       round((value - avg(value) OVER (PARTITION BY event_type))
+             / stddev(value) OVER (PARTITION BY event_type), 6) AS zscore
+FROM events
+ORDER BY event_id
+""",
+)
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-scores via applyInPandas (Arrow grouped map,
+    one pandas frame per group).  Natively expressible with window
+    functions (the oracle does exactly that) — registered to pin the
+    grouped-map UDF surface with a full value oracle.  At scale:
+    one shuffle on the group key; group size must fit a worker's
+    memory, else fall back to the window-function form."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        events.groupBy("event_type")
+        .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+        .orderBy("event_id")
+    )
