@@ -1,0 +1,70 @@
+"""Bucketed co-located joins: pre-shuffling on the join key at write
+time removes the join-time Exchange — the 100 TB answer for a join both
+of whose sides are too big to broadcast and which runs repeatedly
+(fact-to-fact, incremental pipelines).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketed_test LOCATION '{tmp_path / 'warehouse'}'"
+    )
+    # force the shuffle-join path (the to-big-to-broadcast scenario
+    # bucketing exists for; at sf0.001 everything would broadcast)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_thresh = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bucketed_test.orders_b")
+        )
+        (
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+            .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bucketed_test.lineitem_b")
+        )
+        ob = spark.table("bucketed_test.orders_b")
+        lb = spark.table("bucketed_test.lineitem_b")
+        joined = ob.join(lb, "o_orderkey").groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_section, (
+            "bucketed join must read pre-shuffled buckets, not re-shuffle:\n" + join_section
+        )
+
+        # and the result matches the plain (shuffling) join
+        plain = (
+            orders.join(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+            .groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if old_aqe_thresh is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thresh)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")

@@ -165,6 +165,44 @@ def test_stateful_totals_accumulate_across_runs(spark, tmp_path):
     assert got2 == {7: (3, 13.0)}, "run-2 emission must be lifetime totals for user 7 only"
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream attribution join: only right events in
+    [left.ts, left.ts + 10m] for the same key match."""
+    from video_metadata_db_spark.streaming.joins import interval_join
+
+    imp_src, clk_src, cp = str(tmp_path / "imp"), str(tmp_path / "clk"), str(tmp_path / "cp")
+    imp_schema = StructType(
+        [StructField("ad_id", LongType()), StructField("ts", TimestampType())]
+    )
+    clk_schema = StructType(
+        [
+            StructField("ad_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("click_id", LongType()),
+        ]
+    )
+    spark.createDataFrame([(1, _t(10, 0)), (2, _t(10, 0))], imp_schema).coalesce(
+        1
+    ).write.parquet(imp_src)
+    spark.createDataFrame(
+        [
+            (1, _t(10, 5), 100),  # within 10m of impression → match
+            (1, _t(10, 20), 101),  # outside the bound → no match
+            (3, _t(10, 2), 102),  # no impression for ad 3 → no match
+        ],
+        clk_schema,
+    ).coalesce(1).write.parquet(clk_src)
+
+    joined = interval_join(
+        file_stream(spark, imp_src, imp_schema),
+        file_stream(spark, clk_src, clk_schema),
+        key="ad_id",
+    )
+    got = run_available_now(joined, cp)
+    rows = [(r["ad_id"], r["r_click_id"]) for r in got.collect()]
+    assert rows == [(1, 100)]
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch: arbitrary batch-DataFrame sink logic (the
     reference's side-effect channels, SURVEY.md §2.10)."""

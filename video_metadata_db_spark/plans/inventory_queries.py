@@ -697,3 +697,73 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------- unpivot / sampling ---
+
+@query(
+    "unpivot_stats",
+    oracle="""
+SELECT event_type, metric, round(val, 6) AS val
+FROM (
+  SELECT event_type,
+         round(avg(value), 6) AS avg_value,
+         round(min(value), 6) AS min_value,
+         round(max(value), 6) AS max_value
+  FROM events GROUP BY event_type
+) UNPIVOT (val FOR metric IN (avg_value, min_value, max_value))
+ORDER BY event_type, metric
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long (unpivot/melt) — the inverse of pivot_status."""
+    wide = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["event_type"],
+            values=["avg_value", "min_value", "max_value"],
+            variableColumnName="metric",
+            valueColumnName="val",
+        )
+        .withColumn("val", F.round("val", 6))
+        .orderBy("event_type", "metric")
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_custs,
+       CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price
+FROM orders
+WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {(1 << 31) - 1} % 100 < 5
+""",
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~5% systematic sample via the engine's 31-bit md5 hash on the
+    key — deterministic and engine-independent, unlike TABLESAMPLE
+    (whose PRNG never matches across engines).  At scale this is the
+    repeatable-sample idiom: same rows on every run, every engine,
+    resumable pipelines included."""
+    from ..operators.dedup import hash31
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(
+        hash31(F.col("o_orderkey").cast("string")) % 100 < 5
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )

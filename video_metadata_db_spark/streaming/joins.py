@@ -1,0 +1,45 @@
+"""Stream-stream joins: watermarked interval (event-time-bounded) join.
+
+Spark buffers both sides in the state store and the watermarks + the
+time-range predicate bound how long: a left row can be evicted once the
+right watermark passes ``left.ts + max_delay``.  Without the time bound
+the state grows forever — the bound is not an optimization, it IS the
+correctness contract at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Inner join of two event streams on ``key`` where the right event
+    happens in ``[left.ts, left.ts + max_delay]``.
+
+    Both sides need watermarks (state eviction); the join condition is
+    an equi-key plus an event-time range — the attribution-join shape
+    (impression → click within N minutes).
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col(key),
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != key],
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("__rkey"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts"))
+        & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop("__rkey")
