@@ -155,6 +155,59 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup candidates: each vector's most-similar
+    neighbor *within its block*, flagged ``is_near_dup`` at ``threshold``.
+
+    The blocking key turns the O(n²) all-pairs cosine into an equi-join:
+    pairs are only scored inside a block (here the corpus ``label``; at
+    100 TB a coarse quantizer / LSH bucket plays the same role — see
+    ``lsh_bucket``).  Norms are computed once per vector on the map side
+    of the block shuffle, so the post-join work is one dot product per
+    in-block pair.  Per-vector top-1 goes through WindowGroupLimit — no
+    full sort of the pair set.
+    """
+    emb = embeddings.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        _to_double(F.col(vec_col)).alias("v"),
+    ).withColumn("n", norm(F.col("v")))
+    left = emb.select(
+        F.col(id_col).alias("vec_id"), "block", F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    right = emb.select(
+        F.col(id_col).alias("neighbor_id"), "block", F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    scored = (
+        left.join(right, "block")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            "cos_sim",
+            (F.col("cos_sim") >= threshold).alias("is_near_dup"),
+        )
+    )
+
+
 # ----------------------------------------------------------------- IVF ---
 
 N_CENTROIDS = 16

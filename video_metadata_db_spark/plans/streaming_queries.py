@@ -14,7 +14,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..sources.tables import load_table
+from ..streaming.joins import interval_join
 from ..streaming.runner import file_stream, run_available_now
 from ..streaming.stateful import running_user_totals
 from ..streaming.windows import session_stats, sliding_avg, tumbling_counts
@@ -125,3 +128,37 @@ def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(stream), f"{work}/cp", output_mode="update"
     )
     return sink.orderBy("user_id")
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS l_event_id, a.ts AS l_ts,
+       b.event_id AS r_event_id, b.ts AS r_ts
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_type = 'view' AND b.event_type = 'click'
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+ORDER BY l_event_id, r_event_id
+""",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join under a REAL
+    AvailableNow run: view events joined to click events of the same
+    user within 10 minutes.  Each side is staged as one file (single
+    micro-batch), so the watermark evicts state only after every pair
+    has been emitted — output equals the batch interval join the oracle
+    computes."""
+    work = tempfile.mkdtemp(prefix="vmdb_ssjoin_")
+    events = load_table(spark, sf_dir, "events")
+    for side, etype in (("views", "view"), ("clicks", "click")):
+        events.filter(F.col("event_type") == etype).select(
+            "user_id", "ts", "event_id"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{work}/{side}")
+    schema = events.select("user_id", "ts", "event_id").schema
+    joined = interval_join(
+        file_stream(spark, f"{work}/views", schema),
+        file_stream(spark, f"{work}/clicks", schema),
+        key="user_id",
+    )
+    return run_available_now(joined, f"{work}/cp").orderBy("l_event_id", "r_event_id")
