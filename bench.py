@@ -38,6 +38,8 @@ HEADLINE = [
     "text_quality_score",
     "stream_session_windows",
     "join_asof_attribution",
+    "q3_shipping_priority",
+    "update_bloom_prefilter",
 ]
 
 REPEATS = 2

@@ -67,6 +67,19 @@ def test_knn_broadcasts_queries(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_q5_dims_broadcast(spark):
+    """The 6-table star must shuffle only on the fact-fact orderkey
+    join; all dimension joins broadcast."""
+    p = plan_of(spark, "q5_local_supplier_revenue")
+    assert p.count("BroadcastHashJoin") >= 2, "customer + dim-bundle must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_q3_sql_surface_topk(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p, "SQL LIMIT 10 must not global-sort"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_anywhere(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name), (

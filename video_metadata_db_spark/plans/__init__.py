@@ -20,6 +20,8 @@ def _import_all() -> None:
     from . import streaming_queries  # noqa: F401
     from . import asof_queries  # noqa: F401
     from . import udf_queries  # noqa: F401
+    from . import tpch_queries  # noqa: F401
+    from . import membership_queries  # noqa: F401
 
 
 try:

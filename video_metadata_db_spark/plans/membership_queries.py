@@ -1,0 +1,66 @@
+"""Membership / sketch queries: the update-mode scale path.
+
+``update_bloom_prefilter`` is the Bloom-accelerated version of
+``update_anti_join`` — same exact semantics (the oracle is the plain
+anti-join), different physical plan at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.membership import bloom_prefiltered_new_keys
+from ..sources.tables import load_table
+from .registry import query
+
+_CUTOFF = "1997-01-01"
+
+
+@query(
+    "update_bloom_prefilter",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate
+FROM orders o
+ANTI JOIN (SELECT o_orderkey FROM orders
+           WHERE o_orderdate < TIMESTAMP '{_CUTOFF}') ex
+  ON o.o_orderkey = ex.o_orderkey
+ORDER BY o.o_orderkey
+""",
+)
+def q_update_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-update membership at scale: orders probed before the
+    cutoff form the existing db; the full feed is Bloom-prefiltered so
+    only possibly-present rows pay the exact anti-join.
+
+    Exactness: the result equals the plain ``left_anti`` join (Bloom
+    false positives are re-verified), which is what the oracle runs.
+    Reference semantics: video_metadata_db.py:427-452 (update check),
+    corrected to a full-key match per SURVEY.md §2.4.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderdate") < F.lit(_CUTOFF).cast("timestamp"))
+    new_rows = bloom_prefiltered_new_keys(orders, existing, "o_orderkey")
+    return new_rows.select("o_orderkey", "o_orderdate").orderBy("o_orderkey")
+
+
+@query("hll_sketch_users", oracle=None)
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: Datasketches HLL per event
+    type via ``hll_sketch_agg`` → ``hll_sketch_estimate``.
+
+    Unlike ``approx_count_distinct`` this keeps the SKETCH mergeable
+    across partitions/days — the building block for incremental rollups
+    at 100 TB (store the binary sketch, union later). Rows-only check:
+    estimates are implementation-defined (accuracy pinned by
+    ``test_hll_sketch_accuracy`` instead).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

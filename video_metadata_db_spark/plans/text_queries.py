@@ -15,6 +15,7 @@ from ..functions.text import (
     stopword_ratio,
     token_count,
 )
+from ..operators.dedup import tokens_of
 from ..sources.tables import load_table
 from .registry import query
 
@@ -174,5 +175,142 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("wmin").alias("n_fingerprints"),
             F.min("wmin").alias("min_fp"),
         )
+        .orderBy("doc_id")
+    )
+
+
+#: Email/phone patterns — identical semantics under Java regex (Spark)
+#: and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail-' || source
+              || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM aug
+ORDER BY doc_id
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count + redact emails and
+    phone numbers, all codegen'd regex (no UDF).  The corpus carries no
+    PII, so the query deterministically injects one email + one phone
+    per doc (same expression on the oracle side) — the operator under
+    test is the extraction/redaction, which at 100 TB must stay
+    JVM-side: one pass, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail-"),
+        F.col("source"),
+        F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+freq AS (
+  SELECT doc_id, u.tok, count(*) AS c
+  FROM toks, unnest(t) AS u(tok)
+  GROUP BY doc_id, u.tok
+)
+SELECT doc_id,
+       sum(c) AS n_tokens,
+       count(*) AS n_distinct,
+       round(count(*) / sum(c), 6) AS type_token_ratio,
+       round(max(c) / sum(c), 6) AS top_token_ratio
+FROM freq
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics for quality filtering: type-token ratio and
+    most-frequent-token share.  Two-level aggregation — (doc, token)
+    partial counts collapse map-side, then a per-doc rollup; the only
+    shuffle key is the doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        freq.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("type_token_ratio"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "filter_length_percentile",
+    oracle="""
+WITH counts AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+thr AS (
+  SELECT round(quantile_cont(n_tok, 0.1), 6) AS lo,
+         round(quantile_cont(n_tok, 0.9), 6) AS hi
+  FROM counts
+)
+SELECT doc_id, n_tok
+FROM counts, thr
+WHERE n_tok >= lo AND n_tok <= hi
+ORDER BY doc_id
+""",
+)
+def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length filter: keep docs between the exact P10
+    and P90 of token count.  Two-phase: a tiny global-percentile
+    aggregate (one row) broadcast back over the corpus — the standard
+    shape for any corpus-statistic-relative filter at scale.  Both
+    engines use linear-interpolation percentiles, rounded to 6 dp so
+    float representation can't flip a boundary row."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    thr = counts.agg(
+        F.round(F.percentile("n_tok", F.lit(0.1)), 6).alias("lo"),
+        F.round(F.percentile("n_tok", F.lit(0.9)), 6).alias("hi"),
+    )
+    return (
+        counts.join(F.broadcast(thr))
+        .filter((F.col("n_tok") >= F.col("lo")) & (F.col("n_tok") <= F.col("hi")))
+        .select("doc_id", "n_tok")
         .orderBy("doc_id")
     )

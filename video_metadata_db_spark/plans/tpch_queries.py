@@ -1,0 +1,105 @@
+"""Canonical TPC-H-shaped analytics over the synthetic star schema.
+
+Two purposes: (a) exercise the engine's multi-join + agg + top-k path
+on the classic shapes a reference user would recognize, and (b) prove
+the SQL surface — ``q3_shipping_priority`` runs through
+``spark.sql(...)`` over registered views (SURVEY.md §3: the reference
+has no SQL layer; the engine exposes Spark's full one).
+
+Revenue sums are rounded to 2 decimals ON BOTH SIDES before ranking so
+cross-engine float-summation-order differences can't reorder the top-k
+boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+from .registry import query
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape, executed via the SQL API (``spark.sql`` over the
+    registered corpus views) — identical text runs on the DuckDB oracle.
+
+    Plan notes at scale: customer is the small side (broadcast under
+    AQE), the orders⋈lineitem equi-join shuffles on the orderkey, and
+    the top-10 is TakeOrderedAndProject (no global sort materialized).
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)
+
+
+@query(
+    "q5_local_supplier_revenue",
+    oracle="""
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join rolled up to supplier nation.
+
+    The three dimension tables (supplier/nation/region) are explicitly
+    ``broadcast()``: at 100 TB the fact-side join must never shuffle on
+    a dimension key — only the orders⋈lineitem shuffle survives, and
+    AQE coalesces its partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("AMERICA", "ASIA")
+    )
+    dims = F.broadcast(
+        supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
