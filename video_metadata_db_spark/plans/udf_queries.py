@@ -95,3 +95,50 @@ def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
         .orderBy("event_id")
     )
+
+
+def _histogram_bins_sql() -> str:
+    """DuckDB list-of-16-doubles replicating ``fake_decode`` over the
+    synthesized 64-byte payload: byte i = hex pair 2i-1..2i of
+    repeat(md5(text), 4)."""
+    byte_vals = (
+        "[CAST(concat('0x', substr(repeat(md5(text), 4), 2*i - 1, 2)) AS INT) % 16 "
+        "FOR i IN range(1, 65)]"
+    )
+    bins = ", ".join(
+        f"len(list_filter(bv, x -> x = {b})) / 64.0" for b in range(16)
+    )
+    return f"SELECT doc_id, {byte_vals} AS bv FROM documents", f"[{bins}]"
+
+
+_BV_CTE, _BINS_LIST = _histogram_bins_sql()
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+WITH bv AS ({_BV_CTE})
+SELECT doc_id AS asset_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+       CAST(64 AS BIGINT) AS n_bytes,
+       {_BINS_LIST} AS feature
+FROM bv
+ORDER BY asset_id
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline end-to-end: binary assets (md5-derived
+    payloads — the CI stand-in for a media lake) → Arrow-batched
+    mapInPandas feature extraction (16-bin byte histogram standing in
+    for decode+embed).  The feature math is deliberately hex-arithmetic-
+    reproducible so even the Pandas-UDF path gets a FULL value oracle;
+    bins are counts/64 (power of two), exact in binary on both engines.
+    Reference analogue: the ffprobe stage (video_metadata_db.py:517-725)
+    generalized to arbitrary media features."""
+    from ..operators.multimodal import extract_features, synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_assets(docs))
+    return feats.filter(F.col("error").isNull()).select(
+        "asset_id", "kind", "n_bytes", "feature"
+    ).orderBy("asset_id")
