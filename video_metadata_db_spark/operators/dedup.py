@@ -158,34 +158,32 @@ def ngram_jaccard_pairs(
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc MinHash signature as 64 columns ``sig_0..sig_63``.
 
-    Fully array-native: one md5 per distinct shingle (computed once in
-    its own projection), then each signature component is
-    ``array_min`` over the affine-permuted hash array — the whole
-    signature is ONE narrow projection with ZERO shuffle and no row
-    blow-up.  Benchmarked ~3× faster than the explode → 64-column →
-    groupBy(min) formulation at sf0.1, and at cluster scale it removes
-    the signature shuffle entirely (the only remaining shuffles in the
-    LSH pipeline are the band join's).
+    Explode distinct shingles, hash each ONCE with a plain (whole-stage
+    codegen) md5 expression, then ``groupBy(doc)`` with 64
+    ``min((A_i·h + B_i) mod P)`` aggregates.  Every expression here is
+    codegen-compiled; the earlier "shuffle-free" formulation
+    (``array_min`` over ``transform``-permuted hash arrays) evaluates
+    higher-order functions INTERPRETED per array element and measured
+    ~2× slower at sf0.1 despite saving the shuffle.  The shuffle this
+    pays is the already-combined signature table itself — partial min
+    collapses to one 520 B row per doc per partition before exchange,
+    orders of magnitude smaller than the text it summarizes — so the
+    codegen win dominates at cluster scale too.
 
-    Docs with no shingles (< k tokens) are dropped — they have no
-    MinHash and would otherwise collide in every band bucket.
+    Docs with no shingles (< k tokens) disappear at the explode — they
+    have no MinHash and would otherwise collide in every band bucket.
     """
     sh = docs.select(
-        F.col(id_col).alias("doc"), shingles_of(F.col(text_col)).alias("shs")
-    ).filter(F.size("shs") > 0)
-    hashed = sh.select("doc", F.transform("shs", hash31).alias("hs"))
-
-    def perm(i: int):
-        # one-arg lambda: a second arg would make Spark pass the element
-        # index as a Column
-        return lambda h: (F.lit(PERM_A[i]) * h + F.lit(PERM_B[i])) % MERSENNE_P
-
-    return hashed.select(
-        "doc",
+        F.col(id_col).alias("doc"), F.explode(shingles_of(F.col(text_col))).alias("s")
+    )
+    hashed = sh.select("doc", hash31(F.col("s")).alias("h"))
+    return hashed.groupBy("doc").agg(
         *[
-            F.array_min(F.transform("hs", perm(i))).alias(f"sig_{i}")
+            F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE_P).alias(
+                f"sig_{i}"
+            )
             for i in range(N_HASHES)
-        ],
+        ]
     )
 
 
