@@ -264,25 +264,35 @@ SIMHASH_BITS = 60
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per doc from unigram token hashes.
 
-    Token hashes are computed once (``transform``), then each output bit
-    is a sign-vote aggregate over the hash array — all inside one
-    projection, no explode, no shuffle at all (embarrassingly parallel).
+    Explode token occurrences, hash each with a plain (codegen) md5
+    expression, then ``groupBy(doc)`` with 60 sign-vote ``sum``
+    aggregates and assemble the fingerprint from the votes.  Same
+    rewrite as :func:`minhash_signatures`: the previous formulation (60
+    ``F.aggregate`` higher-order calls over a hash array) is
+    interpreted per element and measured ~9× slower at sf0.1.  Partial
+    aggregation collapses the exploded tokens back to one row per doc
+    per partition before the shuffle.  ``explode_outer`` keeps
+    zero-token docs: their votes aggregate to NULL, every ``> 0`` test
+    fails, fingerprint 0 — identical to the sign-vote of an empty
+    hash array.
     """
-    toks = tokens_of(F.col(text_col))
-    hashes = F.transform(toks, lambda t: hash60(t))
-    bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),  # init type must match the merge type
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1),
-        )
-        for b in range(SIMHASH_BITS)
-    ]
+    tok = docs.select(
+        F.col(id_col).alias("doc"), F.explode_outer(tokens_of(F.col(text_col))).alias("t")
+    )
+    h = tok.select("doc", hash60(F.col("t")).alias("h"))
+    votes = h.groupBy("doc").agg(
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1).alias(f"v_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
     fingerprint = None
-    for b, vote in enumerate(bit_votes):
-        term = F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fingerprint = term if fingerprint is None else fingerprint + term
-    return docs.select(F.col(id_col).alias("doc"), fingerprint.alias("simhash"))
+    return votes.select("doc", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
