@@ -10,10 +10,11 @@ Algorithm: label propagation to the minimum reachable id.  Each round
 every vertex takes the min of its own label and its neighbors' labels;
 convergence in O(diameter) rounds — near-dup graphs are
 overwhelmingly tiny cliques (diameter ≤ 2-3), so 3-5 rounds settle
-real corpora.  Each round is one shuffle (groupBy vertex); lineage is
-cut per round with ``localCheckpoint`` so the plan doesn't grow
-exponentially across iterations (the classic iterative-Spark trap; on
-a cluster use ``checkpoint`` to reliable storage instead).
+real corpora.  The self-loop trick folds "keep my own label" into the
+neighbor aggregation, making each round exactly ONE join + ONE
+aggregation; lineage is cut per round with ``localCheckpoint`` so the
+plan doesn't grow across iterations (the classic iterative-Spark trap;
+on a cluster use ``checkpoint`` to reliable storage instead).
 
 The result is exact, so the DuckDB oracle (recursive-CTE transitive
 closure to the same min-reachable-id labels) value-checks it.
@@ -38,18 +39,16 @@ def connected_components(
     graph has a path longer than any plausible near-dup cluster and
     needs the large-star/small-star variant instead.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    labels = (
-        sym.select(F.col("a").alias("v"))
-        .distinct()
-        .withColumn("comp", F.col("v"))
-        .localCheckpoint()
-    )
-    sym = sym.localCheckpoint()
+    vertices = both.select(F.col("a").alias("v")).distinct()
+    # self-loops fold "min with my own label" into the neighbor min, so
+    # a round is join → groupBy, with no second join against labels
+    sym = both.unionByName(
+        vertices.select(F.col("v").alias("a"), F.col("v").alias("b"))
+    ).localCheckpoint()
+    labels = vertices.withColumn("comp", F.col("v")).localCheckpoint()
 
     # labels only ever DECREASE, so Σcomp strictly decreases until the
     # fixpoint — a one-aggregate convergence test instead of a
@@ -59,19 +58,10 @@ def connected_components(
         # no broadcast hints: labels can be billions of rows at corpus
         # scale — AQE turns these into broadcast joins at runtime
         # whenever the side is actually small
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["v"])
-            .groupBy(F.col("b").alias("v2"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
         new_labels = (
-            labels.join(nbr_min, labels["v"] == nbr_min["v2"], "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+            sym.join(labels, sym["a"] == labels["v"])
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]

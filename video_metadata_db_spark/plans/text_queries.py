@@ -10,12 +10,11 @@ from ..functions.text import (
     alpha_ratio,
     avg_token_len,
     bpe_token_count,
-    char_ngram_hashes,
     quality_score,
     stopword_ratio,
     token_count,
 )
-from ..operators.dedup import tokens_of
+from ..operators.dedup import hash60, tokens_of
 from ..sources.tables import load_table
 from .registry import query
 
@@ -153,14 +152,28 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (8-gram rolling hash, window 4): count +
     min per doc — the compact form for fingerprint-overlap joins.
 
-    Shape: hash array computed ONCE per doc, posexploded, then a
-    4-row sliding window-min per doc.  (The all-column-expression
+    Shape: explode gram POSITIONS, hash each gram with a plain
+    (whole-stage codegen) md5 expression, then a 4-row sliding
+    window-min per doc.  Two traps avoided: the all-column-expression
     variant re-inlines the hash array into every window term under
-    CollapseProject — quadratic md5 count; this form is linear.)
+    CollapseProject (quadratic md5 count), and hashing inside
+    ``transform`` evaluates interpreted per element (~3× slower) —
+    explode-then-project keeps the md5 linear AND compiled.
     """
     docs = load_table(spark, sf_dir, "documents")
-    hs = docs.select(
-        "doc_id", F.posexplode(char_ngram_hashes(F.col("text"))).alias("pos0", "h")
+    hs = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p") - 1).alias("pos0"),
+            hash60(F.substring(F.col("text"), F.col("p"), 8)).alias("h"),
+        )
     )
     per_doc = Window.partitionBy("doc_id")
     sliding = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, 3)
