@@ -121,7 +121,7 @@ def merge_metadata_dbs(dbs: list[DataFrame], sort_cols: list[Column] | None = No
     unioned = reduce(DataFrame.unionByName, dbs)
     if sort_cols is None:
         sort_cols = [F.col(c).desc() for c in unioned.columns[:2]]
-    return unioned.orderBy(*sort_cols)
+    return unioned.orderBy(*sort_cols) if sort_cols else unioned
 
 
 def update_new_files(candidates: DataFrame, existing: DataFrame, key: str = "path") -> DataFrame:
