@@ -69,15 +69,22 @@ def variant_report_flat(df: DataFrame, filename_col: str = "name") -> DataFrame:
 
     Adds year spread per title — the analytical payload of "which titles
     have multiple variants" without the nested ``variants`` array.
+
+    min/max run on the year cast to int: string min/max buffers are not
+    fixed-width, which silently demotes the whole aggregate to
+    SortAggregate (sort + sort-based merge per grouping) — the int cast
+    keeps it a HashAggregate with map-side partials.
     """
-    parsed = with_parsed_title(df, filename_col)
+    parsed = with_parsed_title(df, filename_col).withColumn(
+        "_year_i", F.col("release_year").try_cast("int")
+    )
     return (
         parsed.groupBy("title")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),
             F.countDistinct("release_year").alias("n_years"),
-            F.min("release_year").alias("min_year"),
-            F.max("release_year").alias("max_year"),
+            F.min("_year_i").alias("min_year"),
+            F.max("_year_i").alias("max_year"),
         )
         .filter(F.col("n_variants") > 1)
         .orderBy(F.col("n_variants").desc(), F.col("title"))

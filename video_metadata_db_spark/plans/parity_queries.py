@@ -50,8 +50,8 @@ WITH named AS (
 SELECT title,
        count(*) AS n_variants,
        count(DISTINCT release_year) AS n_years,
-       min(release_year) AS min_year,
-       max(release_year) AS max_year
+       min(TRY_CAST(release_year AS INTEGER)) AS min_year,
+       max(TRY_CAST(release_year AS INTEGER)) AS max_year
 FROM parsed
 GROUP BY title
 HAVING count(*) > 1
