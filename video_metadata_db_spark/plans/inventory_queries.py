@@ -767,3 +767,89 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       2 AS n_entries,
+       'k,type_len' AS keys_sorted,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+            THEN CAST(json_extract_string(props, '$.k') AS INT) ELSE 0 END
+         + CASE WHEN length(event_type) > 50 THEN length(event_type) ELSE 0 END
+         AS big_vals_sum
+FROM events
+ORDER BY event_id
+""",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (SURVEY §2.8): ``from_json`` to ``map<string,int>``,
+    ``map_concat`` with a constructed ``create_map``, ``map_keys`` /
+    ``map_values`` / ``map_filter`` / ``element_at``, and a fold over the
+    filtered values.
+
+    All map ops are per-row expressions inside whole-stage codegen — no
+    shuffle except the final presentation sort, so the operator family
+    costs scan-bandwidth only at any scale.
+    """
+    ev = _t(spark, sf_dir, "events")
+    m = F.map_concat(
+        F.from_json("props", "map<string,int>"),
+        F.create_map(F.lit("type_len"), F.length("event_type")),
+    )
+    big = F.map_filter(m, lambda _, v: v > 50)
+    return (
+        ev.select(
+            "event_id",
+            F.element_at(m, "k").alias("k_val"),
+            F.size(m).alias("n_entries"),
+            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+            F.aggregate(F.map_values(big), F.lit(0), lambda acc, v: acc + v).alias(
+                "big_vals_sum"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(round(corr(l_quantity, l_extendedprice), 4) AS DOUBLE) AS corr_qty_price,
+       CAST(round(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS covar_qty_price,
+       CAST(round(stddev_samp(l_quantity), 4) AS DOUBLE) AS stddev_qty,
+       CAST(round(var_samp(l_quantity), 4) AS DOUBLE) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (SURVEY §2.5): corr / covar_samp /
+    stddev_samp / var_samp per group, rounded to stable precision
+    (both engines use single-pass co-moment updates; agreement holds to
+    well past 4 decimals at these magnitudes).
+
+    One hash-partition shuffle on the 3-value group key with map-side
+    partial co-moments — the same shape as any partial-able aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+            .cast("double")
+            .alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+            .cast("double")
+            .alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 4).cast("double").alias("stddev_qty"),
+            F.round(F.var_samp("l_quantity"), 4).cast("double").alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
