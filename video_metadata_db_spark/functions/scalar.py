@@ -71,6 +71,12 @@ def duration_hms(seconds_raw: Column | str, concise: bool = True) -> Column:
 
     NULL in → NULL out (the ``"N/A"`` guard at :271-277 lives at the TSV
     boundary, not here).
+
+    Documented divergence (tests/test_properties.py): on sub-second
+    ``x.xx5`` doubles whose binary value sits just below the decimal tie
+    (e.g. 0.175), CPython's ``round`` yields 0.17 while the JVM (and
+    DuckDB) round the shortest decimal repr half-even to 0.18.  Exact
+    binary ties (0.375) agree on both.  Property-tested everywhere else.
     """
     raw = _col(seconds_raw).cast("double")
     secs0 = F.bround(raw).cast("long")
