@@ -120,3 +120,43 @@ def test_decode_image_is_gated():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG fake")
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: image assets only, exact target byte count, idempotent
+    byte determinism."""
+    from video_metadata_db_spark.operators.multimodal import (
+        resize_images,
+        synthesize_assets,
+    )
+    from video_metadata_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assets = synthesize_assets(docs)
+    out = resize_images(assets, w=8, h=8)
+    rows = out.collect()
+    n_images = assets.filter(F.col("kind") == "image").count()
+    assert len(rows) == n_images > 0
+    assert all(r["n_bytes"] == 64 and len(r["payload"]) == 64 for r in rows)
+    assert all(r["error"] is None for r in rows)
+    again = {r["asset_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert {r["asset_id"]: bytes(r["payload"]) for r in rows} == again
+
+
+def test_sample_frames_shape(spark):
+    """Frame sampling: N rows per video, reassembling frames == payload."""
+    from video_metadata_db_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_assets,
+    )
+    from video_metadata_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assets = synthesize_assets(docs).cache()
+    frames = sample_frames(assets, n_frames=4).collect()
+    vids = {r["asset_id"]: bytes(r["payload"]) for r in assets.filter(F.col("kind") == "video").collect()}
+    assert len(frames) == 4 * len(vids) > 0
+    by_asset: dict[int, list] = {}
+    for r in sorted(frames, key=lambda r: (r["asset_id"], r["frame_idx"])):
+        by_asset.setdefault(r["asset_id"], []).append(bytes(r["frame"]))
+    assert {a: b"".join(fs) for a, fs in by_asset.items()} == vids

@@ -142,3 +142,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.filter(F.col("error").isNull()).select(
         "asset_id", "kind", "n_bytes", "feature"
     ).orderBy("asset_id")
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+SELECT doc_id AS asset_id,
+       i AS frame_idx,
+       i / 4.0 AS ts_frac,
+       CAST(16 AS BIGINT) AS n_bytes,
+       upper(substr(repeat(md5(text), 4), i * 32 + 1, 32)) AS frame_hex
+FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i)
+WHERE doc_id % 3 = 2
+ORDER BY asset_id, frame_idx
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 binary row → N frame rows via
+    ``mapInPandas`` (executor-side explode inside Arrow batches; the
+    driver never sees frame bytes).  The deterministic fake slices the
+    64-byte payload into 4 "frames", so each frame is a hex substring of
+    ``repeat(md5(text), 4)`` — a FULL value oracle for the 1→N Pandas
+    UDF path.  Reference analogue: the commented-out all-streams probe
+    (video_metadata_db.py:728-757), one file → N streams."""
+    from ..operators.multimodal import sample_frames, synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_assets(docs), n_frames=4)
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "ts_frac",
+        "n_bytes",
+        F.hex("frame").alias("frame_hex"),
+    ).orderBy("asset_id", "frame_idx")
