@@ -853,3 +853,93 @@ def q_agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+WITH keyed AS (
+  SELECT event_type, o.*,
+         CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {(1 << 31) - 1} % 100 AS bucket
+  FROM events o
+)
+SELECT event_type,
+       count(*) AS n_sampled,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+FROM keyed
+WHERE bucket < CASE event_type WHEN 'error' THEN 50 WHEN 'click' THEN 10 ELSE 2 END
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates (``sampleBy``
+    semantics) made deterministic: md5-hash bucket per row, per-group
+    rate cutoffs — repeatable across runs AND engines, unlike
+    ``DataFrame.sampleBy`` whose PRNG never matches an oracle.  The
+    training-data idiom: over-sample rare strata (errors at 50%),
+    down-sample dominant ones (views at 2%).  Pure map-side filter —
+    no shuffle beyond the final group-count."""
+    from ..operators.dedup import hash31
+
+    ev = _t(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "error", 50)
+        .when(F.col("event_type") == "click", 10)
+        .otherwise(2)
+    )
+    return (
+        ev.withColumn("bucket", hash31(F.col("event_id").cast("string")) % 100)
+        .filter(F.col("bucket") < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(concat('0x', substr(md5(concat('split:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           % {(1 << 31) - 1} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM keyed
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment — THE
+    load-bearing op of a training-data pipeline.  Salted-key md5 bucket
+    (salt isolates this split from any other sampling decision on the
+    same key), assignment is a pure projection: every engine, every
+    run, every subset of the corpus agrees on each doc's split, so
+    leakage can't creep in when the corpus grows.  Per-split×lang
+    composition check = one hash-partition aggregate."""
+    from ..operators.dedup import hash31
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hash31(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
