@@ -327,3 +327,145 @@ def q_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "filter_quality_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_toks,
+         round(length(list_filter(string_split(lower(text), ''),
+                                  c -> c BETWEEN 'a' AND 'z'))
+               / greatest(length(text), 1), 6) AS alpha,
+         round(len(list_filter(toks, x -> list_contains([{_STOPS}], lower(x))))
+               / greatest(len(toks), 1), 6) AS stop_r
+  FROM t
+), judged AS (
+  SELECT doc_id,
+         CASE WHEN n_toks < 10 THEN 'too_short'
+              WHEN n_toks > 1000 THEN 'too_long'
+              WHEN alpha < 0.6 THEN 'low_alpha'
+              WHEN stop_r < 0.05 THEN 'no_stopwords'
+              ELSE 'keep' END AS verdict
+  FROM m
+)
+SELECT verdict, count(*) AS n_docs,
+       CAST(round(count(*) * 1.0 / (SELECT count(*) FROM judged), 6) AS DOUBLE)
+         AS fraction
+FROM judged GROUP BY verdict ORDER BY verdict
+""",
+)
+def q_filter_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-cascade quality filter with per-rule reject
+    accounting — the first-reject-wins CASE ladder gives every dropped
+    doc ONE attributable reason, which is how corpus-filter ablations
+    are actually reported.  All rules are codegen column expressions;
+    one aggregate over the verdict; the doc-level verdict table (before
+    the rollup) is the filter's real output at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = token_count(F.col("text"))
+    verdict = (
+        F.when(n_toks < 10, "too_short")
+        .when(n_toks > 1000, "too_long")
+        .when(alpha_ratio(F.col("text")) < 0.6, "low_alpha")
+        .when(stopword_ratio(F.col("text")) < 0.05, "no_stopwords")
+        .otherwise("keep")
+    )
+    judged = docs.select(verdict.alias("verdict"))
+    total = docs.count()
+    return (
+        judged.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("fraction"),
+        )
+        .orderBy("verdict")
+    )
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+), bench_grams AS (
+  SELECT DISTINCT {_H60.format(x="g")} AS h
+  FROM (
+    SELECT unnest(list_transform(
+             range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')
+           )) AS g
+    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM bench)
+    WHERE len(toks) >= 5
+  )
+), corpus_grams AS (
+  SELECT doc_id, n_grams, h FROM (
+    SELECT doc_id,
+           len(gl) AS n_grams,
+           unnest(list_transform(gl, g -> {_H60.format(x="g")})) AS h
+    FROM (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 4, 0) + 1),
+               i -> list_aggregate(toks[i:i+4], 'string_agg', ' ')
+             )) AS gl
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM corpus)
+      WHERE len(toks) >= 5
+    )
+  )
+)
+SELECT c.doc_id,
+       count(DISTINCT c.h) AS n_hits,
+       CAST(round(count(DISTINCT c.h) * 1.0 / any_value(c.n_grams), 6) AS DOUBLE)
+         AS contaminated_frac
+FROM corpus_grams c JOIN bench_grams b ON c.h = b.h
+GROUP BY c.doc_id
+HAVING count(DISTINCT c.h) >= 2
+ORDER BY c.doc_id
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: which training docs contain
+    ≥2 distinct 5-gram overlaps with a held-out benchmark set (docs
+    with ``doc_id % 50 == 0`` stand in for the benchmark).
+
+    The at-scale shape: benchmark grams are DISTINCT-deduped and small
+    (broadcast side); corpus grams stream through a broadcast semi-ish
+    join — the corpus is never shuffled on the gram key, and per-doc
+    aggregation shuffles only the surviving hits.  5-gram hashes are
+    md5-derived (oracle-reproducible); word 5-shingles reuse the dedup
+    shingle machinery."""
+    from ..operators.dedup import shingles_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+
+    def grams(df: DataFrame) -> DataFrame:
+        sh = shingles_of(F.col("text"), k=5)
+        return df.select(
+            "doc_id", F.size(sh).alias("n_grams"), F.explode(sh).alias("g")
+        ).select("doc_id", "n_grams", hash60(F.col("g")).alias("h"))
+
+    bench_grams = grams(bench).select("h").distinct()
+    hits = grams(corpus).join(F.broadcast(bench_grams), "h")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_hits"),
+            F.round(F.countDistinct("h") / F.any_value("n_grams"), 6).alias(
+                "contaminated_frac"
+            ),
+        )
+        .filter(F.col("n_hits") >= 2)
+        .orderBy("doc_id")
+    )
