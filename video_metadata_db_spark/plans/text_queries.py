@@ -377,13 +377,12 @@ def q_filter_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     judged = docs.select(verdict.alias("verdict"))
-    total = docs.count()
+    counted = judged.groupBy("verdict").agg(F.count(F.lit(1)).alias("n_docs"))
+    # corpus total via a window over the (tiny) verdict aggregate — no
+    # second scan, no driver-side count action
+    total = F.sum("n_docs").over(Window.partitionBy())
     return (
-        judged.groupBy("verdict")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("fraction"),
-        )
+        counted.withColumn("fraction", F.round(F.col("n_docs") / total, 6))
         .orderBy("verdict")
     )
 
