@@ -56,3 +56,51 @@ def asof_join(
     for c in carried:
         unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return unioned.filter(F.col("__side") == 1).select(*left.columns, *carried)
+
+
+def time_proximity_pairs(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    max_gap_s: int,
+) -> DataFrame:
+    """All (earlier, later) event pairs on the same ``key`` within
+    ``max_gap_s`` seconds — the binned-range-join scale pattern.
+
+    The naive rendering (non-equi ``b.ts BETWEEN a.ts AND a.ts + gap``)
+    is a nested-loop join: O(n²) per key, and Catalyst can only
+    broadcast-nested-loop it.  Here the range key is BINNED: each left
+    row is emitted into its own ``max_gap_s``-wide time bucket AND the
+    next one (any partner ≤ gap later lives in one of the two), the
+    right side keeps its single bucket, and the join becomes an
+    EQUI-join on (key, bucket) — shuffle-partitionable, AQE-skew-
+    splittable, O(pairs-in-bucket) instead of O(n²).  The exact
+    predicate filters bucket-mates just outside the gap; each
+    qualifying pair matches exactly once (the partner's bucket is
+    unique).  This is the same trick the similarity module uses for
+    LSH bands and IVF cells: turn a range/level predicate into an
+    equality on a coarse cell, verify exactly within the cell.
+    """
+    bucket = F.floor(F.unix_timestamp(F.col(ts)) / F.lit(max_gap_s))
+    a = events.select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("ts_a"),
+        F.col(id_col).alias("id_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+    )
+    b = events.select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("ts_b"),
+        F.col(id_col).alias("id_b"),
+        bucket.alias("bucket"),
+    )
+    gap_s = (F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a"))) / 1e6
+    return (
+        a.join(b, ["k", "bucket"])
+        .filter(
+            (F.struct(F.col("ts_a"), F.col("id_a")) < F.struct(F.col("ts_b"), F.col("id_b")))
+            & (gap_s <= max_gap_s)
+        )
+        .select(F.col("k").alias(key), "id_a", "id_b", F.round(gap_s, 6).alias("gap_s"))
+    )

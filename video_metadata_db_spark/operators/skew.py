@@ -68,12 +68,18 @@ def two_stage_distinct_count(
 
 def top_frequency_keys(df: DataFrame, key: str | Column, k: int = 10) -> DataFrame:
     """Skew diagnosis: the k heaviest keys with their row share —
-    run this before choosing broadcast/salt/AQE strategy."""
-    total = df.count()
+    run this before choosing broadcast/salt/AQE strategy.
+
+    One scan: the corpus total is a window sum over the per-key
+    aggregate (tiny), not a separate ``count()`` action/scan.
+    """
+    from pyspark.sql import Window
+
+    total = F.sum("n_rows").over(Window.partitionBy())
     return (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / F.lit(float(total)), 6))
+        .withColumn("share", F.round(F.col("n_rows") / total, 6))
         .orderBy(F.col("n_rows").desc())
         .limit(k)
     )

@@ -943,3 +943,39 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT a.user_id,
+       count(*) AS n_pairs,
+       CAST(round(sum(round(extract(epoch FROM b.ts - a.ts), 6)), 2) AS DOUBLE)
+         AS total_gap_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (a.ts, a.event_id) < (b.ts, b.event_id)
+ AND b.ts <= a.ts + INTERVAL 600 SECONDS
+GROUP BY a.user_id
+ORDER BY a.user_id
+""",
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join at scale: same-user event pairs within 10 minutes via
+    the BINNED equi-join (time bucketed to the gap width, left side
+    emitted into 2 buckets, exact predicate inside the bucket) —
+    O(pairs-per-bucket) with a plain shuffle join, where the naive
+    non-equi form is a broadcast nested loop.  The oracle runs the
+    naive quadratic form; results must agree exactly."""
+    from ..operators.asof import time_proximity_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = time_proximity_pairs(ev, key="user_id", ts="ts", id_col="event_id", max_gap_s=600)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("gap_s"), 2).cast("double").alias("total_gap_s"),
+        )
+        .orderBy("user_id")
+    )
