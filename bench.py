@@ -40,6 +40,9 @@ HEADLINE = [
     "join_asof_attribution",
     "q3_shipping_priority",
     "update_bloom_prefilter",
+    "join_range_binned",
+    "contamination_check",
+    "split_train_val_test",
 ]
 
 REPEATS = 2

@@ -450,9 +450,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
 
     def grams(df: DataFrame) -> DataFrame:
-        sh = shingles_of(F.col("text"), k=5)
-        return df.select(
-            "doc_id", F.size(sh).alias("n_grams"), F.explode(sh).alias("g")
+        # materialize the shingle array under a name referenced twice
+        # (size + explode): CollapseProject then can't re-inline the
+        # zip_with chain after the Generate, which would rebuild the
+        # whole array once per exploded row (~50× redundant work)
+        sh_df = df.select("doc_id", shingles_of(F.col("text"), k=5).alias("grams"))
+        return sh_df.select(
+            "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
         ).select("doc_id", "n_grams", hash60(F.col("g")).alias("h"))
 
     bench_grams = grams(bench).select("h").distinct()
