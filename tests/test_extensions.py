@@ -160,3 +160,29 @@ def test_sample_frames_shape(spark):
     for r in sorted(frames, key=lambda r: (r["asset_id"], r["frame_idx"])):
         by_asset.setdefault(r["asset_id"], []).append(bytes(r["frame"]))
     assert {a: b"".join(fs) for a, fs in by_asset.items()} == vids
+
+
+def test_star_components_match_label_propagation(spark):
+    """Large-star/small-star == label propagation on random graphs, and
+    converges in O(log n) rounds on a 64-deep chain (where label
+    propagation would need 64)."""
+    import random
+
+    from video_metadata_db_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(50)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    lp = {(r["doc"], r["component"]) for r in connected_components(df).collect()}
+    st = {(r["doc"], r["component"]) for r in connected_components_star(df).collect()}
+    assert lp == st
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    got = connected_components_star(chain, max_rounds=10).collect()
+    assert all(r["component"] == 0 for r in got) and len(got) == 65

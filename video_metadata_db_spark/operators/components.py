@@ -37,7 +37,7 @@ def connected_components(
 
     Raises if ``max_iter`` rounds don't converge — at that point the
     graph has a path longer than any plausible near-dup cluster and
-    needs the large-star/small-star variant instead.
+    needs :func:`connected_components_star` (O(log n) rounds) instead.
     """
     both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -80,4 +80,103 @@ def dedup_groups(
     comp = connected_components(edges, src, dst)
     return comp.groupBy("component").agg(
         F.min("doc").alias("canonical_doc"), F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Two-phase (large-star / small-star) connected components — the
+    O(log n)-round algorithm for graphs with LONG paths, where plain
+    min-label propagation needs O(diameter) rounds.
+
+    Alternating rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"):
+
+    - **large-star**: every vertex points its LARGER neighbors at the
+      minimum of its neighborhood (incl. itself) — long chains fold in
+      half each time;
+    - **small-star**: every vertex rewires its smaller-or-equal
+      neighbors (and itself) to the neighborhood minimum — stars
+      flatten onto their root.
+
+    Each phase is one groupBy(min) + one join on the same key — the
+    same shuffle shape as a round of label propagation, but the edge
+    set contracts geometrically, so 64-deep chains settle in ~6 rounds
+    instead of 64.  Same output contract as
+    :func:`connected_components`: (v, component-min) per vertex, and
+    the same recursive-CTE oracle verifies it.
+
+    Use this variant when cluster shapes are unknown (general graphs);
+    keep label propagation for near-dup graphs whose diameter is known
+    to be tiny — fewer fixed per-round costs.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        e.select(F.col("u").alias("x"))
+        .unionByName(e.select(F.col("v").alias("x")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
+        ).collect()[0]
+        return row["n"], row["s"]
+
+    prev = checksum(e)
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: (nbr, min-of-neighborhood)
+        # for every strictly-larger neighbor
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star on the (larger → smaller) canonical edges
+        mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
+        sm = (
+            lg.join(mins2, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+        e = (
+            sm.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"star components did not converge in {max_rounds} rounds")
+
+    # fixpoint edges are stars (u → component min); roots self-label
+    labels = e.select(F.col("u").alias("v_id"), F.col("v").alias("comp"))
+    return (
+        vertices.join(labels, vertices["x"] == labels["v_id"], "left")
+        .select(F.col("x").alias("doc"), F.coalesce("comp", F.col("x")).alias("component"))
     )
