@@ -120,3 +120,63 @@ def test_hms_subsecond_tie_divergence(spark):
     assert got == ["0.18s", "0.38s"]  # engine: decimal-repr half-even
     assert model_hms(0.175, concise=True) == "0.17s"  # CPython: binary value
     assert model_hms(0.375, concise=True) == "0.38s"  # exact tie: both agree
+
+
+# --- TSV boundary round trip --------------------------------------------
+
+_codec = st.sampled_from([
+    "H.264 / AVC", "H.265 / HEVC (High Efficiency Video Coding)",
+    "Alliance for Open Media AV1", "MPEG-4 part 2", None,
+])
+_title = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc"), blacklist_characters="\t\r\n"),
+        min_size=1, max_size=20,
+    ).filter(lambda t: t.strip() == t and t != "<Title Not Set>"),
+)
+_record = st.tuples(
+    st.one_of(st.none(), st.integers(1, 9999)),       # width (4-char pad limit)
+    st.one_of(st.none(), st.integers(1, 9999)),       # height
+    st.one_of(st.none(), st.floats(0, 1e5, allow_nan=False)),  # duration_s
+    st.integers(0, 2**40),                            # raw_size
+    _codec,                                           # video_codec
+    st.integers(1, 12),                               # n_streams
+    st.sampled_from(["Matroska / WebM", "QuickTime / MOV", None]),  # container
+    st.one_of(st.none(), st.integers(1, 8)),          # audio_channels
+    st.sampled_from(["AAC", "AC-3", None]),           # audio_codec
+    _title,                                           # title
+    st.booleans(),                                    # sub_en
+    st.booleans(),                                    # sub_en_hi
+)
+
+
+@SETTINGS
+@given(st.lists(_record, min_size=15, max_size=15))
+def test_tsv_boundary_roundtrip(spark, tmp_path_factory, records):
+    """write(to_boundary) → read → from_boundary recovers every
+    recoverable typed column exactly (duration is documented-lossy),
+    including NULL/sentinel/padding quirks, for arbitrary records."""
+    from video_metadata_db_spark.schemas import METADATA_SCHEMA
+    from video_metadata_db_spark.sources.tsv import (
+        from_boundary,
+        read_metadata_tsv,
+        write_metadata_tsv,
+    )
+
+    rows = []
+    for i, (w, h, dur, sz, vc, ns, ct, ach, ac, ti, se, sh) in enumerate(records):
+        rows.append(
+            (w, h, dur, sz, vc, ns, ct, ach, ac, ti,
+             se, 100 + i if se else None, sh, 200 + i if sh else None,
+             "/vol", f"/media/f{i}.mkv")
+        )
+    df = spark.createDataFrame(rows, METADATA_SCHEMA)
+    out = str(tmp_path_factory.mktemp("tsvprop") / "db.tsv")
+    write_metadata_tsv(df, out, header=True)
+    back = from_boundary(read_metadata_tsv(spark, out, header=True))
+
+    keep = [f.name for f in METADATA_SCHEMA.fields if f.name != "duration_s"]
+    orig = df.select(*keep).orderBy("path").collect()
+    got = back.select(*keep).orderBy("path").collect()
+    assert got == orig
