@@ -1,0 +1,27 @@
+"""Import sanity: every module in the package imports cleanly and the
+declared __all__ names resolve — catches broken imports/renames that
+query-level tests might route around."""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+import video_metadata_db_spark as pkg
+
+
+def test_every_module_imports():
+    failures = []
+    for mod in pkgutil.walk_packages(pkg.__path__, prefix="video_metadata_db_spark."):
+        try:
+            importlib.import_module(mod.name)
+        except Exception as exc:  # noqa: BLE001
+            failures.append((mod.name, repr(exc)))
+    assert not failures, failures
+
+
+def test_all_exports_resolve():
+    for name in ("functions", "operators", "sources", "plans", "streaming"):
+        m = importlib.import_module(f"video_metadata_db_spark.{name}")
+        for sym in getattr(m, "__all__", []):
+            assert getattr(m, sym, None) is not None, f"{name}.{sym} missing"
