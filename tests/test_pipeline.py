@@ -165,3 +165,36 @@ def test_variant_report_on_fixtures(spark, parts):
     for r in rows:
         assert r["n_variants"] > 1
         assert len(r["variants"]) == r["n_variants"]
+
+
+def test_distributed_listing_matches_driver_walk(spark, tmp_path):
+    """list_files_distributed == list_files row-for-row, at multiple
+    fan-out depths, with pruned dirs and loose top-level files."""
+    import os
+
+    from video_metadata_db_spark.sources.listing import (
+        list_files,
+        list_files_distributed,
+    )
+
+    root = tmp_path / "tree"
+    (root / "a" / "deep").mkdir(parents=True)
+    (root / "b").mkdir()
+    (root / "Extras").mkdir()  # pruned
+    (root / "loose.mkv").write_bytes(b"1")        # loose file at depth 0
+    (root / "a" / "one.mkv").write_bytes(b"22")
+    (root / "a" / "deep" / "two.avi").write_bytes(b"333")
+    (root / "b" / "three.mp4").write_bytes(b"4444")
+    (root / "Extras" / "cut.mkv").write_bytes(b"x")
+
+    def rows(df):
+        return sorted(
+            (r["path"], r["parent_dir"], r["name"], r["ext"], r["size_bytes"])
+            for r in df.collect()
+        )
+
+    base = rows(list_files(spark, [str(root)]))
+    assert len(base) == 4  # Extras pruned
+    for depth in (1, 2, 3):
+        got = rows(list_files_distributed(spark, [str(root)], fanout_depth=depth))
+        assert got == base, f"fanout_depth={depth}"
