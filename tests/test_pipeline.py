@@ -198,3 +198,28 @@ def test_distributed_listing_matches_driver_walk(spark, tmp_path):
     for depth in (1, 2, 3):
         got = rows(list_files_distributed(spark, [str(root)], fanout_depth=depth))
         assert got == base, f"fanout_depth={depth}"
+
+
+def test_probe_videos_dead_letters_without_ffprobe(spark, tmp_path):
+    """The REAL mapInPandas probe path: with no ffprobe on PATH every
+    row returns an error struct — no task failure, schema intact."""
+    from video_metadata_db_spark.operators.probe import (
+        ffprobe_available,
+        probe_videos,
+    )
+    from video_metadata_db_spark.schemas import PROBE_SCHEMA
+
+    if ffprobe_available():  # covered by real-media tests elsewhere
+        import pytest
+
+        pytest.skip("ffprobe present; this test pins the absent-binary path")
+
+    f = tmp_path / "x.mkv"
+    f.write_bytes(b"not a video")
+    listing = spark.createDataFrame([(str(f),)], "path string")
+    out = probe_videos(listing, partitions=2)
+    assert out.schema == PROBE_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] and "FileNotFoundError" in rows[0]["error"]
+    assert rows[0]["width"] is None
