@@ -103,3 +103,37 @@ def q5_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_volume_customer", oracle=_Q18_SQL)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape via the SQL surface: aggregate the fact table,
+    semi-join the qualifying keys back onto the fact⋈dims join, then
+    re-aggregate — the "find heavy entities, then explain them" pattern.
+
+    Plan notes at scale: the IN-subquery plans as a left-semi join on
+    orderkey whose build side is the already-aggregated (small) key
+    set; lineitem shuffles on orderkey ONCE and AQE reuses the exchange
+    for both the HAVING aggregate and the semi join.  Quantity sums run
+    in DECIMAL so the >300 cutoff is summation-order-proof at any
+    partition count (same text on the DuckDB oracle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q18_SQL)
