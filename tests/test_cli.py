@@ -60,6 +60,8 @@ def test_cli_build_writes_sorted_db(spark, media_tree, probe_fixture, tmp_path, 
     stdout = capsys.readouterr().out
     assert "db written" in stdout
     assert "Avatar" in stdout  # variant report found the 2-variant title
+    # stats come from the Observation riding the sink action (no extra pass)
+    assert "files probed: 3, ok: 3, failed: 0" in stdout
 
     db = read_metadata_tsv(spark, os.path.join(out, "metadata_db.tsv"), header=True)
     rows = db.collect()

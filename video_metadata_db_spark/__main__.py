@@ -96,16 +96,31 @@ def _probe(spark: SparkSession, candidates: DataFrame, fixture: str | None) -> D
 
 def _build_records(
     spark: SparkSession, roots: list[str], fixture: str | None
-) -> tuple[DataFrame, DataFrame]:
-    """list → filter → probe → sidecar join → (records, dead_letter)."""
+) -> tuple[DataFrame, DataFrame, "Observation"]:
+    """list → filter → probe → sidecar join → (records, dead_letter,
+    probe-stats observation).
+
+    The ``Observation`` rides the probe stage (reference: the run
+    summary + ``-p`` progress counters, video_metadata_db.py:456-535,
+    :1293-1315): total/failed counts come back WITH the sink action —
+    no second pass over the corpus to report statistics.
+    """
+    from pyspark.sql import Observation
+
     from .operators.pipeline import build_metadata_records, filter_candidates
     from .sources.listing import list_files
 
     listing = list_files(spark, roots, volume_label=_volume_label(roots)).cache()
     candidates = filter_candidates(listing, assume_pruned=True)
-    probed = _probe(spark, candidates, fixture)
+    obs = Observation("probe_stats")
+    probed = _probe(spark, candidates, fixture).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_probed"),
+        F.count(F.col("error")).alias("n_failed"),
+    )
     sidecars = listing.filter(F.col("name").rlike(r"\.srt$")).select("path", "size_bytes")
-    return build_metadata_records(listing, probed, sidecars, assume_pruned=True)
+    records, dead = build_metadata_records(listing, probed, sidecars, assume_pruned=True)
+    return records, dead, obs
 
 
 def _volume_label(roots: list[str]) -> str:
@@ -131,9 +146,9 @@ def _write(records: DataFrame, out_dir: str, fmt: str, mode: str) -> str:
     return path
 
 
-def _report(records: DataFrame, dead: DataFrame, verbose: bool) -> None:
-    n_ok, n_fail = records.count(), dead.count()
-    print(f"files probed: {n_ok + n_fail}, ok: {n_ok}, failed: {n_fail}")
+def _report(stats: dict, dead: DataFrame, records: DataFrame, verbose: bool) -> None:
+    n_total, n_fail = stats.get("n_probed", 0), stats.get("n_failed", 0)
+    print(f"files probed: {n_total}, ok: {n_total - n_fail}, failed: {n_fail}")
     if n_fail:
         print("failures:")
         for r in dead.select("path", "error").limit(20).collect():
@@ -185,7 +200,7 @@ def main(argv: list[str] | None = None) -> int:
         total = filter_candidates(list_files(spark, args.paths), assume_pruned=True).count()
         print(f"files to probe: {total}")
 
-    records, dead = _build_records(spark, args.paths, args.probe_fixture)
+    records, dead, obs = _build_records(spark, args.paths, args.probe_fixture)
 
     if args.update_mode:
         # update mode (:579-582, :1529-1532): anti-join against the
@@ -208,11 +223,11 @@ def main(argv: list[str] | None = None) -> int:
         if n_new:
             _write(records, args.output, args.sink_format, mode="append")
         print(f"update: appended {n_new} new rows")
-        _report(records, dead, args.verbose)
+        _report(obs.get, dead, records, args.verbose)
         return 0
 
     path = _write(records, args.output, args.sink_format, mode="overwrite")
-    _report(records, dead, args.verbose)
+    _report(obs.get, dead, records, args.verbose)
     print(f"db written: {path}")
     return 0
 
