@@ -979,3 +979,39 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2)))
+                    OVER (PARTITION BY user_id ORDER BY floor(epoch(ts))
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS rolling_1h_value
+FROM events
+ORDER BY event_id
+""",
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per-user rolling
+    1-hour sum keyed on event-time seconds — the frame the row-count
+    variants (`window_sliding_frame`) cannot express when events arrive
+    irregularly.  One shuffle on user_id; frame state is bounded by the
+    hour span, not row count."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.sum(_dec("value")).over(w), 2)
+            .cast("double")
+            .alias("rolling_1h_value"),
+        )
+        .orderBy("event_id")
+    )
