@@ -201,7 +201,14 @@ def parse_title(basename: Column | str) -> Column:
     has_year = (F.instr(t, "[") > 0) & (F.instr(t, "[") < F.length(t))
     pos_rb = F.instr(t, "]")
     title_tail = F.when(pos_rb > 0, t.substr(pos_rb + F.lit(1), F.length(t))).otherwise(F.lit(""))
-    return F.trim(F.when(has_year, title_tail).otherwise(t))
+    # CPython str.strip() removes ALL Unicode whitespace (NBSP, ideographic
+    # space, …); SQL trim() is ASCII-space-only — strip exactly CPython's
+    # set: the Unicode White_Space property plus \x1c-\x1f (property-tested)
+    return F.regexp_replace(
+        F.when(has_year, title_tail).otherwise(t),
+        r"^[\p{IsWhite_Space}\x1c-\x1f]+|[\p{IsWhite_Space}\x1c-\x1f]+$",
+        "",
+    )
 
 
 def parse_release_year(basename: Column | str) -> Column:
