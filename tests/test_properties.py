@@ -180,3 +180,36 @@ def test_tsv_boundary_roundtrip(spark, tmp_path_factory, records):
     orig = df.select(*keep).orderBy("path").collect()
     got = back.select(*keep).orderBy("path").collect()
     assert got == orig
+
+
+# --- shingle construction (the dedup primitive) --------------------------
+
+def model_shingles(text: str, k: int = 3) -> list[str]:
+    toks = [t for t in text.split(" ") if t != ""]
+    if len(toks) < k:
+        return []
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return list(dict.fromkeys(grams))  # distinct, first-occurrence order
+
+
+_texts = st.lists(
+    st.one_of(
+        st.sampled_from(["the", "a", "spark", "query", "join", ""]),
+        st.text(alphabet="abcxyz ", min_size=0, max_size=5),
+    ),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@SETTINGS
+@given(st.lists(_texts, min_size=20, max_size=20), st.sampled_from([2, 3, 5]))
+def test_shingles_match_model(spark, texts, k):
+    """`shingles_of` (iterated zip_with) == the direct Python model for
+    every k: same grams, same distinctness, same first-occurrence order
+    — including texts shorter than k (empty, no phantom shingles)."""
+    from video_metadata_db_spark.operators.dedup import shingles_of
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r[0] for r in df.select(shingles_of(F.col("text"), k)).collect()]
+    assert got == [model_shingles(t, k) for t in texts]
