@@ -223,3 +223,26 @@ def test_probe_videos_dead_letters_without_ffprobe(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["error"] and "FileNotFoundError" in rows[0]["error"]
     assert rows[0]["width"] is None
+
+
+def test_tsv_read_tolerates_malformed_rows(spark, tmp_path):
+    """A corrupted db line (wrong arity, junk types) must not kill the
+    read: the schema'd PERMISSIVE read yields NULL-padded rows and
+    from_boundary stays total (NULLs, not exceptions)."""
+    from video_metadata_db_spark.schemas import TSV_HEADER
+    from video_metadata_db_spark.sources.tsv import from_boundary, read_metadata_tsv
+
+    p = tmp_path / "db.tsv"
+    good = "\t".join(["1920", "1080", "1m:2s", "1.0KiB", "1024", "H.264 / AVC", "Y",
+                      "2", "Matroska / WebM", "2", "AAC", "T", "Y", "10", "N", " ",
+                      "/vol", "/media/ok.mkv"])
+    assert len(good.split("\t")) == len(TSV_HEADER)
+    p.write_text(good + "\n" + "garbage line with\tonly three\tfields\n", encoding="utf-8")
+
+    back = read_metadata_tsv(spark, str(p))
+    assert back.count() == 2  # both rows survive the read
+    decoded = from_boundary(back).collect()
+    ok = [r for r in decoded if r["path"] == "/media/ok.mkv"]
+    assert len(ok) == 1 and ok[0]["width"] == 1920 and ok[0]["raw_size"] == 1024
+    bad = [r for r in decoded if r["path"] is None]
+    assert len(bad) == 1  # NULL-padded, not raised

@@ -163,31 +163,36 @@ def read_metadata_tsv(spark: SparkSession, paths: str | list[str], header: bool 
 def from_boundary(boundary: DataFrame) -> DataFrame:
     """Boundary strings → internal typed records (inverse of to_boundary,
     minus the derived Size/Duration/candidate columns which are
-    recomputable)."""
+    recomputable).
+
+    All numeric casts are ``try_cast``: under ANSI mode a single
+    corrupt line in a billion-row db would otherwise fail the whole
+    read — malformed cells decode to NULL instead (dead-letterable
+    downstream)."""
     b = boundary
     width = F.trim(_bcol("Width"))
     height = F.trim(_bcol("Height"))
     out = b.select(
-        F.when(width != "0000", width.cast("int")).alias("width"),
-        F.when(height != "0000", height.cast("int")).alias("height"),
+        F.when(width != "0000", width.try_cast("int")).alias("width"),
+        F.when(height != "0000", height.try_cast("int")).alias("height"),
         F.lit(None).cast("double").alias("duration_s"),  # hms is lossy; keep NULL
-        _bcol("Raw Size").cast("long").alias("raw_size"),
+        _bcol("Raw Size").try_cast("long").alias("raw_size"),
         _bcol("Video Codec Name").alias("video_codec"),
-        _bcol("Total # of Streams").cast("int").alias("n_streams"),
+        _bcol("Total # of Streams").try_cast("int").alias("n_streams"),
         _bcol("Container Name").alias("container"),
-        _bcol("# of Audio Channels (@Index 0)").cast("int").alias("audio_channels"),
+        _bcol("# of Audio Channels (@Index 0)").try_cast("int").alias("audio_channels"),
         _bcol("Audio Codec Name (@Index 0)").alias("audio_codec"),
         F.when(_bcol("Title") != TITLE_NOT_SET, _bcol("Title")).alias("title"),
         (_bcol("Ext. English Subtitle Availability") == "Y").alias("sub_en"),
         F.when(_bcol("Ext. English Subtitle Size") != " ", _bcol("Ext. English Subtitle Size"))
-        .cast("long")
+        .try_cast("long")
         .alias("sub_en_size"),
         (_bcol("Ext. Hearing Impaired English Subtitle Availability") == "Y").alias("sub_en_hi"),
         F.when(
             _bcol("Ext. Hearing Impaired English Subtitle Size") != " ",
             _bcol("Ext. Hearing Impaired English Subtitle Size"),
         )
-        .cast("long")
+        .try_cast("long")
         .alias("sub_en_hi_size"),
         _bcol("Volume Label").alias("volume_label"),
         _bcol("Path on Drive Label").alias("path"),
