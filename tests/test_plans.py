@@ -85,3 +85,22 @@ def test_no_cartesian_anywhere(spark, name):
     assert "CartesianProduct" not in plan_of(spark, name), (
         f"{name}: unintended cartesian product"
     )
+
+
+def test_range_binned_is_equi_join(spark):
+    """The binned range join must plan as an equi-join on (key, bucket)
+    — a nested-loop here means the binning rewrite regressed to the
+    naive quadratic form."""
+    plan = plan_of(spark, "join_range_binned")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    """Corpus grams must stream against a broadcast benchmark-gram set;
+    shuffling the corpus on the gram key would be the 100 TB bottleneck."""
+    plan = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
