@@ -68,3 +68,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         else:
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout + a partition-key filter must show
+    PartitionFilters at the scan (zero I/O for pruned partitions) —
+    the reference's walk-time directory pruning (:1007-1014), reborn as
+    storage-layout pruning."""
+    from video_metadata_db_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the filter is NOT re-evaluated row-wise on the scanned data
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert back.count() == n_click > 0
