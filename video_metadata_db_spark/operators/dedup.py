@@ -69,8 +69,8 @@ def tokens_of(c: Column) -> Column:
     return F.filter(F.split(c, " "), lambda t: t != "")
 
 
-def shingles_of(c: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of a text column (array<string>).
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles from a MATERIALIZED token array.
 
     Built by zipping the token array with its own k-1 shifts (iterated
     ``zip_with`` + ``concat``) — ~3× faster than the transform-over-
@@ -78,8 +78,13 @@ def shingles_of(c: Column, k: int = 3) -> Column:
     ``zip_with`` null-pads the shorter side; the final ``slice`` to
     n-k+1 drops those padded tails, and texts shorter than k words
     yield an empty array, not a phantom shingle.
+
+    Take a column ATTRIBUTE, not a fresh ``tokens_of(text)``: the
+    expression references its input ~3k times, and higher-order exprs
+    are interpreted — an inlined tokenizer would re-split per
+    reference.  Materialize tokens in a prior ``select`` and pass the
+    attribute (call sites below do exactly this).
     """
-    toks = tokens_of(c)
     n = F.size(toks)
     acc = toks
     for j in range(1, k):
@@ -88,6 +93,13 @@ def shingles_of(c: Column, k: int = 3) -> Column:
     return F.when(
         n >= k, F.array_distinct(F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0))))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_of(c: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of a text column — convenience wrapper;
+    prefer materializing tokens + :func:`shingles_of_tokens` in hot
+    paths (see its docstring)."""
+    return shingles_of_tokens(tokens_of(c), k)
 
 
 # ------------------------------------------------------------- exact ----
@@ -127,7 +139,9 @@ def ngram_jaccard_pairs(
     they cannot push any pair over a meaningful threshold but dominate
     the join fan-out (the skew bomb at scale).
     """
-    sh = docs.select(F.col(id_col).alias("doc"), F.explode(shingles_of(F.col(text_col), k)).alias("s"))
+    sh = docs.select(
+        F.col(id_col).alias("doc"), tokens_of(F.col(text_col)).alias("_toks")
+    ).select("doc", F.explode(shingles_of_tokens(F.col("_toks"), k)).alias("s"))
     if max_df is not None:
         rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(rare.select("s"), "s")
@@ -174,8 +188,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     have no MinHash and would otherwise collide in every band bucket.
     """
     sh = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles_of(F.col(text_col))).alias("s")
-    )
+        F.col(id_col).alias("doc"), tokens_of(F.col(text_col)).alias("_toks")
+    ).select("doc", F.explode(shingles_of_tokens(F.col("_toks"))).alias("s"))
     hashed = sh.select("doc", hash31(F.col("s")).alias("h"))
     return hashed.groupBy("doc").agg(
         *[

@@ -795,17 +795,23 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs scan-bandwidth only at any scale.
     """
     ev = _t(spark, sf_dir, "events")
-    m = F.map_concat(
-        F.from_json("props", "map<string,int>"),
-        F.create_map(F.lit("type_len"), F.length("event_type")),
+    # materialize the parsed map under a name referenced 4×: otherwise
+    # CollapseProject inlines the from_json into every consumer and the
+    # JSON parse runs 4× per row (same trap as contamination_check)
+    withm = ev.select(
+        "event_id",
+        F.map_concat(
+            F.from_json("props", "map<string,int>"),
+            F.create_map(F.lit("type_len"), F.length("event_type")),
+        ).alias("m"),
     )
-    big = F.map_filter(m, lambda _, v: v > 50)
+    big = F.map_filter(F.col("m"), lambda _, v: v > 50)
     return (
-        ev.select(
+        withm.select(
             "event_id",
-            F.element_at(m, "k").alias("k_val"),
-            F.size(m).alias("n_entries"),
-            F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+            F.element_at(F.col("m"), "k").alias("k_val"),
+            F.size(F.col("m")).alias("n_entries"),
+            F.concat_ws(",", F.array_sort(F.map_keys(F.col("m")))).alias("keys_sorted"),
             F.aggregate(F.map_values(big), F.lit(0), lambda acc, v: acc + v).alias(
                 "big_vals_sum"
             ),

@@ -14,7 +14,7 @@ from ..functions.text import (
     stopword_ratio,
     token_count,
 )
-from ..operators.dedup import hash60, tokens_of
+from ..operators.dedup import hash60, shingles_of_tokens, tokens_of
 from ..sources.tables import load_table
 from .registry import query
 
@@ -57,14 +57,19 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pre-training data pipeline, entirely JVM-side."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    # tokenize ONCE under a name used by every metric: the helpers are
+    # higher-order (interpreted) expressions, so an inlined tokenizer
+    # would re-split the text ~8x per row
+    withtoks = docs.select("doc_id", "lang", "text", tokens_of(t).alias("_toks"))
+    toks = F.col("_toks")
+    return withtoks.select(
         "doc_id",
         "lang",
-        token_count(t).alias("n_tokens"),
+        token_count(t, toks).alias("n_tokens"),
         alpha_ratio(t).alias("alpha_ratio"),
-        stopword_ratio(t).alias("stop_ratio"),
-        avg_token_len(t).alias("avg_tok_len"),
-        quality_score(t).alias("quality"),
+        stopword_ratio(t, toks).alias("stop_ratio"),
+        avg_token_len(t, toks).alias("avg_tok_len"),
+        quality_score(t, toks).alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -368,15 +373,16 @@ def q_filter_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate over the verdict; the doc-level verdict table (before
     the rollup) is the filter's real output at scale."""
     docs = load_table(spark, sf_dir, "documents")
-    n_toks = token_count(F.col("text"))
+    withtoks = docs.select("text", tokens_of(F.col("text")).alias("_toks"))
+    n_toks = token_count(F.col("text"), F.col("_toks"))
     verdict = (
         F.when(n_toks < 10, "too_short")
         .when(n_toks > 1000, "too_long")
         .when(alpha_ratio(F.col("text")) < 0.6, "low_alpha")
-        .when(stopword_ratio(F.col("text")) < 0.05, "no_stopwords")
+        .when(stopword_ratio(F.col("text"), F.col("_toks")) < 0.05, "no_stopwords")
         .otherwise("keep")
     )
-    judged = docs.select(verdict.alias("verdict"))
+    judged = withtoks.select(verdict.alias("verdict"))
     counted = judged.groupBy("verdict").agg(F.count(F.lit(1)).alias("n_docs"))
     # corpus total via a window over the (tiny) verdict aggregate — no
     # second scan, no driver-side count action
@@ -443,8 +449,6 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation shuffles only the surviving hits.  5-gram hashes are
     md5-derived (oracle-reproducible); word 5-shingles reuse the dedup
     shingle machinery."""
-    from ..operators.dedup import shingles_of
-
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
@@ -454,7 +458,9 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (size + explode): CollapseProject then can't re-inline the
         # zip_with chain after the Generate, which would rebuild the
         # whole array once per exploded row (~50× redundant work)
-        sh_df = df.select("doc_id", shingles_of(F.col("text"), k=5).alias("grams"))
+        sh_df = df.select(
+            "doc_id", tokens_of(F.col("text")).alias("_toks")
+        ).select("doc_id", shingles_of_tokens(F.col("_toks"), k=5).alias("grams"))
         return sh_df.select(
             "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
         ).select("doc_id", "n_grams", hash60(F.col("g")).alias("h"))
