@@ -1,3 +1,24 @@
+from .asof import asof_join, time_proximity_pairs
+from .components import connected_components, connected_components_star
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_of,
+    shingles_of_tokens,
+    simhash,
+    simhash_near_pairs,
+    tokens_of,
+)
+from .membership import bloom_prefiltered_new_keys, build_bloom
+from .multimodal import (
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_assets,
+)
 from .parity import (
     merge_metadata_dbs,
     synthetic_part_filenames,
@@ -6,10 +27,41 @@ from .parity import (
     variant_report_flat,
     with_parsed_title,
 )
+from .pipeline import build_metadata_records, filter_candidates, join_sidecars
+from .probe import ffprobe_available, probe_from_fixture, probe_videos
+from .skew import top_frequency_keys, two_stage_distinct_count
 
 __all__ = [
+    "asof_join",
+    "bloom_prefiltered_new_keys",
+    "build_bloom",
+    "build_metadata_records",
+    "connected_components",
+    "connected_components_star",
+    "exact_dedup",
+    "extract_features",
+    "ffprobe_available",
+    "filter_candidates",
+    "join_sidecars",
+    "lsh_candidate_pairs",
     "merge_metadata_dbs",
+    "minhash_lsh_dedup",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "probe_from_fixture",
+    "probe_videos",
+    "resize_images",
+    "sample_frames",
+    "shingles_of",
+    "shingles_of_tokens",
+    "simhash",
+    "simhash_near_pairs",
+    "synthesize_assets",
     "synthetic_part_filenames",
+    "time_proximity_pairs",
+    "tokens_of",
+    "top_frequency_keys",
+    "two_stage_distinct_count",
     "update_new_files",
     "variant_report",
     "variant_report_flat",
