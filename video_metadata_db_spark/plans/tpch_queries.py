@@ -137,3 +137,32 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition count (same text on the DuckDB oracle)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q18_SQL)
+
+
+_Q14_SQL = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                          ELSE CAST(0 AS DECIMAL(18,4)) END)
+               / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))),
+         6) AS promo_revenue_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-02-01'
+"""
+
+
+@query("q14_promo_effect", oracle=_Q14_SQL)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape via the SQL surface: conditional-aggregate ratio
+    over a fact⋈dim join, one month of the fact table.
+
+    Plan notes at scale: the shipdate predicate pushes to the parquet
+    scan (one month survives), part broadcasts, and the ratio is a
+    single global aggregate — numerator and denominator computed in the
+    same pass as exact DECIMAL sums (associative, partition-count-proof)
+    and divided once at the end; same text on the DuckDB oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q14_SQL)
