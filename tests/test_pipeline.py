@@ -246,3 +246,19 @@ def test_tsv_read_tolerates_malformed_rows(spark, tmp_path):
     assert len(ok) == 1 and ok[0]["width"] == 1920 and ok[0]["raw_size"] == 1024
     bad = [r for r in decoded if r["path"] is None]
     assert len(bad) == 1  # NULL-padded, not raised
+
+
+def test_merge_with_schema_evolution(spark, built):
+    """Merging an old-schema db (missing a newer column) NULL-fills it
+    under allow_missing_columns; strict mode still raises."""
+    import pytest
+
+    records, _ = built
+    old_db = records.drop("sub_en_hi_size")  # "older engine version"
+    with pytest.raises(Exception):
+        merge_metadata_dbs([records, old_db], sort_cols=[])
+    merged = merge_metadata_dbs(
+        [records, old_db], sort_cols=[], allow_missing_columns=True
+    )
+    assert merged.count() == 2 * records.count()
+    assert merged.filter(F.col("sub_en_hi_size").isNull()).count() >= records.count()
