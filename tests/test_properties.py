@@ -24,9 +24,14 @@ from video_metadata_db_spark.functions.scalar import (
 
 from .test_scalar_golden import model_hms, model_sizeof
 
+# derandomize: examples are generated deterministically so a scheduled
+# run can't go red on a never-before-seen input.  Soak runs during
+# development (randomized, repeated) already surfaced the real
+# divergences (sub-second ties, Unicode whitespace) — both now pinned.
 SETTINGS = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
