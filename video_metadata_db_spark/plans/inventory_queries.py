@@ -919,7 +919,7 @@ WITH keyed AS (
 SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
        lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM keyed
 GROUP BY split, lang
 ORDER BY split, lang

@@ -161,4 +161,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_stream(spark, f"{work}/clicks", schema),
         key="user_id",
     )
-    return run_available_now(joined, f"{work}/cp").orderBy("l_event_id", "r_event_id")
+    return (
+        run_available_now(joined, f"{work}/cp")
+        .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+        .orderBy("l_event_id", "r_event_id")
+    )

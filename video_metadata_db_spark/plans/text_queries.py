@@ -273,7 +273,7 @@ freq AS (
   GROUP BY doc_id, u.tok
 )
 SELECT doc_id,
-       sum(c) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
        count(*) AS n_distinct,
        round(count(*) / sum(c), 6) AS type_token_ratio,
        round(max(c) / sum(c), 6) AS top_token_ratio
