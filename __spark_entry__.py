@@ -11,15 +11,54 @@ the thin driver-facing facade.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+# Python workers don't inherit driver-side sys.path edits; PYTHONPATH at
+# import time covers the common case where the JVM launches after this
+# import, _ensure_shipped covers a pre-existing session.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Make ``video_metadata_db_spark`` importable on Python workers.
+
+    The grouped-map / mapInPandas / applyInPandasWithState operators
+    pickle module-level functions BY REFERENCE, so workers must import
+    the package — which fails when the driver process runs from a cwd
+    outside the repo.  ``addPyFile`` ships a zip of the package into
+    every worker's sys.path regardless of cwd, env, or whether the
+    session predates this module's import.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_vmdb_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg = Path(_REPO) / "video_metadata_db_spark"
+    zpath = Path(tempfile.gettempdir()) / f"vmdb_pkg_{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, p.relative_to(pkg.parent))
+    sc.addPyFile(str(zpath))
+    sc._vmdb_pkg_shipped = True
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,6 +70,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from video_metadata_db_spark.plans import QUERIES
 
+    _ensure_shipped(spark)
     return QUERIES["variant_report"](spark, SMOKE_SF_DIR)
 
 
@@ -38,7 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from video_metadata_db_spark.plans import QUERIES
 
-    return dict(QUERIES)
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -35,18 +35,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; corpus tables: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read the raw int64 nanos and convert to a
-        # micro-precision timestamp — identical to how DuckDB/Arrow
-        # truncate nanos, so oracle comparisons line up exactly.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects — read as raw int64 nanos via
+        # the legacy flag and truncate to micros, matching DuckDB/Arrow)
+        # and plain TIMESTAMP(MICROS). Adapt to whichever the footer says
+        # so regenerated corpora don't break every events query.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/`: epoch-2024 nanos (~1.7e18) exceed a
-        # double's 53-bit mantissa, so float division truncates wrong by
-        # up to 1 µs — caught by the session-window oracle on min(ts)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":
+            # integer `div`, not `/`: epoch-2024 nanos (~1.7e18) exceed a
+            # double's 53-bit mantissa, so float division truncates wrong
+            # by up to 1 µs — caught by the session-window oracle on min(ts)
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type.startswith("timestamp_ntz"):
+            # normalize to TimestampType so unix_micros/window/watermark
+            # operators downstream see one type; session tz is UTC
+            # (session.py:40), so the wall-clock value is unchanged
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
