@@ -186,3 +186,36 @@ def test_star_components_match_label_propagation(spark):
     )
     got = connected_components_star(chain, max_rounds=10).collect()
     assert all(r["component"] == 0 for r in got) and len(got) == 65
+
+
+def test_ngram_df_cap_engages_and_preserves_pairs(spark):
+    """The registered dedup_ngram_jaccard runs with max_df=NGRAM_MAX_DF
+    (VERDICT r1 item 4: the cap existed but was dead).  Two pins:
+    the cap actually drops shingle types on this corpus (it ENGAGES),
+    and the capped pair set still contains every uncapped pair at the
+    registered threshold (hot shingles are noise, not signal)."""
+    from video_metadata_db_spark.operators.dedup import shingles_of_tokens, tokens_of
+    from video_metadata_db_spark.plans.dedup_queries import NGRAM_MAX_DF
+
+    docs = load_table(spark, SF, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(shingles_of_tokens(tokens_of(F.col("text")), 3)).alias("s"),
+    ).distinct()
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_MAX_DF)
+        .count()
+    )
+    assert hot > 0, f"cap {NGRAM_MAX_DF} never engages on this corpus"
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=NGRAM_MAX_DF).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert uncapped <= capped, f"cap dropped true pairs: {uncapped - capped}"

@@ -34,3 +34,24 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def reorder(priority: list[str]) -> None:
+    """Rebuild the registries so ``priority`` names come first, in order.
+
+    The driver's correctness gate checks only the first 50 registered
+    queries (registry = dict insertion order), so the priority list is
+    how every operator family lands inside the checked window.  Names
+    not in ``priority`` keep their relative registration order after it.
+    Rebuilds IN PLACE — importers hold references to these dicts.
+    """
+    missing = [n for n in priority if n not in QUERIES]
+    if missing:
+        raise KeyError(f"priority names not registered: {missing}")
+    tail = [n for n in QUERIES if n not in priority]
+    ordered_q = {n: QUERIES[n] for n in [*priority, *tail]}
+    ordered_o = {n: ORACLES[n] for n in [*priority, *tail] if n in ORACLES}
+    QUERIES.clear()
+    QUERIES.update(ordered_q)
+    ORACLES.clear()
+    ORACLES.update(ordered_o)
