@@ -43,6 +43,13 @@ HEADLINE = [
     "join_range_binned",
     "contamination_check",
     "split_train_val_test",
+    # round-3 breadth (VERDICT r1 item 6): remaining heavy families so
+    # round-over-round regressions are visible per-query
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "q5_local_supplier_revenue",
+    "q18_large_volume_customer",
+    "window_range_frame",
 ]
 
 REPEATS = 2

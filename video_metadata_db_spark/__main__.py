@@ -157,10 +157,16 @@ def _report(stats: dict, dead: DataFrame, records: DataFrame, verbose: bool) -> 
         from .operators.parity import variant_report
 
         print("variant report (titles with >1 file):")
-        for r in variant_report(records, detail_cols=("width", "height", "path")).collect():
+        # cap the driver-side collect like the failure list above: console
+        # output is for humans, the full report belongs in the db files
+        cap = 200
+        rows = variant_report(records, detail_cols=("width", "height", "path")).limit(cap + 1).collect()
+        for r in rows[:cap]:
             print(f"  {r['title']}: {r['n_variants']} variants")
             for v in r["variants"]:
                 print(f"    {v['width']}x{v['height']}  {v['path']}")
+        if len(rows) > cap:
+            print(f"  … and more (showing first {cap} titles)")
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -39,9 +39,12 @@ def connected_components(
     graph has a path longer than any plausible near-dup cluster and
     needs :func:`connected_components_star` (O(log n) rounds) instead.
     """
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    # materialize the edge list FIRST: the pair generators feeding this
+    # (minhash/simhash joins) are expensive, and the plan below consumes
+    # `edges` four times (both directions × {sym, vertices}) — without
+    # the cut the generator pipeline runs 4× before round one
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    both = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     vertices = both.select(F.col("a").alias("v")).distinct()
     # self-loops fold "min with my own label" into the neighbor min, so
     # a round is join → groupBy, with no second join against labels

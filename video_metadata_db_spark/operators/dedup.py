@@ -201,6 +201,24 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def band_buckets(packed: DataFrame) -> DataFrame:
+    """(doc, band_id, bucket) rows from array-packed signatures — the
+    slim key set the LSH self-join shuffles on.  The band dimension acts
+    as a built-in salt: a clone cluster lands in BANDS distinct
+    (band_id, bucket) groups, so even a pathological hot cluster spreads
+    over up to BANDS shuffle partitions (pinned by
+    ``tests/test_skew.py``)."""
+    band_cols = []
+    for b in range(BANDS):
+        ins = [F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *ins)).alias("bucket"))
+        )
+    return packed.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     """Banded LSH: docs sharing any band bucket, with the
     signature-estimated similarity (fraction of equal components).
@@ -216,15 +234,7 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     packed = signatures.select(
         "doc", F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)]).alias("sig")
     )
-    band_cols = []
-    for b in range(BANDS):
-        ins = [F.element_at("sig", b * ROWS_PER_BAND + r + 1) for r in range(ROWS_PER_BAND)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *ins)).alias("bucket"))
-        )
-    bands = packed.select("doc", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc", F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = band_buckets(packed)
     l, r = bands.alias("l"), bands.alias("r")
     pairs = (
         l.join(
