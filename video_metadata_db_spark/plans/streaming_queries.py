@@ -20,7 +20,7 @@ from ..sources.tables import load_table
 from ..streaming.joins import interval_join
 from ..streaming.runner import file_stream, run_available_now
 from ..streaming.stateful import running_user_totals
-from ..streaming.windows import session_stats, sliding_avg, tumbling_counts
+from ..streaming.windows import session_stats, sliding_avg, stream_dedup, tumbling_counts
 from .registry import query
 
 
@@ -128,6 +128,37 @@ def q_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals(stream), f"{work}/cp", output_mode="update"
     )
     return sink.orderBy("user_id")
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+ORDER BY event_id
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicates on event_id) under a
+    REAL AvailableNow run: the corpus plus a byte-identical re-ingestion
+    of every third event (two staged files → the duplicate arrives in a
+    later micro-batch, so the drop happens against the STATE STORE, not
+    within a batch).  Duplicates being byte-identical makes first-seen-
+    wins deterministic; output = the distinct corpus, which is exactly
+    the events table.  State at scale is one key per event_id, bounded
+    by the watermark in the `dropDuplicatesWithinWatermark` variant
+    (tests/test_streaming.py pins state survival across restart)."""
+    work = tempfile.mkdtemp(prefix="vmdb_sdedup_")
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    events.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    stream = file_stream(spark, f"{work}/src", events.schema)
+    sink = run_available_now(stream_dedup(stream), f"{work}/cp")
+    return sink.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).orderBy("event_id")
 
 
 @query(
