@@ -25,3 +25,16 @@ def test_all_exports_resolve():
         m = importlib.import_module(f"video_metadata_db_spark.{name}")
         for sym in getattr(m, "__all__", []):
             assert getattr(m, sym, None) is not None, f"{name}.{sym} missing"
+
+
+def test_checked_window_invariants():
+    """The driver hash-checks only the first 50 registered queries —
+    pin that the window is exactly CHECKED_FIRST, every name in it has
+    a value oracle (no rows-only entry wastes a checked slot), and
+    nothing reorders silently."""
+    from video_metadata_db_spark.plans import CHECKED_FIRST, ORACLES, QUERIES
+
+    assert len(CHECKED_FIRST) == 50
+    assert list(QUERIES)[:50] == CHECKED_FIRST
+    missing = [n for n in CHECKED_FIRST if n not in ORACLES]
+    assert not missing, f"checked-window queries without oracle: {missing}"

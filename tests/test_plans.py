@@ -104,3 +104,13 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     shuffling the corpus on the gram key would be the 100 TB bottleneck."""
     plan = plan_of(spark, "contamination_check")
     assert "BroadcastHashJoin" in plan
+
+
+def test_window_frames_single_hash_exchange(spark):
+    """All four frames in window_frames partition on user_id, so the
+    plan must contain exactly ONE hash exchange (the RANGE frame's
+    different ORDER BY adds only an in-partition re-sort); the second
+    exchange is the presentation ORDER BY's range partitioner."""
+    p = plan_of(spark, "window_frames")
+    assert p.count("hashpartitioning(user_id") == 1, p[:2000]
+    assert p.count("Window") >= 2, "both window specs must survive"
