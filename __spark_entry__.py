@@ -53,9 +53,25 @@ def _ensure_shipped(spark: SparkSession) -> None:
     sc._vmdb_pkg_shipped = True
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Runtime-settable confs for a driver-owned session: AQE on (it
+    only ever helps — coalesces the tiny sf0.01 shuffles, splits skew),
+    and shuffle parallelism sized to the corpus IF the session still
+    carries Spark's out-of-the-box 200 (an explicit driver choice is
+    honored).  Our own session.py sets the same values at build time."""
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass  # a locked-down conf must never fail the query itself
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_shipped(spark)
+        _tune_session(spark)
         return fn(spark, sf_dir)
 
     return run
@@ -71,6 +87,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from video_metadata_db_spark.plans import QUERIES
 
     _ensure_shipped(spark)
+    _tune_session(spark)
     return QUERIES["variant_report"](spark, SMOKE_SF_DIR)
 
 

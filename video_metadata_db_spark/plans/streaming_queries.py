@@ -18,7 +18,11 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming.joins import interval_join
-from ..streaming.runner import file_stream, run_available_now
+from ..streaming.runner import (
+    file_stream,
+    run_available_now,
+    run_available_now_to_parquet,
+)
 from ..streaming.stateful import running_user_totals
 from ..streaming.windows import session_stats, sliding_avg, stream_dedup, tumbling_counts
 from .registry import query
@@ -159,6 +163,33 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).orderBy("event_id")
+
+
+@query(
+    "stream_parquet_sink",
+    oracle="""
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+WHERE event_type IN ('view', 'click')
+ORDER BY event_id
+""",
+)
+def q_stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sink path: file-source stream → filter projection
+    → ``writeStream`` parquet sink with checkpoint recovery (exactly-once
+    file bookkeeping), then read the sink back.  The memory sink the
+    other streaming queries use is test plumbing; this is the shape a
+    real pipeline ships — same checkpoint dir across restarts continues
+    where the previous run stopped (`runner.run_available_now_to_parquet`)."""
+    work = tempfile.mkdtemp(prefix="vmdb_psink_")
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{work}/src")
+    stream = file_stream(spark, f"{work}/src", events.schema)
+    out = stream.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    sink = run_available_now_to_parquet(out, f"{work}/cp", f"{work}/out")
+    return sink.orderBy("event_id")
 
 
 @query(
