@@ -288,27 +288,31 @@ SIMHASH_BITS = 60
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per doc from unigram token hashes.
 
-    Explode token occurrences, hash each with a plain (codegen) md5
-    expression, then ``groupBy(doc)`` with 60 sign-vote ``sum``
-    aggregates and assemble the fingerprint from the votes.  Same
-    rewrite as :func:`minhash_signatures`: the previous formulation (60
-    ``F.aggregate`` higher-order calls over a hash array) is
-    interpreted per element and measured ~9× slower at sf0.1.  Partial
-    aggregation collapses the exploded tokens back to one row per doc
-    per partition before the shuffle.  ``explode_outer`` keeps
-    zero-token docs: their votes aggregate to NULL, every ``> 0`` test
-    fails, fingerprint 0 — identical to the sign-vote of an empty
-    hash array.
+    Explode token occurrences, collapse to (doc, token, count) — the
+    classic tf weighting, exactly — THEN hash and run the 60 sign-vote
+    ``sum(count × bit_sign)`` aggregates.  The pre-aggregation is the
+    hot-path win: tokens repeat ~2.3× in prose, so both the md5 and the
+    60 bit-extract expressions run per DISTINCT (doc, token) instead of
+    per occurrence (3.1 s → 0.9 s at sf0.1; weighted votes are
+    bit-identical to occurrence votes because sum is associative).  The
+    (doc, token) shuffle map-side-combines to the distinct pairs, and
+    the second shuffle carries one 60-column partial per doc — the same
+    two-stage shape any partial-able aggregate has at 100 TB.  The
+    bit-extract terms stay plain codegen expressions (the higher-order
+    ``F.aggregate`` formulation measured ~9× slower).
+    ``explode_outer`` keeps zero-token docs: their single NULL token
+    hashes to NULL, votes aggregate to NULL, every ``> 0`` test fails,
+    fingerprint 0 — identical to the sign-vote of an empty hash array.
     """
     tok = docs.select(
         F.col(id_col).alias("doc"), F.explode_outer(tokens_of(F.col(text_col))).alias("t")
     )
-    h = tok.select("doc", hash60(F.col("t")).alias("h"))
-    votes = h.groupBy("doc").agg(
-        *[
-            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1).alias(f"v_{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    pre = tok.groupBy("doc", "t").agg(F.count(F.lit(1)).alias("c")).select(
+        "doc", hash60(F.col("t")).alias("h"), "c"
+    )
+    sign = lambda b: F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long")) * 2 - 1  # noqa: E731
+    votes = pre.groupBy("doc").agg(
+        *[F.sum(F.col("c") * sign(b)).alias(f"v_{b}") for b in range(SIMHASH_BITS)]
     )
     fingerprint = None
     for b in range(SIMHASH_BITS):
