@@ -262,3 +262,41 @@ def test_merge_with_schema_evolution(spark, built):
     )
     assert merged.count() == 2 * records.count()
     assert merged.filter(F.col("sub_en_hi_size").isNull()).count() >= records.count()
+
+
+def test_ffprobe_invocation_narrows_with_fields():
+    """Probe elision (SURVEY §4 deferred rule, done as invocation
+    narrowing): audio fields unrequested -> -select_streams v; no
+    stream fields -> no -show_streams at all; full probe unchanged."""
+    from video_metadata_db_spark.operators.probe import ffprobe_args
+
+    full = ffprobe_args("/x.mkv")
+    assert "-show_streams" in full and "-select_streams" not in full
+
+    video_only = ffprobe_args("/x.mkv", frozenset({"width", "height", "duration_s"}))
+    i = video_only.index("-select_streams")
+    assert video_only[i + 1] == "v"
+
+    fmt_only = ffprobe_args("/x.mkv", frozenset({"duration_s", "container", "title"}))
+    assert "-show_streams" not in fmt_only and "-show_format" in fmt_only
+
+    audio_only = ffprobe_args("/x.mkv", frozenset({"audio_codec"}))
+    j = audio_only.index("-select_streams")
+    assert audio_only[j + 1] == "a"
+
+
+def test_probe_videos_fields_narrow_schema(spark):
+    """fields= narrows the output schema to path + fields + error, and
+    rejects unknown names."""
+    import pytest as _pytest
+
+    from video_metadata_db_spark.operators.probe import probe_videos
+
+    listing = spark.createDataFrame([("/a.mkv",), ("/b.mkv",)], "path string")
+    df = probe_videos(listing, fields=("width", "height"))
+    assert df.columns == ["path", "width", "height", "error"]
+    rows = df.collect()  # no ffprobe in container -> every row dead-letters
+    assert len(rows) == 2 and all(r["error"] for r in rows)
+
+    with _pytest.raises(KeyError):
+        probe_videos(listing, fields=("nope",))

@@ -34,12 +34,37 @@ from ..schemas import PROBE_SCHEMA
 
 FFPROBE_TIMEOUT_S = 30
 
+#: Fields sourced from stream entries (vs format-level fields).
+_VIDEO_FIELDS = frozenset({"video_codec", "width", "height"})
+_AUDIO_FIELDS = frozenset({"audio_codec", "audio_channels"})
+
 
 def ffprobe_available() -> bool:
     return shutil.which("ffprobe") is not None
 
 
-def _probe_one(path: str) -> dict[str, Any]:
+def ffprobe_args(path: str, fields: frozenset[str] | None = None) -> list[str]:
+    """The ffprobe command for a field subset — probe-call elision as
+    invocation narrowing (SURVEY §4's deferred rule, done as the cheap
+    proxy it suggests): audio fields unrequested → ``-select_streams v``
+    (ffprobe skips audio stream dissection); no stream fields at all →
+    drop ``-show_streams`` entirely (format header only).  Pure function
+    so the narrowing is unit-testable without ffprobe in the container.
+    """
+    need_video = fields is None or bool(fields & _VIDEO_FIELDS)
+    need_audio = fields is None or bool(fields & _AUDIO_FIELDS)
+    args = ["ffprobe", "-v", "error", "-print_format", "json"]
+    if need_video or need_audio:
+        args += ["-show_streams"]
+        if not need_audio:
+            args += ["-select_streams", "v"]
+        elif not need_video:
+            args += ["-select_streams", "a"]
+    args += ["-show_format", "-i", path]
+    return args
+
+
+def _probe_one(path: str, fields: frozenset[str] | None = None) -> dict[str, Any]:
     """Run one ffprobe JSON call; parse the fields the schema needs.
 
     Field mapping mirrors the reference's two probes: format-level
@@ -50,10 +75,7 @@ def _probe_one(path: str) -> dict[str, Any]:
     out: dict[str, Any] = {"path": path, "error": None}
     try:
         proc = subprocess.run(
-            [
-                "ffprobe", "-v", "error", "-print_format", "json",
-                "-show_streams", "-show_format", "-i", path,
-            ],
+            ffprobe_args(path, fields),
             capture_output=True,
             timeout=FFPROBE_TIMEOUT_S,
             check=False,
@@ -86,27 +108,51 @@ def _probe_one(path: str) -> dict[str, Any]:
     return out
 
 
-def probe_videos(listing: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Probe every listed path with ffprobe → PROBE_SCHEMA rows.
+def probe_videos(
+    listing: DataFrame,
+    partitions: int | None = None,
+    fields: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Probe every listed path with ffprobe → PROBE_SCHEMA rows (or the
+    ``fields`` subset + path/error).
 
     ``repartition`` first: probe cost is per-file wall time, so spread
     paths evenly regardless of how the listing was produced.  At cluster
     scale set ``partitions`` ≈ 2-4× total cores (I/O-bound, same logic
     as the reference's 4× thread fan-out).
+
+    ``fields`` is the probe-elision dial: mapInPandas output can't be
+    column-pruned by Catalyst (the UDF is opaque), so a consumer that
+    needs only video columns passes them here and the ffprobe call
+    itself narrows (``ffprobe_args``) — the audio dissection the
+    reference always pays (video_metadata_db.py:617-634) is skipped at
+    the process boundary, the only level that matters for an external
+    probe.
     """
     import pandas as pd
 
-    cols = [f.name for f in PROBE_SCHEMA.fields]
+    from pyspark.sql import types as T
+
+    if fields is None:
+        schema, fset = PROBE_SCHEMA, None
+    else:
+        unknown = set(fields) - {f.name for f in PROBE_SCHEMA.fields}
+        if unknown:
+            raise KeyError(f"unknown probe fields: {sorted(unknown)}")
+        keep = {"path", *fields, "error"}
+        schema = T.StructType([f for f in PROBE_SCHEMA.fields if f.name in keep])
+        fset = frozenset(fields)
+    cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [_probe_one(p) for p in pdf["path"]]
+            rows = [_probe_one(p, fset) for p in pdf["path"]]
             yield pd.DataFrame(rows, columns=cols)
 
     src = listing.select("path")
     if partitions:
         src = src.repartition(partitions)
-    return src.mapInPandas(run, PROBE_SCHEMA)
+    return src.mapInPandas(run, schema)
 
 
 def probe_from_fixture(listing: DataFrame, probe_results: DataFrame) -> DataFrame:
