@@ -7,7 +7,8 @@ import __spark_entry__ as e
 import duckdb
 from pyspark.sql import SparkSession
 
-SF = "/root/testdata/sf0.01"
+import os
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
