@@ -1,6 +1,7 @@
 from .asof import asof_join, time_proximity_pairs
 from .components import connected_components, connected_components_star
 from .dedup import (
+    band_buckets,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_lsh_dedup,
@@ -28,11 +29,12 @@ from .parity import (
     with_parsed_title,
 )
 from .pipeline import build_metadata_records, filter_candidates, join_sidecars
-from .probe import ffprobe_available, probe_from_fixture, probe_videos
-from .skew import top_frequency_keys, two_stage_distinct_count
+from .probe import ffprobe_args, ffprobe_available, probe_from_fixture, probe_videos
+from .skew import salted_join, top_frequency_keys, two_stage_distinct_count
 
 __all__ = [
     "asof_join",
+    "band_buckets",
     "bloom_prefiltered_new_keys",
     "build_bloom",
     "build_metadata_records",
@@ -40,6 +42,7 @@ __all__ = [
     "connected_components_star",
     "exact_dedup",
     "extract_features",
+    "ffprobe_args",
     "ffprobe_available",
     "filter_candidates",
     "join_sidecars",
@@ -54,6 +57,7 @@ __all__ = [
     "sample_frames",
     "shingles_of",
     "shingles_of_tokens",
+    "salted_join",
     "simhash",
     "simhash_near_pairs",
     "synthesize_assets",
