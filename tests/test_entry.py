@@ -16,3 +16,12 @@ def test_queries_oracles_aligned():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_facade_preserves_checked_window_order():
+    """The driver consumes queries() (the facade), so the 50-query
+    checked window must survive the wrap — dict order is the contract."""
+    import __spark_entry__ as e
+    from video_metadata_db_spark.plans import CHECKED_FIRST
+
+    assert list(e.queries())[:50] == CHECKED_FIRST
