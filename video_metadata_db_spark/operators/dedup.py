@@ -329,8 +329,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     Pigeonhole: at ≤ ``max_hamming`` (< 4 blocks) differing bits, at
     least one 15-bit block matches exactly — join on (block_id, block
     value), then verify with ``bit_count(xor)``.
+
+    Fingerprints persist before the self-join (one 8-byte long per doc
+    — cluster-trivial): both sides of the block join consume them, and
+    without the persist the whole explode→vote pipeline executes twice
+    (same reasoning as :func:`minhash_lsh_dedup`).
     """
-    sh = simhash(docs)
+    sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sh.select(
         "doc",
         "simhash",
