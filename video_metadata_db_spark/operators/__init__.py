@@ -14,6 +14,7 @@ from .dedup import (
     tokens_of,
 )
 from .membership import bloom_prefiltered_new_keys, build_bloom
+from .packing import pack_blocks, sequence_offsets
 from .multimodal import (
     extract_features,
     resize_images,
@@ -51,10 +52,12 @@ __all__ = [
     "minhash_lsh_dedup",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pack_blocks",
     "probe_from_fixture",
     "probe_videos",
     "resize_images",
     "sample_frames",
+    "sequence_offsets",
     "shingles_of",
     "shingles_of_tokens",
     "salted_join",

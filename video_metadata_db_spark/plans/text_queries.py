@@ -489,3 +489,42 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hits") >= 2)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+WITH weighted AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM weighted WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 512 AS first_block,
+       (start_offset + n_tokens - 1) // 512 AS last_block,
+       (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1 AS n_blocks
+FROM offs
+ORDER BY doc_id
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk, block 512) — where every doc
+    lands when the corpus token stream is sliced into fixed training
+    blocks.  The Spark side is the DISTRIBUTED two-pass prefix sum
+    (``operators/packing.py``: range partition → per-partition totals →
+    broadcast offsets → per-partition windows); the oracle is the
+    single-window form the naive plan would use — value-identical, and
+    the single-partition bottleneck stays in DuckDB where it belongs.
+    ``tests/test_packing.py`` pins distributed == naive on Spark too."""
+    from ..operators.packing import pack_blocks
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_blocks(weighted, block_size=512).orderBy("doc_id")
