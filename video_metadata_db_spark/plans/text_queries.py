@@ -528,3 +528,62 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weighted = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
     return pack_blocks(weighted, block_size=512).orderBy("doc_id")
+
+
+@query(
+    "source_mixture_report",
+    oracle=f"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           / greatest(length(text), 1) AS araw
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(sum(n_tokens) / count(*), 6) AS avg_tokens,
+         round(avg(araw), 6) AS avg_alpha
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, total_tokens, avg_tokens, avg_alpha,
+       round(total_tokens / (sum(total_tokens) OVER ()), 6) AS token_share
+FROM per_source
+ORDER BY source
+""",
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per-source doc/token totals and each
+    source's share of the corpus token stream — the table a pretraining
+    run turns into sampling weights.  One partial-able aggregation
+    shuffle on `source` (tiny group key), then a window-sum over the
+    per-source rows (|sources| rows — negligible at any corpus size);
+    the corpus itself is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("araw"),
+    )
+    per_source = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+        F.round(F.avg("araw"), 6).alias("avg_alpha"),
+    )
+    share_w = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_tokens",
+        "avg_alpha",
+        F.round(F.col("total_tokens") / F.sum("total_tokens").over(share_w), 6).alias(
+            "token_share"
+        ),
+    ).orderBy("source")
