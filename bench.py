@@ -50,6 +50,8 @@ HEADLINE = [
     "q5_local_supplier_revenue",
     "q18_large_volume_customer",
     "window_range_frame",
+    "text_metrics",
+    "pack_sequences",
 ]
 
 REPEATS = 2
