@@ -38,3 +38,24 @@ def test_checked_window_invariants():
     assert list(QUERIES)[:50] == CHECKED_FIRST
     missing = [n for n in CHECKED_FIRST if n not in ORACLES]
     assert not missing, f"checked-window queries without oracle: {missing}"
+
+
+def test_checked_window_output_types_are_driver_hashable(spark, sf_dir):
+    """The driver's pandas-based canonicalizer cannot hash Decimal,
+    array, map, or struct output columns (cost a checked slot in rounds
+    2 AND 3: decimal revenue in join_salted_skew, array feature in
+    multimodal_features).  Every checked-window query must emit only
+    scalar, hash-stable types — serialize complex values to strings at
+    the query boundary."""
+    from pyspark.sql import types as T
+
+    from video_metadata_db_spark.plans import CHECKED_FIRST, QUERIES
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    offenders = []
+    for name in CHECKED_FIRST:
+        schema = QUERIES[name](spark, sf_dir).schema
+        for field in schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append((name, field.name, field.dataType.simpleString()))
+    assert not offenders, f"non-hashable checked-window output columns: {offenders}"

@@ -188,6 +188,45 @@ def test_star_components_match_label_propagation(spark):
     assert all(r["component"] == 0 for r in got) and len(got) == 65
 
 
+def test_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_mode='reliable' (cluster-safe: survives executor
+    loss) produces identical labels via sc.setCheckpointDir storage,
+    and an unknown mode fails fast."""
+    import pytest
+
+    from video_metadata_db_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 8)], "doc_a long, doc_b long"
+    )
+    local = {(r["doc"], r["component"]) for r in connected_components(df).collect()}
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = {
+        (r["doc"], r["component"])
+        for r in connected_components(df, checkpoint_mode="reliable").collect()
+    }
+    assert local == reliable
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components(df, checkpoint_mode="bogus").collect()
+
+
+def test_components_plan_stays_bounded_across_rounds(spark):
+    """The per-round lineage cut must keep the FINAL plan size flat —
+    without it the plan string grows with every iteration (the classic
+    iterative-Spark trap) and a 100 TB run dies in the optimizer.  A
+    64-chain forces many label-propagation rounds; the result's plan
+    must stay within a small constant of the 1-round plan."""
+    from video_metadata_db_spark.operators.components import connected_components
+
+    tiny = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    plan_1round = connected_components(tiny)._jdf.queryExecution().toString()
+    plan_many = connected_components(chain, max_iter=80)._jdf.queryExecution().toString()
+    assert len(plan_many) < 3 * max(len(plan_1round), 2_000)
+
+
 def test_ngram_df_cap_engages_and_preserves_pairs(spark):
     """The registered dedup_ngram_jaccard runs with max_df=NGRAM_MAX_DF
     (VERDICT r1 item 4: the cap existed but was dead).  Two pins:

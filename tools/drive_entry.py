@@ -47,6 +47,10 @@ for t in TABLES:
 
 qs, os_ = e.queries(), e.oracle_sql()
 names = list(qs)
+only = os.environ.get("DRIVE_ONLY")
+if only:
+    wanted = [n.strip() for n in only.split(",") if n.strip()]
+    names = [n for n in names if n in wanted]
 limit = int(sys.argv[1]) if len(sys.argv) > 1 else len(names)
 fails = vacuous = 0
 for i, name in enumerate(names[:limit]):

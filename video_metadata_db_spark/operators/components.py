@@ -12,9 +12,16 @@ convergence in O(diameter) rounds — near-dup graphs are
 overwhelmingly tiny cliques (diameter ≤ 2-3), so 3-5 rounds settle
 real corpora.  The self-loop trick folds "keep my own label" into the
 neighbor aggregation, making each round exactly ONE join + ONE
-aggregation; lineage is cut per round with ``localCheckpoint`` so the
-plan doesn't grow across iterations (the classic iterative-Spark trap;
-on a cluster use ``checkpoint`` to reliable storage instead).
+aggregation; lineage is cut per round so the plan doesn't grow across
+iterations (the classic iterative-Spark trap).
+
+The lineage cut is configurable via ``checkpoint_mode``:
+``"local"`` (default) uses ``localCheckpoint`` — executor-local
+storage, right for local mode and tests, but results are
+UNRECOVERABLE on executor loss; ``"reliable"`` uses ``checkpoint()``
+to the directory set with ``sc.setCheckpointDir`` (HDFS/S3 on a
+cluster), surviving executor failure — the correct mode for a
+multi-hour 100 TB job.  Same plans either way.
 
 The result is exact, so the DuckDB oracle (recursive-CTE transitive
 closure to the same min-reachable-id labels) value-checks it.
@@ -26,11 +33,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut(df: DataFrame, mode: str) -> DataFrame:
+    """Cut lineage: ``local`` → localCheckpoint (fast, unrecoverable on
+    executor loss), ``reliable`` → checkpoint to ``sc.setCheckpointDir``
+    storage (cluster-safe).  Both materialize eagerly so per-round work
+    is never re-executed by later rounds."""
+    if mode == "reliable":
+        return df.checkpoint(eager=True)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    raise ValueError(f"checkpoint_mode must be 'local' or 'reliable', got {mode!r}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """(vertex, component) for every vertex in ``edges``; component =
     min vertex id reachable through the pair graph.
@@ -43,15 +63,20 @@ def connected_components(
     # (minhash/simhash joins) are expensive, and the plan below consumes
     # `edges` four times (both directions × {sym, vertices}) — without
     # the cut the generator pipeline runs 4× before round one
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    e0 = _cut(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), checkpoint_mode
+    )
     both = e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
     vertices = both.select(F.col("a").alias("v")).distinct()
     # self-loops fold "min with my own label" into the neighbor min, so
     # a round is join → groupBy, with no second join against labels
-    sym = both.unionByName(
-        vertices.select(F.col("v").alias("a"), F.col("v").alias("b"))
-    ).localCheckpoint()
-    labels = vertices.withColumn("comp", F.col("v")).localCheckpoint()
+    sym = _cut(
+        both.unionByName(
+            vertices.select(F.col("v").alias("a"), F.col("v").alias("b"))
+        ),
+        checkpoint_mode,
+    )
+    labels = _cut(vertices.withColumn("comp", F.col("v")), checkpoint_mode)
 
     # labels only ever DECREASE, so Σcomp strictly decreases until the
     # fixpoint — a one-aggregate convergence test instead of a
@@ -61,11 +86,11 @@ def connected_components(
         # no broadcast hints: labels can be billions of rows at corpus
         # scale — AQE turns these into broadcast joins at runtime
         # whenever the side is actually small
-        new_labels = (
+        new_labels = _cut(
             sym.join(labels, sym["a"] == labels["v"])
             .groupBy(F.col("b").alias("v"))
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+            .agg(F.min("comp").alias("comp")),
+            checkpoint_mode,
         )
         new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
@@ -76,11 +101,14 @@ def connected_components(
 
 
 def dedup_groups(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Cluster rollup: one row per component with canonical (min) doc
     and member count — the 'keep one, drop the rest' dedup decision."""
-    comp = connected_components(edges, src, dst)
+    comp = connected_components(edges, src, dst, checkpoint_mode=checkpoint_mode)
     return comp.groupBy("component").agg(
         F.min("doc").alias("canonical_doc"), F.count(F.lit(1)).alias("n_members")
     )
@@ -91,6 +119,7 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 30,
+    checkpoint_mode: str = "local",
 ) -> DataFrame:
     """Two-phase (large-star / small-star) connected components — the
     O(log n)-round algorithm for graphs with LONG paths, where plain
@@ -117,18 +146,18 @@ def connected_components_star(
     keep label propagation for near-dup graphs whose diameter is known
     to be tiny — fewer fixed per-round costs.
     """
-    e = (
+    e = _cut(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_mode,
     )
-    vertices = (
+    vertices = _cut(
         e.select(F.col("u").alias("x"))
         .unionByName(e.select(F.col("v").alias("x")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_mode,
     )
 
     def checksum(df: DataFrame) -> tuple:
@@ -164,11 +193,11 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e = (
+        e = _cut(
             sm.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            checkpoint_mode,
         )
         cur = checksum(e)
         if cur == prev:

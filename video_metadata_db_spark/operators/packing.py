@@ -10,22 +10,30 @@ scale trap for cumulative metrics.
 
 :func:`sequence_offsets` is the distributed two-pass prefix sum:
 
-1. range-partition by the order key (contiguous key ranges per
-   partition — the same exchange a global sort would do, minus the
-   single-reducer window);
-2. per-partition totals (tiny: one row per partition) get a running
-   offset on the driver-side-free single-partition window over
-   #partitions rows;
-3. each row's global offset = its partition's offset + the running sum
-   WITHIN its partition — per-partition windows, full parallelism.
+1. bucket rows into contiguous key ranges with DETERMINISTIC boundaries
+   (approx quantiles collected once driver-side, embedded as literals —
+   a few dozen longs, not row data);
+2. per-range totals (tiny: one row per range) get a running offset on
+   the single-partition window over #ranges rows;
+3. each row's global offset = its range's offset + the running sum
+   WITHIN its range — per-range windows, full parallelism.
 
 Every training example is then ``offset div block_size`` arithmetic —
 no further shuffle.
+
+Why literal boundaries instead of ``repartitionByRange`` +
+``spark_partition_id``: the range partitioner SAMPLES its boundaries,
+so two jobs over the same frame may disagree on partition ids unless
+the frame is persisted — and the persist then outlives the call (a
+cache leak, and a recompute hazard on executor loss).  With boundaries
+frozen into the plan, ``_pid`` is a pure function of the row: the
+totals job and the row job always agree, nothing needs pinning, and
+the frame is scanned twice (both scans column-pruned) instead of
+cached once — the right trade at 100 TB.
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,20 +50,37 @@ def sequence_offsets(
     The order key must be unique (document ids are).  Output carries
     the input columns + ``start_offset``.
     """
-    # persist BEFORE branching: the partition-totals job and the row
-    # job both read this frame, and the range partitioner's sampled
-    # boundaries are not guaranteed identical across re-executions — a
-    # re-sample would let the two sides disagree on _pid (silent wrong
-    # offsets).  The persist pins one materialized partitioning.
-    ranged = df.repartitionByRange(num_ranges, F.col(order_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # one tiny driver-side action: num_ranges-1 boundary values — NOT
+    # row data.  Embedding them as literals makes _pid deterministic
+    # across every job that reads this plan (see module docstring).
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = (
+        df.select(F.percentile_approx(order_col, probs, 10_000).alias("b")).first()["b"]
+        if probs
+        else None
+    ) or []
+    if bounds:
+        # flat bucket search: how many boundaries sit strictly below the
+        # key (monotone in the key, so ranges stay contiguous).  A flat
+        # array expression, not a nested when-chain — O(num_ranges) per
+        # row with no expression-tree depth blowup.
+        bucket = F.size(
+            F.filter(F.lit(list(bounds)), lambda b: b < F.col(order_col))
+        )
+    else:
+        bucket = F.lit(0)
+    with_pid = df.withColumn("_pid", bucket.cast("int"))
 
     totals = with_pid.groupBy("_pid").agg(F.sum(weight_col).alias("_psum"))
     # running offset over ≤ num_ranges rows — a deliberately tiny
-    # single-partition window, NOT the row-level one
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # single-partition window, NOT the row-level one.  partitionBy(lit)
+    # is semantically the no-partition window but documents the bound
+    # and silences the misleading WindowExec scale warning.
+    off_w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = totals.withColumn(
         "_poff", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)).cast("long")
     ).select("_pid", "_poff")

@@ -43,7 +43,11 @@ def ffprobe_available() -> bool:
     return shutil.which("ffprobe") is not None
 
 
-def ffprobe_args(path: str, fields: frozenset[str] | None = None) -> list[str]:
+def ffprobe_args(
+    path: str,
+    fields: frozenset[str] | None = None,
+    ffprobe_bin: str = "ffprobe",
+) -> list[str]:
     """The ffprobe command for a field subset — probe-call elision as
     invocation narrowing (SURVEY §4's deferred rule, done as the cheap
     proxy it suggests): audio fields unrequested → ``-select_streams v``
@@ -53,7 +57,7 @@ def ffprobe_args(path: str, fields: frozenset[str] | None = None) -> list[str]:
     """
     need_video = fields is None or bool(fields & _VIDEO_FIELDS)
     need_audio = fields is None or bool(fields & _AUDIO_FIELDS)
-    args = ["ffprobe", "-v", "error", "-print_format", "json"]
+    args = [ffprobe_bin, "-v", "error", "-print_format", "json"]
     if need_video or need_audio:
         args += ["-show_streams"]
         if not need_audio:
@@ -64,7 +68,12 @@ def ffprobe_args(path: str, fields: frozenset[str] | None = None) -> list[str]:
     return args
 
 
-def _probe_one(path: str, fields: frozenset[str] | None = None) -> dict[str, Any]:
+def _probe_one(
+    path: str,
+    fields: frozenset[str] | None = None,
+    ffprobe_bin: str = "ffprobe",
+    timeout_s: float = FFPROBE_TIMEOUT_S,
+) -> dict[str, Any]:
     """Run one ffprobe JSON call; parse the fields the schema needs.
 
     Field mapping mirrors the reference's two probes: format-level
@@ -75,9 +84,9 @@ def _probe_one(path: str, fields: frozenset[str] | None = None) -> dict[str, Any
     out: dict[str, Any] = {"path": path, "error": None}
     try:
         proc = subprocess.run(
-            ffprobe_args(path, fields),
+            ffprobe_args(path, fields, ffprobe_bin),
             capture_output=True,
-            timeout=FFPROBE_TIMEOUT_S,
+            timeout=timeout_s,
             check=False,
         )
         if proc.returncode != 0:
@@ -102,7 +111,7 @@ def _probe_one(path: str, fields: frozenset[str] | None = None) -> dict[str, Any
             audio_channels=audio.get("channels"),
         )
     except subprocess.TimeoutExpired:
-        out["error"] = f"ffprobe timeout after {FFPROBE_TIMEOUT_S}s"
+        out["error"] = f"ffprobe timeout after {timeout_s}s"
     except Exception as exc:  # dead-letter, never raise (:635-676)
         out["error"] = f"{type(exc).__name__}: {exc}"[:500]
     return out
@@ -112,6 +121,8 @@ def probe_videos(
     listing: DataFrame,
     partitions: int | None = None,
     fields: tuple[str, ...] | None = None,
+    ffprobe_bin: str = "ffprobe",
+    timeout_s: float = FFPROBE_TIMEOUT_S,
 ) -> DataFrame:
     """Probe every listed path with ffprobe → PROBE_SCHEMA rows (or the
     ``fields`` subset + path/error).
@@ -145,8 +156,10 @@ def probe_videos(
     cols = [f.name for f in schema.fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ffprobe_bin/timeout_s are captured in this closure, so they
+        # ship to executors with the serialized task — no env plumbing
         for pdf in batches:
-            rows = [_probe_one(p, fset) for p in pdf["path"]]
+            rows = [_probe_one(p, fset, ffprobe_bin, timeout_s) for p in pdf["path"]]
             yield pd.DataFrame(rows, columns=cols)
 
     src = listing.select("path")

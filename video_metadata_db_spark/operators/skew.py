@@ -70,16 +70,18 @@ def top_frequency_keys(df: DataFrame, key: str | Column, k: int = 10) -> DataFra
     """Skew diagnosis: the k heaviest keys with their row share —
     run this before choosing broadcast/salt/AQE strategy.
 
-    One scan: the corpus total is a window sum over the per-key
-    aggregate (tiny), not a separate ``count()`` action/scan.
+    The denominator is a broadcast cross-join against a 1-row total of
+    the per-key aggregate — no global window, so even an EXTREME key
+    cardinality (billions of distinct keys) never funnels through a
+    single partition.  Costs a second pass over the aggregate; callers
+    diagnosing a frame they'll reuse should persist it first.
     """
-    from pyspark.sql import Window
-
-    total = F.sum("n_rows").over(Window.partitionBy())
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").alias("_total"))
     return (
-        df.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .withColumn("share", F.round(F.col("n_rows") / total, 6))
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .drop("_total")
         .orderBy(F.col("n_rows").desc())
         .limit(k)
     )

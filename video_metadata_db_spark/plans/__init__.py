@@ -65,20 +65,23 @@ CHECKED_FIRST = [
     "filter_length_percentile",
     "filter_quality_rules",
     "contamination_check",
-    # dedup
+    # dedup (ngram_jaccard + embedding_cosine stay oracle-tested in
+    # tests/ — their window slots went to pack_sequences / stream_dedup
+    # in round 4 so the flagship scale work gets hard driver signal)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_components",
-    "dedup_embedding_cosine",
     # similarity search
     "knn_cosine_topk",
+    # sequence packing (distributed prefix sum)
+    "pack_sequences",
     # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_stateful_user_totals",
     "stream_interval_join",
+    "stream_dedup",
     # UDF / multimodal / membership
     "udf_grouped_zscore",
     "multimodal_features",
@@ -104,7 +107,10 @@ def _import_all() -> None:
 try:
     _import_all()
     reorder(CHECKED_FIRST)
-except ImportError:
-    # modules land incrementally during the build; parity queries alone
-    # keep the entry contract functional
+except (ImportError, KeyError):
+    # ImportError: modules land incrementally during the build; parity
+    # queries alone keep the entry contract functional.  KeyError: a
+    # renamed/unregistered CHECKED_FIRST name must degrade to
+    # registration order (tests/test_api_surface.py flags the drift) —
+    # never break `from ...plans import QUERIES` for every query.
     pass

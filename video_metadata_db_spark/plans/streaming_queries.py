@@ -145,12 +145,13 @@ ORDER BY event_id
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (dropDuplicates on event_id) under a
     REAL AvailableNow run: the corpus plus a byte-identical re-ingestion
-    of every third event (two staged files → the duplicate arrives in a
-    later micro-batch, so the drop happens against the STATE STORE, not
-    within a batch).  Duplicates being byte-identical makes first-seen-
-    wins deterministic; output = the distinct corpus, which is exactly
-    the events table.  State at scale is one key per event_id, bounded
-    by the watermark in the `dropDuplicatesWithinWatermark` variant
+    of every third event, staged as two files read with
+    ``maxFilesPerTrigger=1`` so the duplicate file arrives in a LATER
+    micro-batch — the drop happens against the STATE STORE, not within
+    a batch.  Duplicates being byte-identical makes first-seen-wins
+    deterministic; output = the distinct corpus, which is exactly the
+    events table.  State at scale is one key per event_id, bounded by
+    the watermark in the `dropDuplicatesWithinWatermark` variant
     (tests/test_streaming.py pins state survival across restart)."""
     work = tempfile.mkdtemp(prefix="vmdb_sdedup_")
     events = load_table(spark, sf_dir, "events")
@@ -158,7 +159,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
         "append"
     ).parquet(f"{work}/src")
-    stream = file_stream(spark, f"{work}/src", events.schema)
+    stream = file_stream(spark, f"{work}/src", events.schema, max_files_per_trigger=1)
     sink = run_available_now(stream_dedup(stream), f"{work}/cp")
     return sink.select(
         "event_id", "ts", "user_id", "event_type", "value", "props"

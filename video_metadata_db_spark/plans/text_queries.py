@@ -397,7 +397,7 @@ def q_filter_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = judged.groupBy("verdict").agg(F.count(F.lit(1)).alias("n_docs"))
     # corpus total via a window over the (tiny) verdict aggregate — no
     # second scan, no driver-side count action
-    total = F.sum("n_docs").over(Window.partitionBy())
+    total = F.sum("n_docs").over(Window.partitionBy(F.lit(1)))
     return (
         counted.withColumn("fraction", F.round(F.col("n_docs") / total, 6))
         .orderBy("verdict")
@@ -576,7 +576,7 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("avg_tokens"),
         F.round(F.avg("araw"), 6).alias("avg_alpha"),
     )
-    share_w = Window.partitionBy()
+    share_w = Window.partitionBy(F.lit(1))
     return per_source.select(
         "source",
         "n_docs",

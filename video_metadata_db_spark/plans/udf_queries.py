@@ -24,8 +24,9 @@ from .registry import query
     oracle="""
 SELECT s.s_name,
        count(*) AS n_items,
-       round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                 * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2) AS revenue
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY s.s_name
 ORDER BY s.s_name
@@ -47,14 +48,18 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             # decimal sum: exact and order-independent, so the salted
-            # shuffle's different reduce order can't shift the rounding
+            # shuffle's different reduce order can't shift the rounding;
+            # final cast to double so the output schema is driver-hashable
+            # (raw decimals canonicalize differently across engines)
             F.round(
                 F.sum(
                     F.col("l_extendedprice").cast("decimal(18,2)")
                     * (1 - F.col("l_discount")).cast("decimal(18,2)")
                 ),
                 2,
-            ).alias("revenue"),
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .orderBy("s_name")
     )
@@ -121,7 +126,8 @@ WITH bv AS ({_BV_CTE})
 SELECT doc_id AS asset_id,
        ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
        CAST(64 AS BIGINT) AS n_bytes,
-       {_BINS_LIST} AS feature
+       array_to_string(list_transform({_BINS_LIST}, x -> printf('%.6f', x)), ',')
+           AS feature_csv
 FROM bv
 ORDER BY asset_id
 """,
@@ -139,9 +145,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(synthesize_assets(docs))
-    return feats.filter(F.col("error").isNull()).select(
-        "asset_id", "kind", "n_bytes", "feature"
-    ).orderBy("asset_id")
+    # the array<double> feature is serialized to a fixed-format CSV string
+    # at the query boundary: raw array columns are not hashable by the
+    # driver's pandas canonicalizer (the round-3 failure class)
+    return (
+        feats.filter(F.col("error").isNull())
+        .select(
+            "asset_id",
+            "kind",
+            "n_bytes",
+            F.array_join(
+                F.transform("feature", lambda x: F.format_string("%.6f", x)), ","
+            ).alias("feature_csv"),
+        )
+        .orderBy("asset_id")
+    )
 
 
 @query(

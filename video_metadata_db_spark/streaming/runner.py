@@ -19,12 +19,22 @@ from pyspark.sql.types import StructType
 
 
 def file_stream(
-    spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming source over a directory of files.  Schema is mandatory
-    for streams (no inference) — at scale also set
-    ``maxFilesPerTrigger`` to bound batch size."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+    for streams (no inference).  ``max_files_per_trigger`` bounds batch
+    size — at scale it caps per-batch work; in tests it forces files
+    into SEPARATE micro-batches so cross-batch state-store paths are
+    actually exercised (AvailableNow otherwise drains everything in one
+    batch)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
 
 
 def run_available_now(
