@@ -52,6 +52,11 @@ HEADLINE = [
     "window_range_frame",
     "text_metrics",
     "pack_sequences",
+    # round-4 additions: distributed global rank, JVM-side chunk
+    # generator, and the pure scan-and-aggregate TPC-H shape
+    "shuffle_global_order",
+    "chunk_sliding_tokens",
+    "q6_forecast_revenue",
 ]
 
 REPEATS = 2

@@ -36,6 +36,26 @@ def test_distributed_offsets_match_global_window(spark):
         assert got == naive, f"num_ranges={num_ranges}"
 
 
+def test_global_row_number_with_colliding_order_keys(spark):
+    """Distributed rank == row_number() over (order, tiebreak), with
+    DUPLICATE order-key values straddling bucket boundaries — the case
+    the strict-less-than bucketing must keep in one bucket so the
+    tiebreak window can order them."""
+    from video_metadata_db_spark.operators.packing import global_row_number
+
+    rows = [(v, i) for i, v in enumerate([5, 3, 5, 1, 3, 5, 9, 1, 7, 5] * 20)]
+    df = spark.createDataFrame(rows, "k long, id long")
+    got = {
+        r["id"]: r["position"]
+        for r in global_row_number(df, "k", "id", num_ranges=7).collect()
+    }
+    expect = {
+        id_: pos
+        for pos, (_, id_) in enumerate(sorted(rows, key=lambda r: (r[0], r[1])))
+    }
+    assert got == expect
+
+
 def test_pack_blocks_invariants(spark):
     out = pack_blocks(_weighted(spark), block_size=512).collect()
     assert out, "corpus must pack"

@@ -43,12 +43,18 @@ def sequence_offsets(
     order_col: str = "doc_id",
     weight_col: str = "n_tokens",
     num_ranges: int = 32,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add ``start_offset``: the exclusive prefix sum of ``weight_col``
-    in ``order_col`` order, computed with bounded parallelism loss.
+    in ``(order_col, tiebreak_col)`` order, computed with bounded
+    parallelism loss.
 
-    The order key must be unique (document ids are).  Output carries
-    the input columns + ``start_offset``.
+    ``(order_col, tiebreak_col)`` must be unique per row (``order_col``
+    alone suffices when it is itself unique, e.g. document ids).  Rows
+    equal on ``order_col`` always land in the same range bucket (the
+    bucket test is strict-less-than against the boundaries), so the
+    tiebreak only ever orders WITHIN a bucket — cross-bucket order
+    stays correct.  Output carries the input columns + ``start_offset``.
     """
     # one tiny driver-side action: num_ranges-1 boundary values — NOT
     # row data.  Embedding them as literals makes _pid deterministic
@@ -85,9 +91,10 @@ def sequence_offsets(
         "_poff", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)).cast("long")
     ).select("_pid", "_poff")
 
+    in_order = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
     in_w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*in_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -100,6 +107,31 @@ def sequence_offsets(
             ).cast("long"),
         )
         .drop("_pid", "_poff")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    tiebreak_col: str,
+    out_col: str = "position",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """0-based global rank of every row in ``(order_col, tiebreak_col)``
+    order WITHOUT the single-reducer global window ``row_number()``
+    forces — it is the prefix sum of weight 1 over the same distributed
+    two-pass machinery as :func:`sequence_offsets`.
+
+    The motivating use is the seeded training-order shuffle: rank the
+    corpus by a deterministic per-row hash and the rank IS the epoch
+    read order — computed with full parallelism at any corpus size.
+    ``tiebreak_col`` must break hash collisions (any unique id).
+    """
+    weighted = df.withColumn("_one", F.lit(1))
+    return (
+        sequence_offsets(weighted, order_col, "_one", num_ranges, tiebreak_col)
+        .withColumnRenamed("start_offset", out_col)
+        .drop("_one")
     )
 
 

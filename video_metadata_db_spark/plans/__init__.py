@@ -102,6 +102,7 @@ def _import_all() -> None:
     from . import tpch_queries  # noqa: F401
     from . import membership_queries  # noqa: F401
     from . import merged_queries  # noqa: F401
+    from . import pipeline_queries  # noqa: F401
 
 
 try:

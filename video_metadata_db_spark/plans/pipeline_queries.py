@@ -1,0 +1,241 @@
+"""Training-data pipeline operators, round 4: ordering, budgeting,
+priority dedup, chunking, and embedding rollups — all value-oracled.
+
+These extend the reference's inventory semantics (scan → probe → dedup
+→ report, video_metadata_db.py) to the operations a pretraining corpus
+pipeline runs at 100 TB: deciding the ORDER data is read in, how much
+of each source to take, which duplicate to keep, how documents become
+fixed-size training windows, and per-class embedding summaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.dedup import hash60, normalize_text, tokens_of
+from ..sources.tables import load_table
+from .registry import query
+
+#: Seed for the deterministic epoch shuffle (any string; oracled).
+_SHUFFLE_SEED = "ep42:"
+
+#: Per-source token budget for sample_token_budget — chosen to BIND at
+#: every test scale (per-source totals are ≥1.2k tokens even at
+#: sf0.001), so the filter provably engages rather than passing
+#: everything through.
+_TOKEN_BUDGET = 300
+
+
+@query(
+    "shuffle_global_order",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(concat('{_SHUFFLE_SEED}', CAST(doc_id AS VARCHAR))) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (
+         ORDER BY CAST(concat('0x', substr(shuffle_key, 1, 15)) AS BIGINT),
+                  doc_id) - 1 AS position
+FROM keyed
+ORDER BY doc_id
+""",
+)
+def q_shuffle_global_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded epoch shuffle: every doc gets a deterministic pseudo-random
+    rank — the order a training run reads the corpus in.  The naive form
+    is ``row_number() OVER (ORDER BY hash)``: a single-reducer global
+    window, the same scale trap sequence packing dodges.  Here the rank
+    is :func:`~..operators.packing.global_row_number` — the distributed
+    two-pass prefix sum over literal range boundaries — so a 100 TB
+    corpus ranks with full parallelism.  The oracle IS the naive window,
+    proving the distributed rank value-identical."""
+    from ..operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).withColumn(
+        "_hashnum", F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("long")
+    )
+    ranked = global_row_number(keyed, "_hashnum", "doc_id", out_col="position")
+    return ranked.select("doc_id", "shuffle_key", "position").orderBy("doc_id")
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM w
+)
+SELECT doc_id, source, n_tokens, tokens_before
+FROM c WHERE tokens_before < {_TOKEN_BUDGET}
+ORDER BY source, doc_id
+""",
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budgeting: take documents in id order until each
+    source has contributed ~300 tokens — how a data mixture is
+    materialized from sampling weights.  One shuffle on ``source``; the
+    running total is a per-source window (parallel across sources).  A
+    pathologically huge single source is the packing problem again —
+    feed that source through ``global_row_number``/``sequence_offsets``
+    instead of a single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    prior = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        w.withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(prior), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("tokens_before") < _TOKEN_BUDGET)
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INT) AS priority,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_key
+  FROM documents
+),
+ranked AS (
+  SELECT text_key, doc_id, priority,
+         row_number() OVER (PARTITION BY text_key ORDER BY priority, doc_id) AS rn,
+         count(*) OVER (PARTITION BY text_key) AS n_copies
+  FROM keyed
+)
+SELECT text_key, doc_id AS kept_doc, n_copies
+FROM ranked WHERE rn = 1
+ORDER BY kept_doc
+""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source priority dedup: among exact duplicates (normalized
+    text hash), keep the copy from the MOST trusted source (lowest
+    numeric suffix; tie → lowest doc_id) — the policy step after exact
+    dedup when sources have a quality ordering.  One hash shuffle; the
+    winner is a single ``min(struct(priority, doc_id))`` aggregate
+    (structs compare lexicographically), not a row_number window — so
+    the reduce is partial-aggregatable map-side, and a hot key (a
+    boilerplate page duplicated millions of times) never builds a
+    window partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.substring("source", 4, 10).cast("int").alias("priority"),
+        F.md5(normalize_text(F.col("text"))).alias("text_key"),
+    )
+    best = keyed.groupBy("text_key").agg(
+        F.min(F.struct("priority", "doc_id")).alias("_best"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return best.select(
+        "text_key", F.col("_best.doc_id").alias("kept_doc"), "n_copies"
+    ).orderBy("kept_doc")
+
+
+@query(
+    "chunk_sliding_tokens",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS start
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       start // 32 AS chunk_idx,
+       start AS start_tok,
+       least(64, len(toks) - start) AS chunk_len,
+       md5(list_aggregate(toks[start+1:start+64], 'string_agg', ' ')) AS chunk_hash
+FROM s
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 64 tokens, stride 32): each doc
+    becomes overlapping training windows — the long-document strategy
+    when truncation loses too much and packing crosses doc boundaries.
+    Pure JVM 1→N: ``explode(sequence(...))`` generates chunk starts and
+    ``slice`` cuts each window from the ONE materialized token array
+    (tokenize-once discipline); no Python, no shuffle — chunking is
+    embarrassingly parallel.  Chunk content is pinned by an md5 over the
+    window's tokens, so the oracle checks bytes, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens_of(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(32))).alias(
+            "start"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / 32).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.lit(64), F.col("n") - F.col("start")).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("start") + 1, 64))).alias(
+            "chunk_hash"
+        ),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+SELECT label,
+       i - 1 AS pos,
+       CAST(round(avg(embedding[i]), 6) AS DOUBLE) AS centroid
+FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the class means IVF/k-means seeds
+    from, and the monitoring statistic for embedding drift).  The array
+    is exploded positionally and averaged per (label, dim): both stages
+    partial-aggregate map-side, so the shuffle carries one partial per
+    (label, dim, partition) — |labels|×dims×partitions rows — never the
+    corpus.  Output is (label, pos, centroid) rows: scalar columns (the
+    driver-hashable form), trivially pivotable back to vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("centroid"))
+        .orderBy("label", "pos")
+    )

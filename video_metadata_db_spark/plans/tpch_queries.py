@@ -166,3 +166,102 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     and divided once at the end; same text on the DuckDB oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_Q14_SQL)
+
+
+_Q6_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", oracle=_Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape via the SQL surface: the pure scan-and-aggregate
+    query — no join at all, so it isolates scan efficiency.
+
+    Plan notes at scale: ALL three predicates (shipdate range, discount
+    band, quantity cap) must reach the parquet scan as PushedFilters and
+    the ReadSchema must be exactly the 4 referenced columns — at 100 TB
+    this query is min/max-stat row-group pruning plus a columnar sum;
+    any plan that reads more is wrong.  DECIMAL sum, cast at the
+    boundary; same text on the DuckDB oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS c_acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape via the SQL surface: who returned the most value
+    in a quarter — fact⋈dims join, group by customer, top-20.
+
+    Plan notes at scale: the returnflag and orderdate predicates push to
+    their scans (a quarter of orders, a third of lineitem survive);
+    nation broadcasts; the top-20 is TakeOrderedAndProject over the
+    grouped frame, never a global sort.  Revenue is rounded to 2dp on
+    BOTH engines before ranking and ties break on c_custkey, so the
+    LIMIT boundary is deterministic cross-engine."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the order-count histogram over customers —
+    double aggregation with a LEFT join so zero-order customers keep
+    their c_count=0 bucket (COUNT over the null-extended side counts
+    non-null keys only, matching the SQL semantics exactly).
+
+    Plan notes at scale: one shuffle on custkey for join+first
+    aggregate (AQE reuses the exchange), then the second aggregate's
+    input is |customers| rows pre-shrunk to |distinct counts| by
+    map-side partials — the histogram shuffle is trivially small."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
