@@ -106,6 +106,39 @@ def test_contamination_broadcasts_benchmark_grams(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q6_pushes_all_predicates_and_prunes(spark):
+    """Q6 is pure scan+aggregate: all three predicates must reach the
+    parquet scan and ReadSchema must be only the 4 referenced columns —
+    at 100 TB this query IS row-group pruning plus a columnar sum."""
+    p = plan_of(spark, "q6_forecast_revenue")
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in p, f"{col} predicate must push to the scan"
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity" in p
+    assert "l_orderkey" not in p, "unreferenced columns must be pruned"
+    assert "l_returnflag" not in p
+
+
+def test_shuffle_global_order_has_no_global_window(spark):
+    """The epoch-shuffle rank must be the distributed two-pass form:
+    row-level windows partitioned on the range bucket (_pid), offsets
+    broadcast back — never a single-reducer global row_number."""
+    p = plan_of(spark, "shuffle_global_order")
+    assert "hashpartitioning(_pid" in p, "row window must partition on the range bucket"
+    assert "BroadcastHashJoin" in p, "per-bucket offsets must broadcast"
+    assert "SortMergeJoin" not in p
+
+
+def test_chunk_sliding_tokens_is_shuffle_free(spark):
+    """Chunking is embarrassingly parallel: scan → generate → project.
+    The only exchange allowed is the presentation ORDER BY's range
+    partitioner — no hash shuffle, no join anywhere."""
+    p = plan_of(spark, "chunk_sliding_tokens")
+    assert "hashpartitioning" not in p
+    assert "Join" not in p
+    assert p.count("rangepartitioning") == 1
+
+
 def test_window_frames_single_hash_exchange(spark):
     """All four frames in window_frames partition on user_id, so the
     plan must contain exactly ONE hash exchange (the RANGE frame's
