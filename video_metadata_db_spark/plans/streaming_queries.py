@@ -229,3 +229,42 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
         .orderBy("l_event_id", "r_event_id")
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment,
+       round(e.value, 6) AS value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('view', 'click', 'purchase')
+ORDER BY e.event_id
+""",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment under a REAL AvailableNow run: the
+    event stream joined to a STATIC dimension (customer segment) — the
+    canonical production lookup-join.  No watermark is needed: the
+    static side is re-resolved per micro-batch and holds no state.
+
+    At scale the static side broadcasts (explicit hint here — per-batch
+    rebuild of a small dim hash map), so the stream never shuffles; a
+    dim too big to broadcast would instead be a shuffled join per batch
+    and usually argues for pre-denormalizing the stream at ingest."""
+    work = tempfile.mkdtemp(prefix="vmdb_senrich_")
+    events = load_table(spark, sf_dir, "events")
+    events.filter(F.col("event_type").isin("view", "click", "purchase")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{work}/src")
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = file_stream(spark, f"{work}/src", events.schema)
+    enriched = stream.join(F.broadcast(customers), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "c_mktsegment",
+        F.round("value", 6).alias("value"),
+    )
+    return run_available_now(enriched, f"{work}/cp").orderBy("event_id")
