@@ -14,7 +14,8 @@ from .dedup import (
     tokens_of,
 )
 from .membership import bloom_prefiltered_new_keys, build_bloom
-from .packing import pack_blocks, sequence_offsets
+from .metrics import observe_dead_letter, observe_stage
+from .packing import global_row_number, pack_blocks, sequence_offsets
 from .multimodal import (
     extract_features,
     resize_images,
@@ -46,8 +47,11 @@ __all__ = [
     "ffprobe_args",
     "ffprobe_available",
     "filter_candidates",
+    "global_row_number",
     "join_sidecars",
     "lsh_candidate_pairs",
+    "observe_dead_letter",
+    "observe_stage",
     "merge_metadata_dbs",
     "minhash_lsh_dedup",
     "minhash_signatures",

@@ -29,7 +29,7 @@ closure to the same min-reachable-id labels) value-checks it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -76,23 +76,28 @@ def connected_components(
         ),
         checkpoint_mode,
     )
-    labels = _cut(vertices.withColumn("comp", F.col("v")), checkpoint_mode)
-
     # labels only ever DECREASE, so Σcomp strictly decreases until the
     # fixpoint — a one-aggregate convergence test instead of a
-    # new-vs-old join (saves a shuffle + job per round)
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    # new-vs-old join.  The aggregate rides the checkpoint
+    # materialization itself via ``observe`` (CollectMetrics merges
+    # per-task partials during the SAME job that writes the cut), so
+    # every round is exactly ONE job — no second pass, even a cheap
+    # one, over the labels.
+    def cut_with_sum(frame: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        cut = _cut(frame.observe(obs, F.sum("comp").alias("s")), checkpoint_mode)
+        return cut, obs.get["s"]
+
+    labels, prev_sum = cut_with_sum(vertices.withColumn("comp", F.col("v")))
     for _ in range(max_iter):
         # no broadcast hints: labels can be billions of rows at corpus
         # scale — AQE turns these into broadcast joins at runtime
         # whenever the side is actually small
-        new_labels = _cut(
+        new_labels, new_sum = cut_with_sum(
             sym.join(labels, sym["a"] == labels["v"])
             .groupBy(F.col("b").alias("v"))
-            .agg(F.min("comp").alias("comp")),
-            checkpoint_mode,
+            .agg(F.min("comp").alias("comp"))
         )
-        new_sum = new_labels.agg(F.sum("comp")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
             return labels.select(F.col("v").alias("doc"), F.col("comp").alias("component"))
@@ -146,12 +151,25 @@ def connected_components_star(
     keep label propagation for near-dup graphs whose diameter is known
     to be tiny — fewer fixed per-round costs.
     """
-    e = _cut(
+    def cut_with_checksum(frame: DataFrame) -> tuple[DataFrame, tuple]:
+        # edge-set checksum (count + order-independent hash sum) rides
+        # the checkpoint job via observe — one job per round, no second
+        # pass for convergence detection
+        obs = Observation()
+        observed = frame.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
+        )
+        cut = _cut(observed, checkpoint_mode)
+        m = obs.get
+        return cut, (m["n"], m["s"])
+
+    e, prev = cut_with_checksum(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-        .distinct(),
-        checkpoint_mode,
+        .distinct()
     )
     vertices = _cut(
         e.select(F.col("u").alias("x"))
@@ -159,15 +177,6 @@ def connected_components_star(
         .distinct(),
         checkpoint_mode,
     )
-
-    def checksum(df: DataFrame) -> tuple:
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
-        ).collect()[0]
-        return row["n"], row["s"]
-
-    prev = checksum(e)
     for _ in range(max_rounds):
         # large-star over the symmetric view: (nbr, min-of-neighborhood)
         # for every strictly-larger neighbor
@@ -193,13 +202,11 @@ def connected_components_star(
             .filter(F.col("a") != F.col("b"))
             .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-        e = _cut(
+        e, cur = cut_with_checksum(
             sm.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct(),
-            checkpoint_mode,
+            .distinct()
         )
-        cur = checksum(e)
         if cur == prev:
             break
         prev = cur
