@@ -1,0 +1,181 @@
+"""Time-series operators: regular-grid resampling with forward fill,
+and sequential funnel analysis — both value-oracled.
+
+The reference's events are file timestamps; a metadata lake's analytics
+layer needs the time-series shapes OLAP engines ship as extensions
+(gap filling / LOCF, ordered-event funnels).  Both are expressed as
+compositions of built-in DataFrame ops — no UDF, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "resample_forward_fill",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, max_by(value, ts) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id,
+         min(date_trunc('hour', ts)) AS s,
+         max(date_trunc('hour', ts)) AS e
+  FROM events GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(s, e, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+)
+SELECT g.user_id AS user_id,
+       g.grid_ts,
+       round(last_value(h.v IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.grid_ts), 6) AS value_ffill,
+       CAST(h.v IS NOT NULL AS BOOLEAN) AS observed
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.grid_ts = h.h
+ORDER BY g.user_id, g.grid_ts
+""",
+)
+def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with LOCF (last observation carried
+    forward): each user's irregular event values become a dense hourly
+    series over their active span — the gap-filling / hypertable-rollup
+    shape time-series engines ship natively.
+
+    Three steps, all built-in: (1) hourly downsample = one aggregation
+    (``max_by(value, ts)`` keeps the latest observation per bucket);
+    (2) grid generation = per-user ``explode(sequence(...))``, no
+    cross-join against a calendar table; (3) fill = ``last(value,
+    ignorenulls=True)`` over an unbounded-preceding per-user window.
+    Every shuffle keys on user_id, so AQE reuses one exchange; the
+    window is per-user, never global.  At 100 TB the grid explodes
+    proportionally to Σ per-user spans — bound it with the span filter,
+    not a post-filter."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            F.col("user_id").alias("h_uid"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "value",
+        )
+        .groupBy("h_uid", "h")
+        .agg(F.max_by("value", "ts").alias("v"))
+    )
+    bounds = events.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("s"),
+        F.date_trunc("hour", F.max("ts")).alias("e"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(s, e, interval 1 hour)")).alias("grid_ts"),
+    )
+    fill_w = (
+        Window.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(
+            hourly,
+            (grid["user_id"] == hourly["h_uid"]) & (grid["grid_ts"] == hourly["h"]),
+            "left",
+        )
+        .select(
+            "user_id",
+            "grid_ts",
+            F.round(F.last("v", ignorenulls=True).over(fill_w), 6).alias(
+                "value_ffill"
+            ),
+            F.col("v").isNotNull().alias("observed"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH base AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+)
+SELECT b.user_id AS user_id, v.t_view, c.t_click, p.t_purchase,
+       CASE WHEN p.t_purchase IS NOT NULL THEN 3
+            WHEN c.t_click IS NOT NULL THEN 2
+            WHEN v.t_view IS NOT NULL THEN 1
+            ELSE 0 END AS stage
+FROM base b
+LEFT JOIN v ON b.user_id = v.user_id
+LEFT JOIN c ON b.user_id = c.user_id
+LEFT JOIN p ON b.user_id = p.user_id
+ORDER BY b.user_id
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-event funnel (view → click → purchase): per user, the
+    first view, the first click AFTER that view, the first purchase
+    AFTER that click, and the stage reached — the product-analytics
+    query whose sequential "after the previous stage" constraint plain
+    grouping can't express.
+
+    Three aggregations chained by two joins, every one keyed on
+    user_id — a single exchange reused throughout under AQE; each
+    stage's frame shrinks (only users who passed the previous stage),
+    so later joins ride broadcast at any corpus size where conversion
+    decays."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("user_id").distinct()
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        base.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .when(F.col("t_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+        )
+        .orderBy("user_id")
+    )
