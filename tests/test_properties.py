@@ -218,3 +218,67 @@ def test_shingles_match_model(spark, texts, k):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [r[0] for r in df.select(shingles_of(F.col("text"), k)).collect()]
     assert got == [model_shingles(t, k) for t in texts]
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.sampled_from([1, 3, 8, 50]),
+)
+def test_global_row_number_matches_sorted_model(spark, rows, num_ranges):
+    """Distributed rank == Python sorted() rank for arbitrary
+    (colliding-key, unique-tiebreak) inputs across bucket widths,
+    including more buckets than rows."""
+    from video_metadata_db_spark.operators.packing import global_row_number
+
+    df = spark.createDataFrame(rows, "k long, id long")
+    got = {
+        r["id"]: r["position"]
+        for r in global_row_number(df, "k", "id", num_ranges=num_ranges).collect()
+    }
+    expect = {t[1]: i for i, t in enumerate(sorted(rows))}
+    assert got == expect
+
+
+@SETTINGS
+@given(st.lists(_texts, min_size=8, max_size=8))
+def test_sliding_chunks_match_model(spark, texts):
+    """The chunk generator (explode(sequence) + slice, window 4 stride
+    2 here) == the direct Python model: chunk starts tile [0, n) by the
+    stride, every chunk carries min(size, n-start) tokens, and token
+    content round-trips exactly."""
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    from video_metadata_db_spark.operators.dedup import tokens_of
+
+    toked = df.select("doc_id", tokens_of(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    out = toked.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(2))).alias("start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "start",
+        F.least(F.lit(4), F.col("n") - F.col("start")).alias("chunk_len"),
+        F.slice("toks", F.col("start") + 1, 4).alias("chunk"),
+    )
+    got = {
+        (r["doc_id"], r["start"]): (r["chunk_len"], tuple(r["chunk"]))
+        for r in out.collect()
+    }
+    expect = {}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        for start in range(0, len(toks), 2):
+            expect[(doc_id, start)] = (
+                min(4, len(toks) - start),
+                tuple(toks[start : start + 4]),
+            )
+    assert got == expect
