@@ -53,10 +53,13 @@ HEADLINE = [
     "text_metrics",
     "pack_sequences",
     # round-4 additions: distributed global rank, JVM-side chunk
-    # generator, and the pure scan-and-aggregate TPC-H shape
+    # generator, the pure scan-and-aggregate TPC-H shape, and the
+    # time-series family (grid fill + funnel)
     "shuffle_global_order",
     "chunk_sliding_tokens",
     "q6_forecast_revenue",
+    "resample_forward_fill",
+    "funnel_conversion",
 ]
 
 REPEATS = 2

@@ -1,0 +1,61 @@
+"""Compaction and sort-clustered rewrite: fewer files, disjoint ranges."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.sources.maintenance import compact_parquet, input_bytes
+from video_metadata_db_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fragment(spark, tmp_path, n_files: int = 48) -> str:
+    src = str(tmp_path / "fragmented")
+    load_table(spark, SF, "events").repartition(n_files).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == n_files
+    return src
+
+
+def test_compact_reduces_file_count_and_keeps_rows(spark, tmp_path):
+    src = _fragment(spark, tmp_path)
+    out_dir = str(tmp_path / "compacted")
+    target = max(1, input_bytes(spark, src) // 2)  # aim for ~2 files
+    back = compact_parquet(spark, src, out_dir, target_bytes=target)
+    files = glob.glob(f"{out_dir}/part-*.parquet")
+    assert 1 <= len(files) <= 4
+    src_rows = sorted(map(tuple, spark.read.parquet(src).collect()))
+    assert sorted(map(tuple, back.collect())) == src_rows
+
+
+def test_clustered_compaction_yields_disjoint_key_ranges(spark, tmp_path):
+    """With sort_col, every output file owns a disjoint event_id range —
+    checked against the actual parquet footer min/max stats, the
+    mechanism file-level pruning relies on."""
+    src = _fragment(spark, tmp_path)
+    out_dir = str(tmp_path / "clustered")
+    target = max(1, input_bytes(spark, src) // 4)  # aim for ~4 files
+    back = compact_parquet(spark, src, out_dir, target_bytes=target, sort_col="event_id")
+    files = sorted(glob.glob(f"{out_dir}/part-*.parquet"))
+    assert len(files) >= 3
+
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("event_id")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, prev_hi), (next_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi < next_lo, f"overlapping file ranges: {ranges}"
+
+    n = back.count()
+    assert n == spark.read.parquet(src).count()
+    # and a key-range filter is satisfiable from a strict subset of files
+    probe_hi = ranges[0][1]
+    hits = back.filter(F.col("event_id") <= probe_hi).count()
+    assert 0 < hits < n
