@@ -300,3 +300,48 @@ def test_probe_videos_fields_narrow_schema(spark):
 
     with _pytest.raises(KeyError):
         probe_videos(listing, fields=("nope",))
+
+
+def test_corrupt_json_ingest_dead_letters(spark, tmp_path):
+    """Malformed ingest rows must become dead-letter rows, not job
+    failures (§2.9 at the SOURCE boundary): PERMISSIVE json reading
+    routes unparseable lines to columnNameOfCorruptRecord, the same
+    split-on-error contract the probe stage uses."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "ingest.jsonl"
+    src.write_text(
+        '{"path": "/v/a.mkv", "bytes": 10}\n'
+        "{not json at all\n"
+        '{"path": "/v/b.mkv", "bytes": 20}\n'
+        '{"path": "/v/c.mkv", "bytes": "NaNope"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("bytes", T.LongType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    # cache the parsed frame: Spark disallows queries that reference
+    # ONLY the corrupt-record column of a raw scan (SPARK-21610) — the
+    # documented pattern is parse-once, cache, then split
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(str(src))
+        .cache()
+    )
+    try:
+        good = df.filter(F.col("_bad").isNull()).select("path", "bytes")
+        dead = df.filter(F.col("_bad").isNotNull()).select("_bad")
+        assert {(r["path"], r["bytes"]) for r in good.collect()} == {
+            ("/v/a.mkv", 10),
+            ("/v/b.mkv", 20),
+        }
+        bad_rows = [r["_bad"] for r in dead.collect()]
+        assert len(bad_rows) == 2 and any("not json" in b for b in bad_rows)
+    finally:
+        df.unpersist()
