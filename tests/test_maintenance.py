@@ -59,3 +59,22 @@ def test_clustered_compaction_yields_disjoint_key_ranges(spark, tmp_path):
     probe_hi = ranges[0][1]
     hits = back.filter(F.col("event_id") <= probe_hi).count()
     assert 0 < hits < n
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A lake directory whose batches disagree on schema (a column was
+    added later) must read as the UNION schema with nulls backfilled —
+    mergeSchema is the ingest-evolution contract; without it the scan
+    silently picks one footer's schema."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a.mkv")], "file_id long, path string"
+    ).write.parquet(f"{base}/batch=1")
+    spark.createDataFrame(
+        [(2, "b.mkv", 720)], "file_id long, path string, height int"
+    ).write.parquet(f"{base}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"file_id", "path", "height", "batch"}
+    rows = {r["file_id"]: (r["path"], r["height"]) for r in merged.collect()}
+    assert rows == {1: ("a.mkv", None), 2: ("b.mkv", 720)}
