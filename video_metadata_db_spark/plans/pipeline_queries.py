@@ -239,3 +239,44 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, round(value, 6) AS value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey < 100)
+UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+ORDER BY l_orderkey, l_linenumber, metric
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot``, SQL UNPIVOT): one row
+    per (line item, measure) — the metrics-table form monitoring and
+    ML-feature pipelines consume.  The inverse of ``pivot_status``;
+    together they close the reshape pair.  Unpivot is a row-local
+    Expand (each row emits |measures| rows, no shuffle) — the plan is
+    scan → expand → sort, nothing else."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+        )
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "raw",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("raw", 6).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
