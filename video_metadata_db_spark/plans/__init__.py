@@ -57,14 +57,17 @@ CHECKED_FIRST = [
     "split_train_val_test",
     # reference formatters
     "fmt_scalars",
-    # text analysis
+    # text analysis (pii_redact + repetition stay oracle-tested in
+    # tests/ — their slots went to the round-4 time-series family so
+    # every family keeps at least one hard driver row)
     "text_metrics",
     "text_fingerprint",
-    "text_pii_redact",
-    "text_repetition",
     "filter_length_percentile",
     "filter_quality_rules",
     "contamination_check",
+    # time series
+    "resample_forward_fill",
+    "funnel_conversion",
     # dedup (ngram_jaccard + embedding_cosine stay oracle-tested in
     # tests/ — their window slots went to pack_sequences / stream_dedup
     # in round 4 so the flagship scale work gets hard driver signal)
