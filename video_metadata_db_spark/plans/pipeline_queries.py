@@ -280,3 +280,49 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+@query(
+    "length_percent_rank",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(percent_rank() OVER (ORDER BY n_tokens), 6) AS pct_rank
+FROM w
+ORDER BY doc_id
+""",
+)
+def q_length_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-relative percent_rank of document length — the
+    normalization step behind percentile filters and curriculum
+    schedules.  ``percent_rank() OVER (ORDER BY ...)`` is a
+    single-reducer global window; here it is decomposed exactly:
+    aggregate to (value, count) — tiny, one shuffle — run the
+    deterministic prefix sum over the VALUE HISTOGRAM (start_offset =
+    #rows strictly below, which is precisely SQL rank-1, tie-correct by
+    construction), then broadcast-join ranks back to the corpus.  The
+    corpus itself never passes through a window or a sort."""
+    from ..operators.packing import sequence_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    counts = w.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    offs = sequence_offsets(
+        counts, order_col="n_tokens", weight_col="cnt", num_ranges=32
+    )
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    ranks = offs.crossJoin(F.broadcast(total)).select(
+        "n_tokens",
+        F.round(
+            F.col("start_offset") / F.greatest(F.col("_total") - 1, F.lit(1)), 6
+        ).alias("pct_rank"),
+    )
+    return (
+        w.join(F.broadcast(ranks), "n_tokens")
+        .select("doc_id", "n_tokens", "pct_rank")
+        .orderBy("doc_id")
+    )
