@@ -265,3 +265,116 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         EXTRACT(year FROM l.l_shipdate) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_SQL)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape via the SQL surface: bilateral trade volume
+    between two nations by ship year.
+
+    Plan notes at scale: the nation-pair disjunction filters BOTH
+    broadcast nation dims before the fact join, so only qualifying
+    supplier/customer rows reach the two fact shuffles
+    (lineitem⋈orders on orderkey); the year extraction is
+    post-aggregation-key, not a scan predicate, but the shipdate range
+    IS pushed.  DECIMAL volume, cast at the boundary."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                  / SUM(volume), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l.l_discount AS DECIMAL(18,2)) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND p.p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape via the SQL surface: one nation's share of PROMO
+    part revenue in a region, by order year — the 8-table join with a
+    conditional-sum ratio.
+
+    Plan notes at scale: part (filtered to PROMO) and every
+    nation/region dim broadcast; lineitem⋈orders is the single big
+    shuffle; numerator and denominator are one conditional aggregate
+    pass (never two scans).  The orderdate range pushes into the orders
+    scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+_Q19_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_matched
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)
+"""
+
+
+@query("q19_discounted_revenue", oracle=_Q19_SQL)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape via the SQL surface: the OR-of-ANDs predicate
+    stress — three brand/quantity/size bands unioned by OR across the
+    join boundary.
+
+    Plan notes at scale: Catalyst factors the common `p_partkey` join
+    out of the disjunction (one broadcast hash join, the OR evaluated
+    as a post-join filter with the part-only conjuncts ALSO pushed to
+    the part scan) — the naive plan would union three joins.  A
+    single-row aggregate output, so the whole query is one pass over
+    lineitem."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q19_SQL)
