@@ -282,8 +282,9 @@ FROM (
   JOIN customer c ON c.c_custkey = o.o_custkey
   JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+    AND n1.n_name <> n2.n_name
     AND l.l_shipdate >= TIMESTAMP '1996-01-01'
     AND l.l_shipdate < TIMESTAMP '1998-01-01'
 ) shipping
@@ -297,8 +298,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape via the SQL surface: bilateral trade volume
     between two nations by ship year.
 
-    Plan notes at scale: the nation-pair disjunction filters BOTH
-    broadcast nation dims before the fact join, so only qualifying
+    Plan notes at scale: the nation-set predicates filter BOTH
+    broadcast nation dims before the fact join (the pair inequality
+    survives as a cheap post-join filter), so only qualifying
     supplier/customer rows reach the two fact shuffles
     (lineitem⋈orders on orderkey); the year extraction is
     post-aggregation-key, not a scan predicate, but the shipdate range
