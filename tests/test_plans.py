@@ -139,6 +139,26 @@ def test_chunk_sliding_tokens_is_shuffle_free(spark):
     assert p.count("rangepartitioning") == 1
 
 
+def test_q19_single_join_despite_disjunction(spark):
+    """Catalyst must factor the common p_partkey equi-join out of the
+    OR-of-ANDs — ONE broadcast join with the disjunction as a filter,
+    never a union of three joins or a nested loop."""
+    p = plan_of(spark, "q19_discounted_revenue")
+    # formatted plans print each node twice (tree + detail), so ONE
+    # join node shows as exactly one "BroadcastHashJoin Inner" tree line
+    assert p.count("BroadcastHashJoin Inner") == 1
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Union" not in p
+
+
+def test_q8_all_dims_broadcast(spark):
+    """The 8-table market-share join must broadcast every dimension —
+    the only shuffle-worthy join is lineitem⋈orders."""
+    p = plan_of(spark, "q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 6
+    assert "CartesianProduct" not in p
+
+
 def test_window_frames_single_hash_exchange(spark):
     """All four frames in window_frames partition on user_id, so the
     plan must contain exactly ONE hash exchange (the RANGE frame's
