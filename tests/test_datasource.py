@@ -78,3 +78,44 @@ def test_video_listing_prune_off_lists_filtered_dirs(spark, tmp_path):
     )
     names = {r["name"] for r in df.collect()}
     assert "junk.mkv" in names
+
+
+def test_video_listing_stream_emits_only_new_files(spark, tmp_path):
+    """The streaming side IS the reference's update mode: run once
+    (full library), add files, run again against the SAME checkpoint —
+    the second batch must contain exactly the additions, driven by the
+    checkpointed path-set offset instead of the reference's TSV
+    membership probe."""
+    from video_metadata_db_spark.sources.datasource import VideoListingDataSource
+
+    spark.dataSource.register(VideoListingDataSource)
+    root = _media_tree(tmp_path)
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "ingested")
+
+    def drain() -> set:
+        # parquet sink: the recoverable production sink (memory sink
+        # cannot resume from a checkpoint)
+        q = (
+            spark.readStream.format("video_listing")
+            .option("path", root)
+            .option("volume", "V")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["name"] for r in spark.read.parquet(out).collect()}
+
+    first = drain()
+    assert first == {"a.mkv", "b.mp4", "c.avi", "loose.mkv"}
+
+    (tmp_path / "media" / "movies" / "new1.mkv").write_bytes(b"z" * 4)
+    (tmp_path / "media" / "shows" / "new2.avi").write_bytes(b"z" * 4)
+    cumulative = drain()
+    assert cumulative == first | {"new1.mkv", "new2.avi"}
+    # exactly-once: a third drain with NO new files must append nothing
+    assert drain() == cumulative

@@ -23,7 +23,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from ..schemas import LISTING_SCHEMA
@@ -99,8 +104,54 @@ def _walk_shallow(full: str, volume: str) -> Iterator[tuple]:
     )
 
 
+class VideoListingStreamReader(SimpleDataSourceStreamReader):
+    """Continuous-ingest listing: the reference's ``-u`` update mode
+    (video_metadata_db.py:403-460 — rescan, anti-join against the
+    existing db, append the new files) as a STREAMING SOURCE.  The
+    offset is the set of paths already emitted, so each micro-batch
+    delivers exactly the files that appeared since the last one —
+    Spark's checkpoint persists the offset, replacing the reference's
+    mmap'd TSV membership probe.
+
+    The path-set offset is exact but grows with the library (fine for
+    a media catalog: offsets hold paths, not data).  A mtime-watermark
+    offset would be O(1) but misses same-timestamp late arrivals —
+    exactness is the point of update mode, so the set wins here.
+    """
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("video_listing requires .option('path', <dir>)")
+        self.volume = options.get("volume", "")
+        self.prune = str(options.get("prune", "true")).lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _listing(self) -> dict[str, tuple]:
+        from ..sources.listing import _walk_one
+
+        return {row[0]: row for row in _walk_one(self.root, self.volume, self.prune)}
+
+    def read(self, start: dict):
+        current = self._listing()
+        seen = set(start.get("seen", []))
+        fresh = [row for path, row in sorted(current.items()) if path not in seen]
+        end = {"seen": sorted(current.keys() | seen)}
+        return iter(fresh), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: everything in end's set but not start's
+        seen = set(start.get("seen", []))
+        current = self._listing()
+        wanted = [p for p in end.get("seen", []) if p not in seen]
+        return iter([current[p] for p in wanted if p in current])
+
+
 class VideoListingDataSource(DataSource):
-    """``format("video_listing")`` — partition-parallel directory scan."""
+    """``format("video_listing")`` — partition-parallel directory scan
+    (batch) and exactly-once new-file ingest (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -111,3 +162,6 @@ class VideoListingDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return VideoListingReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return VideoListingStreamReader(self.options)
