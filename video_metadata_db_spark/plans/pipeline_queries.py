@@ -119,11 +119,16 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_keep_best",
     oracle="""
-WITH keyed AS (
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'src0', text FROM documents WHERE doc_id % 10 = 0
+),
+keyed AS (
   SELECT doc_id,
          CAST(substr(source, 4) AS INT) AS priority,
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_key
-  FROM documents
+  FROM corpus
 ),
 ranked AS (
   SELECT text_key, doc_id, priority,
@@ -140,14 +145,26 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source priority dedup: among exact duplicates (normalized
     text hash), keep the copy from the MOST trusted source (lowest
     numeric suffix; tie → lowest doc_id) — the policy step after exact
-    dedup when sources have a quality ordering.  One hash shuffle; the
-    winner is a single ``min(struct(priority, doc_id))`` aggregate
-    (structs compare lexicographically), not a row_number window — so
-    the reduce is partial-aggregatable map-side, and a hot key (a
-    boilerplate page duplicated millions of times) never builds a
-    window partition."""
+    dedup when sources have a quality ordering.
+
+    The synthetic corpus has no cross-source duplicates, so every 10th
+    doc is re-ingested under top-priority 'src0' (mirrored in the
+    oracle) — the selection logic provably FIRES: re-ingested copies
+    win their group except where the original is itself src0 and the
+    doc-id tiebreak keeps it.  One hash shuffle; the winner is a single
+    ``min(struct(priority, doc_id))`` aggregate (structs compare
+    lexicographically), not a row_number window — so the reduce is
+    partial-aggregatable map-side, and a hot key (a boilerplate page
+    duplicated millions of times) never builds a window partition."""
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.lit("src0").alias("source"),
+            "text",
+        )
+    )
+    keyed = corpus.select(
         "doc_id",
         F.substring("source", 4, 10).cast("int").alias("priority"),
         F.md5(normalize_text(F.col("text"))).alias("text_key"),
