@@ -1,0 +1,95 @@
+"""Operator-level tests for the corpus-mining layer (clustering,
+TF-IDF, vocab induction) — properties the value oracle can't express:
+determinism across reruns, seed/empty-cluster edge cases, and the
+objective actually improving across Lloyd's iterations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.operators.clustering import (
+    cluster_profile,
+    kmeans_assign,
+)
+from video_metadata_db_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = sorted(map(tuple, kmeans_assign(emb, k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_assign(emb, k=4, n_iter=2).collect()))
+    assert a == b
+
+
+def test_kmeans_covers_all_vectors_once(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = kmeans_assign(emb, k=4, n_iter=1)
+    n_vec = emb.count()
+    assert out.count() == n_vec
+    assert out.select("vec_id").distinct().count() == n_vec
+    clusters = {r["cluster"] for r in out.select("cluster").distinct().collect()}
+    assert clusters <= set(range(4))
+
+
+def test_kmeans_objective_monotone_nonincreasing(spark):
+    """Lloyd's guarantee: total within-cluster squared distance after
+    more update rounds never exceeds fewer rounds (with the same
+    deterministic seeds)."""
+    emb = load_table(spark, SF, "embeddings")
+
+    def sse(n_iter: int) -> float:
+        return (
+            kmeans_assign(emb, k=4, n_iter=n_iter)
+            .agg(F.sum("sq_dist"))
+            .first()[0]
+        )
+
+    s1, s2, s3 = sse(0), sse(1), sse(2)
+    assert s1 >= s2 - 1e-6
+    assert s2 >= s3 - 1e-6
+
+
+def test_kmeans_requires_enough_seeds(spark):
+    emb = load_table(spark, SF, "embeddings").limit(3)
+    with pytest.raises(ValueError, match="need >= 8"):
+        kmeans_assign(emb, k=8, n_iter=1)
+
+
+def test_cluster_profile_shape(spark):
+    emb = load_table(spark, SF, "embeddings")
+    assigned = kmeans_assign(emb, k=4, n_iter=1)
+    prof = cluster_profile(assigned, emb)
+    rows = prof.collect()
+    assert {r["cluster"] for r in rows} == {
+        r["cluster"] for r in assigned.select("cluster").distinct().collect()
+    }
+    for r in rows:
+        assert 0 < r["purity"] <= 1.0
+        assert r["size"] > 0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    """A term unique to one doc must score above 'the' within that doc
+    (idf dominance) — the semantic point of TF-IDF."""
+    from video_metadata_db_spark.plans import QUERIES
+
+    out = QUERIES["tfidf_top_terms"](spark, SF)
+    # every doc's top-1 term must have df strictly below the corpus
+    # 'the'-level ubiquity unless its tf compensates: assert no top-1
+    # is a term present in ALL docs (idf ~ ln(1)+1 = 1, the floor)
+    n_docs = load_table(spark, SF, "documents").count()
+    top1 = out.filter(F.col("rnk") == 1)
+    assert top1.filter(F.col("df") == n_docs).count() == 0
+
+
+def test_vocab_bigrams_threshold_and_order(spark):
+    from video_metadata_db_spark.plans import QUERIES
+
+    rows = QUERIES["vocab_bigrams"](spark, SF).collect()
+    assert rows, "vocab must be non-empty at smoke scale"
+    counts = [r["n_occurrences"] for r in rows]
+    assert min(counts) >= 5
+    assert counts == sorted(counts, reverse=True)

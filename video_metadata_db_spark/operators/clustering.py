@@ -1,0 +1,129 @@
+"""Distributed k-means over the embedding column — semantic clustering.
+
+The semantic-dedup / data-mixture recipe for pretraining corpora
+(SemDeDup, and the cluster-balanced sampling in most data-curation
+stacks) needs vectors grouped by meaning: cluster the embedding space,
+then dedup/sample WITHIN clusters.  This is Lloyd's algorithm with
+Spark doing the heavy half:
+
+- **assignment** (the corpus-sized pass) is pure Catalyst: per-row
+  squared-L2 against k broadcast centroid literals via
+  ``zip_with``/``aggregate`` folds — whole-stage codegen, no Python,
+  no shuffle;
+- **update** is one tiny shuffle: ``posexplode`` to (cluster, dim)
+  pairs, mean per cell with map-side partials, and only k×dim doubles
+  ever reach the driver (same discipline as the quantile boundaries in
+  :mod:`.packing` — aggregates cross the driver boundary, row data
+  never does).
+
+Determinism contract (what makes the full DuckDB value-oracle
+possible): initial centroids are the vectors with the k smallest ids;
+per-iteration centroid means are rounded to ``round_dp`` decimals so
+the two engines' different partial-sum orders cannot leak into the
+next assignment (float drift ~1e-13 vs a 5e-7 rounding boundary);
+distance folds run strictly left-to-right on both sides; argmin ties
+break toward the lowest cluster id; an emptied cluster keeps its
+previous centroid.
+
+At 100 TB: k×dim literals broadcast with the plan (a few KB); each
+iteration is one corpus scan + one (k·dim)-cell aggregate.  Iteration
+count is fixed (standard for corpus curation — convergence-to-epsilon
+buys nothing over 5-10 fixed rounds); driver memory holds k×dim
+doubles regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist_to(vec: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 distance from ``vec`` to a literal centroid, folded
+    strictly left-to-right (bit-reproducible across engines)."""
+    arr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cluster every vector: (vec_id, cluster, sq_dist) after
+    ``n_iter`` Lloyd's updates from the deterministic seed centroids
+    (vectors with the ``k`` smallest ids).
+
+    ``sq_dist`` is the squared L2 distance to the FINAL centroid,
+    rounded to ``round_dp`` — the quantity semantic dedup thresholds
+    on (drop/sample far-from-centroid outliers, dedup near-centroid
+    crowds)."""
+    df = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # seed: k smallest ids — a driver action over k rows, not row data
+    seed_rows = df.orderBy("vec_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+    centroids: list[list[float]] = [list(r["v"]) for r in seed_rows]
+
+    def assign(frame: DataFrame) -> DataFrame:
+        dists = F.array(*[_sq_dist_to(F.col("v"), c) for c in centroids])
+        return frame.select(
+            "vec_id",
+            "v",
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
+            F.array_min(dists).alias("sq_dist"),
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(df)
+        # (cluster, dim) means: k*dim cells, map-side partial sums; the
+        # round_dp quantization is the cross-engine determinism fence
+        cells = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for row in cells:
+            by_cluster.setdefault(row["cluster"], {})[row["i"]] = row["m"]
+        centroids = [
+            [by_cluster[c][i] for i in range(len(centroids[c]))]
+            if c in by_cluster
+            else centroids[c]  # emptied cluster keeps its centroid
+            for c in range(k)
+        ]
+
+    return assign(df).select(
+        "vec_id", "cluster", F.round("sq_dist", round_dp).alias("sq_dist")
+    )
+
+
+def cluster_profile(assigned: DataFrame, emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-cluster rollup joined against labels — the sanity view a
+    curation run reports: size, mean distance, dominant label purity."""
+    joined = assigned.join(emb.select(id_col, "label"), on=id_col)
+    per_label = joined.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    top = per_label.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+        ),
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size"), F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist")
+    )
+    return (
+        sizes.join(top.filter(F.col("rn") == 1).select("cluster", F.col("label").alias("top_label"), "n"), "cluster")
+        .withColumn("purity", F.round(F.col("n") / F.col("size"), 6))
+        .select("cluster", "size", "mean_sq_dist", "top_label", "purity")
+    )

@@ -1,0 +1,293 @@
+"""Corpus-mining queries: TF-IDF, unigram-LM scoring, vocabulary
+induction, and semantic (k-means) clustering — the statistics layer a
+training-data pipeline builds ON TOP of the filter/dedup stages.
+
+All four carry FULL DuckDB value oracles.  The float discipline that
+makes that possible:
+
+- counts and ratios of counts are exact (integer sums, one division);
+- transcendentals (``ln``) may differ by 1 ulp across libm builds, so
+  any ln-derived quantity is ROUNDED (6 dp before reuse, 4 dp at the
+  output boundary) — a 1e-16 disagreement cannot flip a 1e-6/1e-4
+  rounding unless the value sits within 1e-16 of the boundary;
+- k-means centroid means are re-quantized to 6 dp each iteration
+  (see :mod:`..operators.clustering`), so cross-engine partial-sum
+  order never leaks into the next assignment;
+- every ranking that feeds a LIMIT/filter orders by a total key
+  (score, then term/id) so boundary ties are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import tokens_of
+from ..sources.tables import load_table
+from .registry import query
+
+# ----------------------------------------------------------- TF-IDF ---
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * round(ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0, 6), 4)
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_SQL)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction /
+    relevance-weighting primitive (idf = smoothed ln((N+1)/(df+1))+1,
+    the sklearn convention).
+
+    Plan at scale: tf is one (doc, term) shuffle with map-side
+    combine; df aggregates the SAME tokenization from a second
+    column-pruned scan — deliberately NOT a persist of tf (a
+    corpus-sized cache entry that outlives the call; the same
+    scan-twice-cache-never trade as operators/packing.py — a real
+    pipeline materializes tf as a table once and builds both from it);
+    the corpus total is a one-row aggregate cross-joined in (broadcast
+    — never a driver action); df joins back to tf on term — the only
+    term-keyed shuffle, and stopword-ish hot terms are exactly what
+    AQE skew splitting absorbs.  The per-doc top-3 is a rank window
+    partitioned by doc — full parallelism, WindowGroupLimit prunes.
+    The idf is rounded to 6 dp BEFORE the tf multiply so a 1-ulp libm
+    difference in ``ln`` cannot reach the ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6)
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ----------------------------------------------- unigram LM scoring ---
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks),
+scored AS (
+  SELECT t.doc_id, round(-ln(f.cnt / (1.0 * tot.n_total)), 6) AS nll
+  FROM toks t JOIN freq f USING (term) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(AVG(nll), 4) AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("unigram_logprob_score", oracle=_UNIGRAM_SQL)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram LM — the cheap perplexity proxy used to rank docs for
+    quality-based sampling (low = typical prose, high = junk/outlier).
+
+    Plan at scale: term frequencies are one (term) aggregate; the
+    corpus re-joins on term (broadcast when the vocab is small, AQE
+    skew-split otherwise); the per-doc mean is a second aggregate on
+    doc_id.  Token probabilities are exact count ratios (identical
+    doubles on both engines); only the ``ln`` is transcendental, so
+    each token's NLL is rounded to 6 dp before averaging and the mean
+    to 4 dp at the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    nll = F.round(-F.log(F.col("cnt") / (1.0 * F.col("n_total"))), 6)
+    return (
+        toks.join(freq, "term")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------ vocab induction ----
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(t) - 1, 0) + 1),
+           i -> t[i] || ' ' || t[i + 1]
+         )) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n_occurrences
+FROM bg
+GROUP BY bigram
+HAVING COUNT(*) >= 5
+ORDER BY n_occurrences DESC, bigram
+LIMIT 200
+"""
+
+
+@query("vocab_bigrams", oracle=_VOCAB_SQL)
+def q_vocab_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-candidate induction: corpus-wide adjacent-pair (bigram)
+    occurrence counts with a min-frequency cutoff — one BPE-style merge
+    round, and the general vocabulary-building aggregate.
+
+    Plan at scale: bigrams are built INSIDE the row via one ``zip_with``
+    of the token array against its own shift (no self-join on
+    position), exploded, then a single map-side-combining count on the
+    bigram key; the HAVING floor drops the long tail before the
+    top-200, which runs as TakeOrderedAndProject.  Counts are integers
+    and the (count DESC, bigram) sort is total — the LIMIT boundary is
+    deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens_of(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.slice(
+        F.zip_with(
+            F.col("t"),
+            F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    return (
+        toks.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 5)
+        .orderBy(F.col("n_occurrences").desc(), "bigram")
+        .limit(200)
+    )
+
+
+# -------------------------------------------------- semantic k-means --
+
+_K = 8
+_DIM = 64
+_N_ITER = 2
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd's in DuckDB SQL mirroring kmeans_assign exactly:
+    seed = k smallest vec_ids; squared-L2 folded left-to-right via an
+    indexed list_sum; centroid cell means rounded to 6 dp; argmin ties
+    to the lowest cluster; emptied clusters keep their centroid."""
+    dist = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (e.v[i] - {c}.c[i]) * (e.v[i] - {c}.c[i])))"
+    )
+    assign = """
+a{n} AS (
+  SELECT vec_id, v, cluster, dist FROM (
+    SELECT e.vec_id, e.v, {cte}.cluster,
+           {d} AS dist,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d}, {cte}.cluster) AS rn
+    FROM e CROSS JOIN {cte}
+  ) WHERE rn = 1
+)"""
+    update = """
+m{n} AS (
+  SELECT cluster, i, round(avg(v[i]), 6) AS val
+  FROM a{n}, range(1, {dim} + 1) t(i)
+  GROUP BY cluster, i
+),
+u{n} AS (
+  SELECT cluster, list(val ORDER BY i) AS c FROM m{n} GROUP BY cluster
+),
+c{n} AS (
+  SELECT p.cluster, COALESCE(u{n}.c, p.c) AS c
+  FROM {prev} p LEFT JOIN u{n} ON p.cluster = u{n}.cluster
+)"""
+    parts = [
+        f"""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, v AS c FROM e
+  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {_K})
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, _N_ITER + 1):
+        d = dist.format(dim=_DIM, c=prev)
+        parts.append(assign.format(n=it, cte=prev, d=d))
+        parts.append(update.format(n=it, dim=_DIM, prev=prev))
+        prev = f"c{it}"
+    d = dist.format(dim=_DIM, c=prev)
+    parts.append(assign.format(n="_final", cte=prev, d=d))
+    return (
+        "WITH " + ",".join(parts)
+        + """
+SELECT vec_id, cluster, CAST(round(dist, 6) AS DOUBLE) AS sq_dist
+FROM a_final
+ORDER BY vec_id
+"""
+    )
+
+
+@query("kmeans_clusters", oracle=_kmeans_oracle())
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding table: 2 Lloyd's iterations
+    of k-means (k=8) from deterministic seeds, then the final
+    (vector → cluster, squared-distance) assignment — the grouping
+    stage of semantic dedup and cluster-balanced data mixing.
+
+    The corpus-sized assignment pass is pure codegen (zip_with +
+    aggregate folds against broadcast centroid literals); the update
+    is a k×dim-cell aggregate — see operators/clustering.py for the
+    full determinism contract that lets an UNROLLED DuckDB Lloyd's
+    verify every value."""
+    from ..operators.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=_K, n_iter=_N_ITER).orderBy("vec_id")
