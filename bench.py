@@ -60,6 +60,16 @@ HEADLINE = [
     "q6_forecast_revenue",
     "resample_forward_fill",
     "funnel_conversion",
+    # round-4 additions: the decorrelation-heavy TPC-H shapes (argmin
+    # self-join + double EXISTS self-join), the corpus-statistics
+    # layer, and the clustering / semantic-dedup flagships
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "vocab_bigrams",
+    "kmeans_clusters",
+    "dedup_semantic",
 ]
 
 REPEATS = 2

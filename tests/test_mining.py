@@ -93,3 +93,28 @@ def test_vocab_bigrams_threshold_and_order(spark):
     counts = [r["n_occurrences"] for r in rows]
     assert min(counts) >= 5
     assert counts == sorted(counts, reverse=True)
+
+
+def test_arrow_and_fold_near_dup_agree(spark):
+    """The Arrow (numpy matmul) and Catalyst (zip_with fold) scoring
+    paths must produce IDENTICAL rows — same neighbor, same 6-dp
+    cosine, same flag — on both the label and the k-means blocking."""
+    from video_metadata_db_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_arrow,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    for block in ("label",):
+        a = sorted(map(tuple, embedding_near_dup(emb, 0.5, block).collect()))
+        b = sorted(map(tuple, embedding_near_dup_arrow(emb, 0.5, block).collect()))
+        assert a == b and a
+
+
+def test_arrow_near_dup_singleton_blocks_emit_nothing(spark):
+    from video_metadata_db_spark.operators.similarity import embedding_near_dup_arrow
+
+    emb = load_table(spark, SF, "embeddings").limit(3).withColumn(
+        "blk", F.col("vec_id")  # every vector alone in its block
+    )
+    assert embedding_near_dup_arrow(emb, 0.5, "blk").count() == 0

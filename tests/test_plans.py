@@ -167,3 +167,62 @@ def test_window_frames_single_hash_exchange(spark):
     p = plan_of(spark, "window_frames")
     assert p.count("hashpartitioning(user_id") == 1, p[:2000]
     assert p.count("Window") >= 2, "both window specs must survive"
+
+
+def test_q2_argmin_broadcasts_dims_and_takeordered(spark):
+    """Q2's decorrelated argmin: the offers⋈best equality join and all
+    dims resolve to broadcast hash joins, and LIMIT 100 over the total
+    sort key runs as TakeOrderedAndProject, never a global sort."""
+    p = plan_of(spark, "q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS (with interval arithmetic in the
+    correlated predicate) must become a hash semi join — any fallback
+    to BroadcastNestedLoopJoin means the non-equi term displaced the
+    orderkey equality."""
+    p = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in p, "EXISTS must plan as a left-semi hash join"
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_exists_pair_stays_hash_joined(spark):
+    """Q21's EXISTS + NOT EXISTS self-joins both decorrelate to hash
+    semi/anti joins on the shared orderkey, and the top-100 is
+    TakeOrderedAndProject."""
+    p = plan_of(spark, "q21_waiting_supplier")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    p = plan_of(spark, "q16_parts_supplier_count")
+    assert "LeftAnti" in p, "NOT IN exclusion must be an anti join"
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_is_python_free(spark):
+    """The corpus-sized k-means assignment pass must stay in codegen:
+    no Arrow/Python evaluation operators anywhere in the plan — the
+    centroids ride as literals, so the only plan nodes are scan,
+    project, and the output sort."""
+    p = plan_of(spark, "kmeans_clusters")
+    assert "ArrowEvalPython" not in p
+    assert "BatchEvalPython" not in p
+    assert "mapInPandas" not in p
+    assert "Join" not in p, "assignment must not join — centroids are literals"
+
+
+def test_tfidf_doc_count_broadcasts(spark):
+    """The corpus-total scalar must ride in as a broadcast one-row
+    cross join (never a driver-side count action) and the per-doc
+    top-3 must prune through WindowGroupLimit."""
+    p = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in p, "one-row total should broadcast-cross-join"
+    assert "WindowGroupLimit" in p

@@ -36,7 +36,8 @@ CHECKED_FIRST = [
     "join_semi",
     "join_anti",
     "join_outer_counts",
-    "join_range_theta",
+    # join_range_theta stays oracle-tested in tests/ — its slot went to
+    # the round-4 semantic-dedup flagship (binned covers the range family)
     "join_range_binned",
     "join_asof_attribution",
     "join_salted_skew",
@@ -68,15 +69,17 @@ CHECKED_FIRST = [
     # time series
     "resample_forward_fill",
     "funnel_conversion",
-    # dedup (ngram_jaccard + embedding_cosine stay oracle-tested in
-    # tests/ — their window slots went to pack_sequences / stream_dedup
-    # in round 4 so the flagship scale work gets hard driver signal)
+    # dedup (ngram_jaccard, embedding_cosine + simhash_pairs stay
+    # oracle-tested in tests/ — simhash pair generation is exercised
+    # inside dedup_components; the freed slots carry the round-4
+    # clustering/semantic-dedup flagships)
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
     "dedup_components",
-    # similarity search
+    "dedup_semantic",
+    # similarity search / clustering
     "knn_cosine_topk",
+    "kmeans_clusters",
     # sequence packing (distributed prefix sum)
     "pack_sequences",
     # streaming
