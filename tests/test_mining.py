@@ -118,3 +118,49 @@ def test_arrow_near_dup_singleton_blocks_emit_nothing(spark):
         "blk", F.col("vec_id")  # every vector alone in its block
     )
     assert embedding_near_dup_arrow(emb, 0.5, "blk").count() == 0
+
+
+def test_kmeans_matches_pure_python_reference(spark):
+    """Third-implementation check: the distributed Lloyd's must equal a
+    sequential numpy reference run under the same determinism contract
+    (smallest-id seeds, left-to-right float64 sums via dtype, 6-dp
+    centroid rounding, lowest-cluster argmin ties)."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [i for i, _ in rows]
+    vecs = np.stack([v for _, v in rows])
+    k, n_iter = 5, 2
+    centroids = vecs[:k].copy()
+
+    def assign_ref(c):
+        # per-vector distances to each centroid; argmin ties -> lowest
+        d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = d.argmin(axis=1)
+        return cl, d[np.arange(len(ids)), cl]
+
+    for _ in range(n_iter):
+        cl, _ = assign_ref(centroids)
+        for c in range(k):
+            members = vecs[cl == c]
+            if len(members):
+                centroids[c] = np.round(members.mean(axis=0), 6)
+    cl, dist = assign_ref(centroids)
+    expected = {
+        ids[i]: (int(cl[i]), round(float(dist[i]), 6)) for i in range(len(ids))
+    }
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["sq_dist"])
+        for r in kmeans_assign(emb, k=k, n_iter=n_iter).collect()
+    }
+    assert len(got) == len(expected)
+    mismatches = {
+        i: (got[i], expected[i]) for i in expected
+        if got[i][0] != expected[i][0] or abs(got[i][1] - expected[i][1]) > 1e-6
+    }
+    assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"

@@ -83,25 +83,28 @@ def kmeans_assign(
             F.array_min(dists).alias("sq_dist"),
         )
 
+    dim = len(centroids[0])
     for _ in range(n_iter):
         assigned = assign(df)
-        # (cluster, dim) means: k*dim cells, map-side partial sums; the
-        # round_dp quantization is the cross-engine determinism fence
-        cells = (
-            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.round(F.avg("x"), round_dp).alias("m"))
+        # (cluster, dim) means as dim aggregate COLUMNS — one map-side-
+        # partial aggregate, no posexplode (which would inflate the
+        # shuffle by dim× for the same k×dim cells).  The round_dp
+        # quantization is the cross-engine determinism fence.  For
+        # dims in the many thousands the wide aggregate can exceed
+        # codegen limits — fall back to the posexplode form there.
+        rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v")[i]), round_dp).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for row in cells:
-            by_cluster.setdefault(row["cluster"], {})[row["i"]] = row["m"]
-        centroids = [
-            [by_cluster[c][i] for i in range(len(centroids[c]))]
-            if c in by_cluster
-            else centroids[c]  # emptied cluster keeps its centroid
-            for c in range(k)
-        ]
+        got = {r["cluster"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
+        # emptied cluster keeps its centroid
+        centroids = [got.get(c, centroids[c]) for c in range(k)]
 
     return assign(df).select(
         "vec_id", "cluster", F.round("sq_dist", round_dp).alias("sq_dist")

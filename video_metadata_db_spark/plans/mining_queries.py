@@ -299,6 +299,54 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_K, n_iter=_N_ITER).orderBy("vec_id")
 
 
+def _cluster_profile_oracle() -> str:
+    return (
+        _kmeans_ctes()
+        + """,
+assigned AS (
+  SELECT vec_id, cluster, round(dist, 6) AS sq_dist FROM a_final
+),
+lab AS (
+  SELECT a.cluster, e2.label
+  FROM assigned a JOIN embeddings e2 ON a.vec_id = e2.vec_id
+),
+per_label AS (
+  SELECT cluster, label, COUNT(*) AS n FROM lab GROUP BY cluster, label
+),
+top AS (
+  SELECT cluster, label AS top_label, n,
+         row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+  FROM per_label
+),
+sizes AS (
+  SELECT cluster, COUNT(*) AS size, round(avg(sq_dist), 6) AS mean_sq_dist
+  FROM assigned GROUP BY cluster
+)
+SELECT s.cluster, s.size, s.mean_sq_dist, t.top_label,
+       round(t.n * 1.0 / s.size, 6) AS purity
+FROM sizes s JOIN top t ON s.cluster = t.cluster AND t.rn = 1
+ORDER BY s.cluster
+"""
+    )
+
+
+@query("kmeans_cluster_profile", oracle=_cluster_profile_oracle())
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation sanity view over the semantic clusters: per-cluster
+    size, mean squared distance (spread), dominant corpus label and its
+    purity — what a data-mixing run reports before trusting cluster
+    boundaries for sampling weights.
+
+    One aggregate over the assignment plus a broadcast-sized label
+    rollup; purity is an exact count ratio.  The oracle extends the
+    unrolled Lloyd's CTE with the same two aggregates."""
+    from ..operators.clustering import cluster_profile, kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=_K, n_iter=_N_ITER)
+    return cluster_profile(assigned, emb).orderBy("cluster")
+
+
 def _semantic_dedup_oracle() -> str:
     return (
         _kmeans_ctes()
