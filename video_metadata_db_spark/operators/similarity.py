@@ -275,10 +275,14 @@ def ivf_topk(
         step = 25
         centroid_ids = [10 + step * i for i in range(N_CENTROIDS)]
     emb = embeddings.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
-    centroids = [
+    # sorted by id: collect() returns partition order, which is NOT
+    # stable across partition counts — and the centroid LIST POSITION
+    # is the assignment tie-break, so an unsorted list would make
+    # results depend on the physical layout
+    centroids = sorted(
         (r[id_col], list(r["v"]))
         for r in emb.filter(F.col(id_col).isin(centroid_ids)).collect()
-    ]
+    )
 
     corpus = ivf_assign(
         emb.filter(~F.col(id_col).isin(query_ids)), centroids, n_probe=1, id_col=id_col

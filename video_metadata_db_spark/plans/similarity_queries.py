@@ -48,20 +48,121 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, QUERY_IDS, k=K).orderBy("query_id", "rank")
 
 
-@query("knn_lsh_topk", oracle=None)
+def _lsh_oracle() -> str:
+    """Full value oracle for the hyperplane-LSH path: the planes are
+    md5-derived DRIVER-SIDE literals (operators/similarity.hyperplane),
+    so the same doubles embed into this SQL — bucket signs come from
+    the identical left-to-right dot fold on both engines, making even
+    the 'approximate' method's candidate sets value-checkable."""
+    from ..operators.similarity import N_PLANES, hyperplane
+
+    planes = ", ".join(
+        "[" + ", ".join(repr(hyperplane(p, d)) for d in range(64)) + "]"
+        + f"::DOUBLE[] AS p{p}"
+        for p in range(N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * p{p}[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(N_PLANES)])
+    return f"""
+WITH planes AS (SELECT {planes}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {bucket} AS bucket
+  FROM e CROSS JOIN planes
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb
+  FROM b WHERE vec_id IN ({_IDS})
+),
+probes AS (
+  SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q
+),
+c AS (
+  SELECT vec_id AS cand_id, v AS cv, bucket
+  FROM b WHERE vec_id NOT IN ({_IDS})
+),
+scored AS (
+  SELECT DISTINCT query_id, cand_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM probes JOIN c USING (bucket)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@query("knn_lsh_topk", oracle=_lsh_oracle())
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via 16 random-hyperplane buckets + 1-bit
-    multiprobe.  No value oracle (approximate by design — recall vs the
-    brute-force baseline is asserted in tests instead)."""
+    multiprobe.  'Approximate' describes RECALL vs brute force (pinned
+    in tests), not reproducibility: planes, buckets, probes, and
+    re-scoring are all deterministic, so the full candidate set
+    value-checks against the oracle — the property a production ANN
+    pipeline needs for debuggability."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, QUERY_IDS, k=K, dim=64).orderBy("query_id", "rank")
 
 
-@query("knn_ivf_topk", oracle=None)
+def _ivf_oracle() -> str:
+    from ..operators.similarity import N_CENTROIDS, N_PROBE
+
+    cent_ids = ", ".join(str(10 + 25 * i) for i in range(N_CENTROIDS))
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id IN ({cent_ids})),
+corpus_assign AS (
+  SELECT cand_id, cv, cluster FROM (
+    SELECT x.vec_id AS cand_id, x.v AS cv, cent.cid AS cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
+                                       cent.cid) AS rn
+    FROM e x CROSS JOIN cent WHERE x.vec_id NOT IN ({_IDS})
+  ) WHERE rn = 1
+),
+query_probe AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT x.vec_id AS query_id, x.v AS qv, cent.cid AS cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
+                                       cent.cid) AS rn
+    FROM e x CROSS JOIN cent WHERE x.vec_id IN ({_IDS})
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM query_probe JOIN corpus_assign USING (cluster)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, cand_id) AS rank
+  FROM scored
+)
+SELECT query_id, cand_id, cos_sim, rank FROM ranked
+WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+@query("knn_ivf_topk", oracle=_ivf_oracle())
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via IVF (16 inverted lists, 4 probed per
     query): vectorized Pandas-UDF centroid assignment, equi-join
-    candidate generation, exact re-scoring.  No value oracle
-    (approximate by design — recall asserted in tests)."""
+    candidate generation, exact re-scoring.  Centroids are corpus
+    vectors at fixed ids (sorted, so the assignment tie-break is the
+    centroid ID, not physical layout), which makes the whole
+    approximate path deterministic — the oracle replays assignment,
+    probing, and re-scoring as cross-join + rank SQL.  Recall vs brute
+    force stays pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, QUERY_IDS, k=K).orderBy("query_id", "rank")

@@ -194,3 +194,94 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.hex("frame").alias("frame_hex"),
     ).orderBy("asset_id", "frame_idx")
+
+
+@query(
+    "udtf_positional_tokens",
+    oracle="""
+SELECT doc_id, t.token, t.pos
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(string_split(text, ' '),
+                          (x, i) -> struct_pack(token := x, pos := i - 1)),
+           s -> s.token <> ''
+         )) AS t
+  FROM documents
+)
+WHERE t.pos < 3
+ORDER BY doc_id, t.pos
+""",
+)
+def q_udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Python UDTF surface (Spark 4 ``@udtf`` + LATERAL join)
+    — one input row yields N output rows from an arbitrary Python
+    generator, the escape hatch for row-expanding logic no built-in
+    generator expresses (stateful parsers, external tokenizers).
+
+    This instance (tokens with positions, first 3 per doc) IS
+    expressible natively — registered precisely so the UDTF path gets
+    a full value oracle, like ``udf_grouped_zscore`` does for grouped
+    maps.  At scale a UDTF is a per-row Python round-trip: keep it off
+    hot paths (the native `explode_tokens`/`chunk_sliding_tokens`
+    queries are the codegen forms) and reach for it only when the
+    expansion logic genuinely needs Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, pos: int")
+    class PositionalTokens:
+        def eval(self, text: str):
+            pos = 0
+            for w in (text or "").split(" "):
+                if w:
+                    if pos < 3:
+                        yield w, pos
+                    pos += 1
+
+    spark.udtf.register("positional_tokens", PositionalTokens)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM _udtf_docs d, LATERAL positional_tokens(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )
+
+
+@query(
+    "variant_json_path",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4
+    ``parse_json`` → ``variant_get``) — the modern path for JSON
+    columns: parse ONCE into the binary variant encoding, then typed
+    path extraction, instead of per-access string re-parsing
+    (`json_extract_props` pins that legacy form).
+
+    At 100 TB the difference is real: variant shreds the parse cost to
+    one pass and the extracted paths stay codegen-typed; with variant
+    shredding in the writer the path reads skip even the parse.  The
+    oracle reads the same paths with DuckDB's JSON functions."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("bigint")).alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
