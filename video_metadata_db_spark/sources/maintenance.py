@@ -57,3 +57,76 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
+
+
+ZORDER_BITS = 16
+
+
+def zorder_value(
+    ranks: list,  # list[Column] of integer ranks in [0, 2^ZORDER_BITS)
+) -> "F.Column":
+    """Morton (Z-order) interleave of per-column rank integers.
+
+    Bit b of rank i lands at position ``b * n_cols + i`` — points close
+    in EVERY dimension get close z-values, so a z-sorted file layout
+    gives footer-stat pruning on ALL clustered columns at once, where a
+    lexicographic sort prunes only its leading column.  Pure codegen
+    bit arithmetic."""
+    n = len(ranks)
+    z = F.lit(0).cast("long")
+    for b in range(ZORDER_BITS):
+        for i, r in enumerate(ranks):
+            bit = F.shiftright(r.cast("long"), b).bitwiseAND(F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, b * n + i)
+    return z
+
+
+def _minmax_rank(col: "F.Column", lo: float, hi: float) -> "F.Column":
+    """Linear rank of ``col`` into [0, 2^ZORDER_BITS) given driver-side
+    min/max.  Right for roughly-uniform keys; for skewed keys substitute
+    approx-quantile boundaries (same literal-embedding discipline as
+    operators/packing.py) — the interleave is agnostic to how ranks are
+    made."""
+    span = max(hi - lo, 1e-12)
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
+    return F.least(
+        F.floor(scaled * (1 << ZORDER_BITS)).cast("long"),
+        F.lit((1 << ZORDER_BITS) - 1).cast("long"),
+    )
+
+
+def zorder_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    cols: list[str],
+    target_bytes: int = 128 << 20,
+) -> DataFrame:
+    """Rewrite ``in_dir`` Z-ORDERED on ``cols``: every output file
+    covers a compact hyper-rectangle of the clustered key space, so
+    min/max footer stats prune files for predicates on ANY of the
+    clustered columns — the multi-column generalization of
+    :func:`compact_parquet`'s single-key clustering (what Delta/Iceberg
+    ship as OPTIMIZE ZORDER BY).
+
+    Cost model is identical to clustered compaction: one range shuffle
+    on the z-value + a within-partition sort; the per-column min/max
+    used for rank scaling is ONE tiny aggregate (2·n_cols doubles to
+    the driver, never row data)."""
+    df = spark.read.parquet(in_dir)
+    stats = df.agg(
+        *[f(F.col(c)).alias(f"{tag}_{c}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
+    ).first()
+    ranks = [
+        _minmax_rank(F.col(c), float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"]))
+        for c in cols
+    ]
+    n_files = max(1, math.ceil(input_bytes(spark, in_dir) / target_bytes))
+    out = (
+        df.withColumn("_z", zorder_value(ranks))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
