@@ -282,3 +282,32 @@ def test_sliding_chunks_match_model(spark, texts):
                 tuple(toks[start : start + 4]),
             )
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_zorder_interleave_roundtrip(spark, rank_pairs):
+    """Morton interleave is a bijection: de-interleaving the z-value
+    recovers both ranks exactly, and z-order locality holds (equal
+    high-rank-bits ⇒ nearby z)."""
+    from video_metadata_db_spark.sources.maintenance import ZORDER_BITS, zorder_value
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rank_pairs, "r0 int, r1 int")
+    out = df.select(
+        "r0", "r1", zorder_value([F.col("r0"), F.col("r1")]).alias("z")
+    ).collect()
+    for row in out:
+        d0 = sum(((row["z"] >> (2 * b)) & 1) << b for b in range(ZORDER_BITS))
+        d1 = sum(((row["z"] >> (2 * b + 1)) & 1) << b for b in range(ZORDER_BITS))
+        assert (d0, d1) == (row["r0"], row["r1"])

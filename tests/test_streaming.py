@@ -217,3 +217,35 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == 100
     assert written.select(F.sum("value")).first()[0] == sum(float(i) for i in range(100))
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The cluster-scale state backend: RocksDB spills dedup state to
+    local disk, so state size is bounded by storage, not executor heap
+    — the provider a 100 TB streaming dedup must run on.  Same
+    semantics as the default HDFS-backed store: duplicates staged into
+    a LATER micro-batch (maxFilesPerTrigger=1) are dropped against
+    RocksDB state, and output equals the distinct corpus."""
+    from video_metadata_db_spark.sources.tables import load_table
+    from video_metadata_db_spark.streaming.runner import file_stream, run_available_now
+    from video_metadata_db_spark.streaming.windows import stream_dedup
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        events = load_table(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "src")
+        events.coalesce(1).write.mode("overwrite").parquet(src)
+        events.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+        out = run_available_now(stream_dedup(stream), str(tmp_path / "cp"))
+        assert out.count() == events.count()
+        assert out.select("event_id").distinct().count() == events.count()
+    finally:
+        spark.conf.set(key, before)
