@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import token_count as token_count_col
 from ..operators.dedup import tokens_of
 from ..sources.tables import load_table
 from .registry import query
@@ -401,3 +402,55 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_arrow(blocked, threshold=0.5, block_col="cluster").orderBy(
         "vec_id"
     )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+per_source AS (
+  SELECT source,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(pow(CAST(sum(n_tokens) AS BIGINT), 0.7), 6) AS w_raw
+  FROM t GROUP BY source
+)
+SELECT source, total_tokens,
+       round(CAST(total_tokens AS DOUBLE)
+             / sum(total_tokens) OVER (), 6) AS natural_share,
+       round(w_raw / sum(w_raw) OVER (), 4) AS temp_share
+FROM per_source
+ORDER BY source
+""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (α=0.7, the multilingual-
+    pretraining convention): per-source token counts raised to α and
+    renormalized — upsamples the tail sources relative to their
+    natural share, the knob every data-mixing recipe exposes.
+
+    Plan: one `source`-keyed aggregate shuffle, then window sums over
+    |sources| rows.  pow() is transcendental, so each raw weight is
+    rounded to 6 dp before the normalizing sum and the share to 4 dp
+    at the boundary (the shares-sum order over a handful of rounded
+    doubles can differ by ~1 ulp between engines — the 4-dp guard
+    absorbs it; natural_share stays an exact integer ratio at 6 dp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", token_count_col(F.col("text")).alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .withColumn("w_raw", F.round(F.pow("total_tokens", F.lit(0.7)), 6))
+    )
+    w = Window.partitionBy(F.lit(1))
+    return per_source.select(
+        "source",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.sum("total_tokens").over(w), 6
+        ).alias("natural_share"),
+        F.round(F.col("w_raw") / F.sum("w_raw").over(w), 4).alias("temp_share"),
+    ).orderBy("source")
