@@ -367,3 +367,62 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup: LSH pairs of NEW docs against the EXISTING
+    corpus only — the update-mode shape of :func:`minhash_lsh_dedup`.
+
+    A production lake never re-pairs the whole corpus per ingest batch:
+    corpus signatures/band buckets are computed once at ingest and
+    STORED (a ~512 B/doc table, bucketable by (band_id, bucket));
+    each batch then signs only its own docs and equi-joins the stored
+    buckets — per-batch cost is O(batch + matching buckets), not
+    O(corpus).  Here both sides are computed from text because the
+    corpus table is the only storage in the harness; the dataflow
+    downstream of the signature tables is exactly the stored-table
+    plan.  Output: (doc_new, doc_old, est_jaccard ≥ threshold).
+    """
+    sigs_new = minhash_signatures(new_docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs_old = minhash_signatures(corpus_docs, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def packed(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc", F.array(*[F.col(f"sig_{i}") for i in range(N_HASHES)]).alias("sig")
+        )
+
+    pn, po = packed(sigs_new), packed(sigs_old)
+    bn = band_buckets(pn).select(
+        F.col("doc").alias("doc_new"), "band_id", "bucket"
+    )
+    bo = band_buckets(po).select(
+        F.col("doc").alias("doc_old"), "band_id", "bucket"
+    )
+    pairs = bn.join(bo, ["band_id", "bucket"]).select("doc_new", "doc_old").distinct()
+    sa = pn.select(F.col("doc").alias("doc_new"), F.col("sig").alias("sig_a"))
+    sb = po.select(F.col("doc").alias("doc_old"), F.col("sig").alias("sig_b"))
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        pairs.join(sa, "doc_new")
+        .join(sb, "doc_old")
+        .select(
+            "doc_new",
+            "doc_old",
+            F.round(matches / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
