@@ -164,3 +164,29 @@ def test_kmeans_matches_pure_python_reference(spark):
         if got[i][0] != expected[i][0] or abs(got[i][1] - expected[i][1]) > 1e-6
     }
     assert not mismatches, f"{len(mismatches)} mismatches, e.g. {list(mismatches.items())[:3]}"
+
+
+def test_incremental_pairs_equal_full_pairs_across_split(spark):
+    """Consistency contract: batch-vs-corpus incremental LSH must find
+    exactly the full-corpus pairs that cross the split (reoriented to
+    (new, old)) — batching changes cost, never results."""
+    from video_metadata_db_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_dedup,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    inc = {
+        (r["doc_new"], r["doc_old"], r["est_jaccard"])
+        for r in minhash_incremental_pairs(new, corpus, threshold=0.5).collect()
+    }
+    full_cross = set()
+    for r in minhash_lsh_dedup(docs, threshold=0.5).collect():
+        a, b, j = r["doc_a"], r["doc_b"], r["est_jaccard"]
+        if (a % 10 == 0) != (b % 10 == 0):  # crosses the split
+            n, o = (a, b) if a % 10 == 0 else (b, a)
+            full_cross.add((n, o, j))
+    assert inc == full_cross and inc
