@@ -1,4 +1,4 @@
-"""Partition-count invariance sweep over the driver-checked window.
+"""Partition-count invariance sweep over the ENTIRE query registry.
 
 The engine's determinism claims (decimal sums, integer-exact ratios,
 round-before-rank guards) all reduce to one testable property: the
@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pytest
 
-from video_metadata_db_spark.plans import CHECKED_FIRST, QUERIES
+from video_metadata_db_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -27,7 +27,7 @@ SF = "/root/testdata/sf0.001"
 #: shapes the batch queries already sweep.  Kept out for runtime, not
 #: for doubt: their cross-restart determinism is pinned in
 #: tests/test_streaming.py.
-_SKIP = {n for n in CHECKED_FIRST if n.startswith("stream_")}
+_SKIP = {n for n in QUERIES if n.startswith("stream_")}
 
 
 def _rows(spark, name):
@@ -40,7 +40,7 @@ def _rows(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", [n for n in CHECKED_FIRST if n not in _SKIP])
+@pytest.mark.parametrize("name", [n for n in QUERIES if n not in _SKIP])
 def test_partition_count_invariance(spark, name):
     baseline = _rows(spark, name)
     conf = spark.conf
