@@ -70,6 +70,8 @@ HEADLINE = [
     "vocab_bigrams",
     "kmeans_clusters",
     "dedup_semantic",
+    "dedup_incremental_minhash",
+    "variant_json_path",
 ]
 
 REPEATS = 2
