@@ -72,6 +72,8 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_incremental_minhash",
     "variant_json_path",
+    "quality_expectations",
+    "curation_pipeline",
 ]
 
 REPEATS = 2

@@ -114,3 +114,100 @@ def q_quality_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_profile(docs, ["doc_id", "lang", "n_chars", "source"]).orderBy(
         "column"
     )
+
+
+_CURATION_SQL = """
+WITH ingested AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 3 = 0
+),
+metrics AS (
+  SELECT doc_id, text, source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         round(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               / greatest(length(text), 1), 6) AS alpha
+  FROM ingested
+),
+filtered AS (
+  SELECT doc_id, text, source, n_tokens FROM metrics
+  WHERE n_tokens >= 10 AND alpha >= 0.81
+),
+deduped AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+      ORDER BY doc_id) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+),
+offs AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM deduped
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // 512 AS first_block
+FROM offs
+ORDER BY doc_id
+"""
+
+
+@query("curation_pipeline", oracle=_CURATION_SQL)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation DAG in one query — the composition a
+    training-data run actually executes, each stage an already-verified
+    operator:
+
+    0. INGEST = corpus ∪ a re-keyed third of itself (the update-mode
+       re-ingestion scenario, same staging as `dedup_exact` — makes the
+       dedup stage provably fire at EVERY scale factor);
+    1. quality FILTER (≥10 tokens, ≥81% alpha — codegen predicates;
+       the threshold sits inside the corpus's alpha range, so the
+       filter drops real rows at every SF);
+    2. exact DEDUP keep-first (min doc_id per normalized-text md5 —
+       one hash-key shuffle, `operators/dedup.exact_dedup` semantics
+       via the same content key; every re-ingested copy drops here);
+    3. sequence PACKING of the survivors (distributed two-pass prefix
+       sum, `operators/packing.sequence_offsets` — the oracle uses the
+       naive single-window form, value-identical).
+
+    Composition is where plan quality shows: the filter pushes into the
+    scan feeding the dedup shuffle, the dedup keep-first is a
+    min-aggregate (no window over the corpus), and the packing offsets
+    never global-sort.  At 100 TB the whole DAG is: one scan, one
+    content-hash shuffle, one range-bucketed prefix-sum pass."""
+    from ..operators.dedup import normalize_text
+    from ..operators.packing import sequence_offsets
+    from ..functions.text import alpha_ratio, token_count
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    again = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    metrics = docs.unionByName(again).select(
+        "doc_id",
+        "text",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        alpha_ratio(F.col("text")).alias("alpha"),
+    )
+    filtered = metrics.filter((F.col("n_tokens") >= 10) & (F.col("alpha") >= 0.81))
+    keyed = filtered.withColumn("_key", F.md5(normalize_text(F.col("text"))))
+    # keep-first per content key as an AGGREGATE (min doc_id), then a
+    # semi-join back — partial-aggregatable, unlike a row_number window
+    keep = keyed.groupBy("_key").agg(F.min("doc_id").alias("doc_id"))
+    survivors = keyed.join(
+        keep, ["_key", "doc_id"], "left_semi"
+    ).select("doc_id", "source", "n_tokens")
+    packed = sequence_offsets(survivors, order_col="doc_id", weight_col="n_tokens")
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        (F.col("start_offset") / 512).cast("long").alias("first_block"),
+    ).orderBy("doc_id")
