@@ -174,11 +174,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
        sum, `operators/packing.sequence_offsets` — the oracle uses the
        naive single-window form, value-identical).
 
-    Composition is where plan quality shows: the filter pushes into the
-    scan feeding the dedup shuffle, the dedup keep-first is a
-    min-aggregate (no window over the corpus), and the packing offsets
-    never global-sort.  At 100 TB the whole DAG is: one scan, one
-    content-hash shuffle, one range-bucketed prefix-sum pass."""
+    Composition is where plan quality shows: the filter pushes into
+    the scans feeding the dedup shuffle, keep-first is ONE min(struct)
+    aggregate (no corpus window, no semi-join recomputing its inputs),
+    the filtered+deduped slim table materializes ONCE at the stage
+    boundary (what a real pipeline writes between stages), and the
+    packing offsets never global-sort.  At 100 TB the DAG is: one
+    corpus read, one content-hash shuffle, one slim intermediate, one
+    prefix-sum pass."""
     from ..operators.dedup import normalize_text
     from ..operators.packing import sequence_offsets
     from ..functions.text import alpha_ratio, token_count
@@ -197,12 +200,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filtered = metrics.filter((F.col("n_tokens") >= 10) & (F.col("alpha") >= 0.81))
     keyed = filtered.withColumn("_key", F.md5(normalize_text(F.col("text"))))
-    # keep-first per content key as an AGGREGATE (min doc_id), then a
-    # semi-join back — partial-aggregatable, unlike a row_number window
-    keep = keyed.groupBy("_key").agg(F.min("doc_id").alias("doc_id"))
-    survivors = keyed.join(
-        keep, ["_key", "doc_id"], "left_semi"
-    ).select("doc_id", "source", "n_tokens")
+    # keep-first per content key as ONE aggregate: min(struct) with
+    # doc_id leading carries the whole kept row — no semi-join back,
+    # which would recompute the ingest+filter chain for both join
+    # sides (the dedup_keep_best trick, partial-aggregatable)
+    survivors = (
+        keyed.groupBy("_key")
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("r"))
+        .select("r.doc_id", "r.source", "r.n_tokens")
+    )
+    # stage boundary: a real pipeline WRITES the filtered+deduped slim
+    # table before packing; the eager cut stands in for that write and
+    # stops the packing pass (boundaries + totals + rows = 3 readers)
+    # from re-running the dedup shuffle per reader.  On a cluster this
+    # is a reliable checkpoint / intermediate table, not executor-local.
+    survivors = survivors.localCheckpoint(eager=True)
     packed = sequence_offsets(survivors, order_col="doc_id", weight_col="n_tokens")
     return packed.select(
         "doc_id",
