@@ -28,7 +28,10 @@ CHECKED_FIRST = [
     "q1_pricing_summary",
     "agg_grouping_sets",
     "agg_stats_exact",
-    "agg_corr_stats",
+    # agg_corr_stats stays oracle-tested in tests/ — its slot carries
+    # the round-4 capstone (the end-to-end curation DAG), so the
+    # composed filter→dedup→pack path gets hard driver signal
+    "curation_pipeline",
     "agg_percentiles",
     "pivot_status",
     # joins
