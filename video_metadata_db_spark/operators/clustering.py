@@ -10,11 +10,11 @@ Spark doing the heavy half:
   squared-L2 against k broadcast centroid literals via
   ``zip_with``/``aggregate`` folds — whole-stage codegen, no Python,
   no shuffle;
-- **update** is one tiny shuffle: ``posexplode`` to (cluster, dim)
-  pairs, mean per cell with map-side partials, and only k×dim doubles
-  ever reach the driver (same discipline as the quantile boundaries in
-  :mod:`.packing` — aggregates cross the driver boundary, row data
-  never does).
+- **update** is one tiny aggregate: per-dimension mean COLUMNS over
+  the cluster key (k×dim cells, map-side partials, no row inflation),
+  and only k×dim doubles ever reach the driver (same discipline as the
+  quantile boundaries in :mod:`.packing` — aggregates cross the driver
+  boundary, row data never does).
 
 Determinism contract (what makes the full DuckDB value-oracle
 possible): initial centroids are the vectors with the k smallest ids;

@@ -2,8 +2,8 @@
 induction, and semantic (k-means) clustering — the statistics layer a
 training-data pipeline builds ON TOP of the filter/dedup stages.
 
-All four carry FULL DuckDB value oracles.  The float discipline that
-makes that possible:
+Every query here carries a FULL DuckDB value oracle.  The float
+discipline that makes that possible:
 
 - counts and ratios of counts are exact (integer sums, one division);
 - transcendentals (``ln``) may differ by 1 ulp across libm builds, so
