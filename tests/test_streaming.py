@@ -294,3 +294,55 @@ def test_transform_with_state_api(spark, tmp_path):
         assert got == exp
     finally:
         spark.conf.set(key, before)
+
+
+def test_materialized_totals_accumulate_across_batches(spark, tmp_path):
+    """Incremental materialized view: per-user totals upserted via
+    foreachBatch with versioned snapshot commits — after two
+    micro-batches the table equals the full batch aggregate, and a
+    restart from the same checkpoint adds no new version (idempotent
+    exactly-once maintenance)."""
+    from video_metadata_db_spark.streaming.materialized import (
+        _committed_versions,
+        read_materialized,
+        upsert_user_totals,
+    )
+    from video_metadata_db_spark.streaming.runner import (
+        file_stream,
+        run_foreach_batch,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    # two staged files + maxFilesPerTrigger=1 → two refresh cycles
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    table = str(tmp_path / "mv")
+    cp = str(tmp_path / "cp")
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    run_foreach_batch(stream, cp, upsert_user_totals(table))
+
+    versions = _committed_versions(table)
+    assert len(versions) == 2, versions
+
+    got = {
+        (r["user_id"], r["n_events"], round(r["total_value"], 6))
+        for r in read_materialized(spark, table).collect()
+    }
+    exp = {
+        (r["user_id"], r["n"], round(r["t"], 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert got == exp
+
+    # restart with the same checkpoint: nothing new to process
+    stream2 = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    run_foreach_batch(stream2, cp, upsert_user_totals(table))
+    assert _committed_versions(table) == versions

