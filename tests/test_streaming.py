@@ -346,3 +346,47 @@ def test_materialized_totals_accumulate_across_batches(spark, tmp_path):
     stream2 = file_stream(spark, src, events.schema, max_files_per_trigger=1)
     run_foreach_batch(stream2, cp, upsert_user_totals(table))
     assert _committed_versions(table) == versions
+
+
+def test_materialized_time_travel_and_retention(spark, tmp_path):
+    """Versioned snapshots give time travel (read any retained version)
+    and VACUUM-style retention (drop all but the last N)."""
+    from video_metadata_db_spark.streaming.materialized import (
+        _committed_versions,
+        read_materialized,
+        retain_versions,
+        upsert_user_totals,
+    )
+    from video_metadata_db_spark.streaming.runner import (
+        file_stream,
+        run_foreach_batch,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "src")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    table = str(tmp_path / "mv")
+    stream = file_stream(spark, src, events.schema, max_files_per_trigger=1)
+    run_foreach_batch(stream, str(tmp_path / "cp"), upsert_user_totals(table))
+    v0, v1 = _committed_versions(table)
+
+    # time travel: the first snapshot is exactly the first batch's totals
+    old = {
+        (r["user_id"], r["n_events"]) for r in read_materialized(spark, table, v0).collect()
+    }
+    exp0 = {
+        (r["user_id"], r["n"])
+        for r in first.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert old == exp0
+
+    # retention drops v0, keeps the current snapshot readable
+    assert retain_versions(table, keep_last=1) == [v0]
+    assert _committed_versions(table) == [v1]
+    assert read_materialized(spark, table).count() > 0
+    with pytest.raises(ValueError, match="not committed"):
+        read_materialized(spark, table, v0)

@@ -46,13 +46,40 @@ def _committed_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_materialized(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    """The current snapshot (highest committed version), or None before
-    the first refresh."""
+def read_materialized(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """A committed snapshot: the current one (highest version) by
+    default, or TIME TRAVEL to any retained ``version`` — every
+    snapshot is a complete immutable table, so historical reads are a
+    directory pick, not a log replay.  None before the first refresh;
+    ValueError for a version that was never committed or was retired
+    by :func:`retain_versions`."""
     versions = _committed_versions(table_dir)
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(table_dir, f"v={versions[-1]}"))
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise ValueError(f"version {version} not committed; have {versions}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={version}"))
+
+
+def retain_versions(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` committed
+    snapshots (each snapshot is a full copy, so storage is
+    versions × |keys| — bounded by retention, exactly like lakehouse
+    VACUUM).  Returns the versions removed.  Never touches the current
+    snapshot; safe to run concurrently with readers of RETAINED
+    versions (removed ones must be outside any reader's pin window —
+    the same contract VACUUM has)."""
+    import shutil
+
+    versions = _committed_versions(table_dir)
+    drop = versions[:-keep_last] if keep_last > 0 else versions
+    for v in drop:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return drop
 
 
 def upsert_user_totals(table_dir: str):
