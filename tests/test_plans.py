@@ -226,3 +226,35 @@ def test_tfidf_doc_count_broadcasts(spark):
     p = plan_of(spark, "tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in p, "one-row total should broadcast-cross-join"
     assert "WindowGroupLimit" in p
+
+
+def test_scalar_subquery_queries_stay_hash_joined(spark):
+    """Q11/Q15/Q22: the scalar-aggregate threshold runs as a Subquery
+    (computed once, broadcast back as a literal), never as a per-row
+    nested loop; all joins stay hash joins."""
+    for name in ("q11_important_stock", "q15_top_supplier", "q22_global_sales_opportunity"):
+        p = plan_of(spark, name)
+        assert "Subquery" in p, f"{name}: scalar threshold must be a one-shot subquery"
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    p = plan_of(spark, "q22_global_sales_opportunity")
+    assert "LeftAnti" in p, "recent-activity NOT EXISTS must be an anti join"
+
+
+def test_q20_nested_in_is_semi_join(spark):
+    p = plan_of(spark, "q20_promotion_suppliers")
+    assert "LeftSemi" in p, "IN(GROUP BY..HAVING) must decorrelate to a semi join"
+    assert "CartesianProduct" not in p
+
+
+def test_q9_dims_all_broadcast(spark):
+    """The 5-table profit join: part (name-pruned), supplier, orders,
+    nation all join the lineitem spine as broadcast hash joins at this
+    scale — no cartesian anywhere."""
+    p = plan_of(spark, "q9_product_type_profit")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
