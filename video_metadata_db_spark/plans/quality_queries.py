@@ -223,3 +223,72 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_offset",
         (F.col("start_offset") / 512).cast("long").alias("first_block"),
     ).orderBy("doc_id")
+
+
+_OUTLIER_SQL = """
+WITH med AS (
+  SELECT event_type, round(median(value), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(median(adev), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       any_value(d.med) AS med,
+       any_value(m.mad) AS mad,
+       SUM(CASE WHEN abs(d.value - d.med) > 3.5 * m.mad THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@query("outlier_mad_events", oracle=_OUTLIER_SQL)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per-type outlier counts by the
+    median/MAD rule (|v − median| > 3.5·MAD — the Iglewicz-Hoaglin
+    cutoff).  Median and MAD are distribution-robust where mean/stddev
+    z-scores break on the heavy tails real telemetry has.
+
+    Plan at scale: two exact-percentile aggregates (each one shuffle on
+    event_type; Spark's `percentile` is a typed aggregate with
+    map-side partials) with the per-type medians broadcast back for
+    the deviation and verdict passes.  Exact medians interpolate
+    identically on both engines ((n−1)·p positional, linear) and are
+    rounded to 6 dp before the comparison so the 3.5·MAD boundary
+    cannot drift."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3.5 * F.col("mad"), 1)
+                .otherwise(0)
+            ).cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
