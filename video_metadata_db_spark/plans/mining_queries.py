@@ -454,3 +454,82 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("natural_share"),
         F.round(F.col("w_raw") / F.sum("w_raw").over(w), 4).alias("temp_share"),
     ).orderBy("source")
+
+
+_BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(t) - 1, 0) + 1),
+           i -> struct_pack(w1 := t[i], w2 := t[i + 1])
+         )) AS p
+  FROM toks
+),
+pair_counts AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+),
+ctx_counts AS (
+  SELECT w1, SUM(c12) AS c1 FROM pair_counts GROUP BY w1
+),
+scored AS (
+  SELECT b.doc_id,
+         round(-ln(pc.c12 / (1.0 * cc.c1)), 6) AS nll
+  FROM bg b
+  JOIN pair_counts pc ON b.p.w1 = pc.w1 AND b.p.w2 = pc.w2
+  JOIN ctx_counts cc ON pc.w1 = cc.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(AVG(nll), 4) AS avg_neg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("bigram_logprob_score", oracle=_BIGRAM_LM_SQL)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under the corpus BIGRAM LM — one order up
+    from `unigram_logprob_score`: p(w₂|w₁) = c(w₁w₂)/c(w₁·), so word
+    ORDER now matters (scrambled text scores as improbable even when
+    its unigram mix is typical — the failure mode unigram scoring
+    can't see).
+
+    Plan at scale: bigram and context counts are two aggregates over
+    one in-row pair construction (zip_with shift, no position
+    self-join); the corpus re-joins on the (w₁,w₂) key — skew-prone
+    exactly like TF-IDF's term join, absorbed by AQE; probabilities
+    are exact count ratios, ln rounds to 6 dp per pair and the mean to
+    4 dp at the boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_of(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.slice(
+        F.zip_with(
+            F.col("t"),
+            F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        1,
+        F.greatest(n - 1, F.lit(0)),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    nll = F.round(-F.log(F.col("c12") / (1.0 * F.col("c1"))), 6)
+    return (
+        bg.join(pair_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("avg_neg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
