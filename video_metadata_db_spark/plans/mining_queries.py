@@ -533,3 +533,72 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_KL_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+src_counts AS (
+  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+),
+src_totals AS (
+  SELECT source, SUM(c) AS tot FROM src_counts GROUP BY source
+),
+corpus_counts AS (
+  SELECT term, SUM(c) AS cc FROM src_counts GROUP BY term
+),
+corpus_total AS (SELECT SUM(cc) AS ct FROM corpus_counts),
+terms AS (
+  SELECT s.source,
+         CAST(round((s.c / (1.0 * st.tot))
+                    * ln((s.c / (1.0 * st.tot))
+                         / (g.cc / (1.0 * x.ct))), 9) AS DECIMAL(18,9)) AS kl_term
+  FROM src_counts s
+  JOIN src_totals st USING (source)
+  JOIN corpus_counts g USING (term)
+  CROSS JOIN corpus_total x
+)
+SELECT source, CAST(round(SUM(kl_term), 6) AS DOUBLE) AS kl_from_corpus
+FROM terms
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("source_divergence", oracle=_KL_SQL)
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture diagnostic: KL(source ‖ corpus) over unigram
+    distributions — how far each source's token distribution sits from
+    the blend, the quantity mixture tuning watches when reweighting
+    (a source with near-zero KL adds no diversity; a huge-KL source is
+    a domain outlier).
+
+    Determinism note (this query's reason to exist beyond the metric):
+    a KL is a SUM OF FLOAT TERMS over the vocabulary, so a plain
+    double sum depends on partition count and engine — here each term
+    is quantized to 9 dp and cast to DECIMAL(18,9) BEFORE the sum, so
+    the aggregate is exact and associative: same value at any
+    parallelism, on either engine, to the last digit (enforced by the
+    registry-wide two-plans sweep).  Probabilities themselves are
+    exact count ratios; only ln is transcendental, guarded by the
+    quantization."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_of(F.col("text"))).alias("term"))
+    src_counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    src_totals = src_counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    corpus_counts = src_counts.groupBy("term").agg(F.sum("c").alias("cc"))
+    corpus_total = corpus_counts.agg(F.sum("cc").alias("ct"))
+    p_s = F.col("c") / (1.0 * F.col("tot"))
+    p_c = F.col("cc") / (1.0 * F.col("ct"))
+    kl_term = F.round(p_s * F.log(p_s / p_c), 9).cast("decimal(18,9)")
+    return (
+        src_counts.join(src_totals, "source")
+        .join(corpus_counts, "term")
+        .crossJoin(F.broadcast(corpus_total))
+        .select("source", kl_term.alias("kl_term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("kl_term"), 6).cast("double").alias("kl_from_corpus"))
+        .orderBy("source")
+    )
