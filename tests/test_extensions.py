@@ -258,3 +258,43 @@ def test_ngram_df_cap_engages_and_preserves_pairs(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert uncapped <= capped, f"cap dropped true pairs: {uncapped - capped}"
+
+
+def test_udtf_positional_tokens_double_space_golden(spark, tmp_path):
+    """ADVICE r4: the UDTF numbers pos over NON-EMPTY tokens; the oracle
+    must index after filtering empties or consecutive/leading spaces
+    shift every position.  Golden cross-engine check on texts the main
+    fixtures don't contain (double, leading, trailing spaces)."""
+    import duckdb
+
+    from video_metadata_db_spark.plans import ORACLES, QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha  beta gamma delta"),
+            (2, " lead  double trail "),
+            (3, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    got = [
+        (r["doc_id"], r["token"], r["pos"])
+        for r in QUERIES["udtf_positional_tokens"](spark, d).collect()
+    ]
+    # positions count tokens, not split slots: 'beta' is pos 1 even
+    # though it sits at raw split index 2
+    assert (1, "beta", 1) in got and (1, "gamma", 2) in got
+    assert (2, "lead", 0) in got and (2, "trail", 2) in got
+
+    conn = duckdb.connect()
+    try:
+        conn.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet/*.parquet')"
+        )
+        exp = [tuple(r) for r in conn.execute(ORACLES["udtf_positional_tokens"]).fetchall()]
+    finally:
+        conn.close()
+    assert sorted(got) == sorted(exp)

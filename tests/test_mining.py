@@ -105,10 +105,16 @@ def test_arrow_and_fold_near_dup_agree(spark):
     )
 
     emb = load_table(spark, SF, "embeddings")
-    for block in ("label",):
-        a = sorted(map(tuple, embedding_near_dup(emb, 0.5, block).collect()))
-        b = sorted(map(tuple, embedding_near_dup_arrow(emb, 0.5, block).collect()))
-        assert a == b and a
+    # the k-means-derived blocking is the one dedup_semantic actually
+    # ships — compare the Arrow path against the fold on BOTH keys
+    assigned = kmeans_assign(emb, k=4, n_iter=1).select(
+        "vec_id", F.col("cluster").alias("kblock")
+    )
+    emb_k = emb.join(assigned, "vec_id")
+    for frame, block in ((emb, "label"), (emb_k, "kblock")):
+        a = sorted(map(tuple, embedding_near_dup(frame, 0.5, block).collect()))
+        b = sorted(map(tuple, embedding_near_dup_arrow(frame, 0.5, block).collect()))
+        assert a == b and a, block
 
 
 def test_arrow_near_dup_singleton_blocks_emit_nothing(spark):

@@ -311,3 +311,38 @@ def test_zorder_interleave_roundtrip(spark, rank_pairs):
         d0 = sum(((row["z"] >> (2 * b)) & 1) << b for b in range(ZORDER_BITS))
         d1 = sum(((row["z"] >> (2 * b + 1)) & 1) << b for b in range(ZORDER_BITS))
         assert (d0, d1) == (row["r0"], row["r1"])
+
+
+@given(
+    st.lists(
+        st.tuples(*([st.integers(min_value=0, max_value=(1 << 15) - 1)] * 4)),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@SETTINGS
+def test_zorder_four_columns_stays_positive_and_bijective(spark, rank_tuples):
+    """ADVICE r4: with 4 columns the full 16-bit interleave would push
+    the top bit into the long's SIGN bit (position 63), silently
+    breaking the Morton order for high ranks.  zorder_bits shrinks
+    per-column resolution (63 // n = 15 bits) — z stays non-negative
+    and the interleave stays a bijection at the reduced width."""
+    from pyspark.sql import functions as F
+
+    from video_metadata_db_spark.sources.maintenance import zorder_bits, zorder_value
+
+    bits = zorder_bits(4)
+    assert bits * 4 <= 63
+    df = spark.createDataFrame(rank_tuples, "r0 int, r1 int, r2 int, r3 int")
+    out = df.select(
+        "r0", "r1", "r2", "r3",
+        zorder_value([F.col(c) for c in ("r0", "r1", "r2", "r3")]).alias("z"),
+    ).collect()
+    for row in out:
+        assert row["z"] >= 0, row
+        got = tuple(
+            sum(((row["z"] >> (4 * b + i)) & 1) << b for b in range(bits))
+            for i in range(4)
+        )
+        assert got == (row["r0"], row["r1"], row["r2"], row["r3"])

@@ -348,6 +348,56 @@ def test_materialized_totals_accumulate_across_batches(spark, tmp_path):
     assert _committed_versions(table) == versions
 
 
+def test_materialized_replay_same_batch_is_idempotent(spark, tmp_path):
+    """Crash-replay idempotency: if snapshot v=N committed but the
+    stream checkpoint's commit log for batch N did not, the restart
+    re-invokes the callback with the SAME batch_id.  The merge must
+    anchor its read strictly below batch_id — reading the global
+    latest (= v=N itself, already containing batch N) would merge the
+    batch's events twice."""
+    from video_metadata_db_spark.streaming.materialized import (
+        _committed_versions,
+        read_materialized,
+        upsert_user_totals,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    table = str(tmp_path / "mv")
+    merge = upsert_user_totals(table)
+
+    merge(b0, 0)
+    merge(b1, 1)
+    totals_after = {
+        (r["user_id"], r["n_events"], round(r["total_value"], 6))
+        for r in read_materialized(spark, table).collect()
+    }
+
+    # the crash-replay: batch 1 runs again (same batch_id) against a
+    # table whose latest version is v=1
+    merge(b1, 1)
+    assert _committed_versions(table) == [0, 1]
+    replayed = {
+        (r["user_id"], r["n_events"], round(r["total_value"], 6))
+        for r in read_materialized(spark, table).collect()
+    }
+    assert replayed == totals_after
+
+    # and the replay of the FIRST batch (no committed version below 0)
+    # degrades to the no-previous-snapshot path rather than merging v=1
+    merge(b0, 0)
+    first = {
+        (r["user_id"], r["n_events"])
+        for r in read_materialized(spark, table, 0).collect()
+    }
+    exp0 = {
+        (r["user_id"], r["n"])
+        for r in b0.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert first == exp0
+
+
 def test_materialized_time_travel_and_retention(spark, tmp_path):
     """Versioned snapshots give time travel (read any retained version)
     and VACUUM-style retention (drop all but the last N)."""

@@ -68,9 +68,17 @@ def kmeans_assign(
     df = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # Persist the projected (vec_id, v) frame for the iteration loop:
+    # seeding + every per-iteration update aggregate read the cache
+    # instead of rescanning (and re-decoding) the source each job.
+    # Released before returning — the final assignment scan reads the
+    # source once (it must touch the corpus anyway), and no cache entry
+    # outlives the call (registry-wide hygiene is test-pinned).
+    df = df.persist()
     # seed: k smallest ids — a driver action over k rows, not row data
     seed_rows = df.orderBy("vec_id").limit(k).collect()
     if len(seed_rows) < k:
+        df.unpersist()
         raise ValueError(f"need >= {k} vectors to seed {k} clusters")
     centroids: list[list[float]] = [list(r["v"]) for r in seed_rows]
 
@@ -106,6 +114,9 @@ def kmeans_assign(
         # emptied cluster keeps its centroid
         centroids = [got.get(c, centroids[c]) for c in range(k)]
 
+    # iteration cache released before the (lazy) final assignment — the
+    # consumer's one materializing scan reads the source directly
+    df.unpersist()
     return assign(df).select(
         "vec_id", "cluster", F.round("sq_dist", round_dp).alias("sq_dist")
     )

@@ -19,6 +19,21 @@ from .registry import ORACLES, QUERIES, reorder
 __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
+#:
+#: Round-5 rotation (VERDICT r4 item 1): 12 queries that had never seen
+#: the sf0.01 fresh-process driver gate take slots from 12 family
+#: siblings that went green in r4 (those stay oracle-verified every test
+#: run via tests/test_registry_queries.py — rotation routes signal, it
+#: never drops coverage).  In: the three hardest TPC-H gap shapes
+#: (q2 correlated-min, q6 pushdown-only, q21 exists/not-exists),
+#: dedup_keep_best, dedup_incremental_minhash, shuffle_global_order,
+#: chunk_sliding_tokens, quality_expectations, source_divergence,
+#: variant_json_path, topk_global, map_functions.  Out (all r4-green,
+#: each family keeps ≥1 green representative): agg_stats_exact,
+#: pivot_status, join_semi, join_outer_counts, proj_string_math,
+#: json_extract_props, array_functions, sample_stratified,
+#: text_fingerprint, filter_length_percentile, resample_forward_fill,
+#: funnel_conversion.
 CHECKED_FIRST = [
     # reference parity (the three modes of the original tool)
     "variant_report",
@@ -27,59 +42,53 @@ CHECKED_FIRST = [
     # aggregations
     "q1_pricing_summary",
     "agg_grouping_sets",
-    "agg_stats_exact",
-    # agg_corr_stats stays oracle-tested in tests/ — its slot carries
-    # the round-4 capstone (the end-to-end curation DAG), so the
-    # composed filter→dedup→pack path gets hard driver signal
-    "curation_pipeline",
     "agg_percentiles",
-    "pivot_status",
-    # joins
+    "curation_pipeline",
+    # joins (semi/outer shapes rotate to test-only; anti keeps the
+    # membership-join family green, star keeps broadcast, q3 keeps the
+    # multi-join shape)
     "join_star_revenue",
-    "join_semi",
     "join_anti",
-    "join_outer_counts",
-    # join_range_theta stays oracle-tested in tests/ — its slot went to
-    # the round-4 semantic-dedup flagship (binned covers the range family)
     "join_range_binned",
     "join_asof_attribution",
     "join_salted_skew",
     "q3_shipping_priority",
-    # windows / top-k
+    # TPC-H gap shapes — first-ever driver check (r5 rotation)
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q21_waiting_supplier",
+    # windows / top-k (+ the TakeOrderedAndProject global form, first check)
     "window_topk_per_group",
     "window_frames",
+    "topk_global",
     # set ops
     "set_ops",
-    # projections / semi-structured
-    "proj_string_math",
-    "json_extract_props",
+    # semi-structured: legacy JSON re-parse forms rotate to test-only;
+    # the VARIANT path and the map surface get their first driver rows
     "explode_tokens",
-    "array_functions",
-    # distinct / sampling / split
+    "variant_json_path",
+    "map_functions",
+    # distinct / split
     "distinct_users_exact",
-    "sample_stratified",
     "split_train_val_test",
     # reference formatters
     "fmt_scalars",
-    # text analysis (pii_redact + repetition stay oracle-tested in
-    # tests/ — their slots went to the round-4 time-series family so
-    # every family keeps at least one hard driver row)
+    # text / quality
     "text_metrics",
-    "text_fingerprint",
-    "filter_length_percentile",
     "filter_quality_rules",
     "contamination_check",
-    # time series
-    "resample_forward_fill",
-    "funnel_conversion",
-    # dedup (ngram_jaccard, embedding_cosine + simhash_pairs stay
-    # oracle-tested in tests/ — simhash pair generation is exercised
-    # inside dedup_components; the freed slots carry the round-4
-    # clustering/semantic-dedup flagships)
+    "quality_expectations",
+    # training-data pipeline (first driver checks for all four)
+    "shuffle_global_order",
+    "chunk_sliding_tokens",
+    "dedup_keep_best",
+    "source_divergence",
+    # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
+    "dedup_incremental_minhash",
     # similarity search / clustering
     "knn_cosine_topk",
     "kmeans_clusters",

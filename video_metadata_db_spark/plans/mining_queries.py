@@ -256,8 +256,12 @@ c{n} AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 c0 AS (
-  SELECT vec_id AS cluster, v AS c FROM e
-  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT {_K})
+  -- rank-label the seeds: cluster = 0-based position of the seed in
+  -- vec_id order, matching kmeans_assign's array_position(-1) labels
+  -- for ANY id domain (labelling by vec_id itself would only coincide
+  -- when ids happen to be contiguous from 0)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_K}) seeds
 )"""
     ]
     prev = "c0"

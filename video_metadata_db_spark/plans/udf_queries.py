@@ -202,10 +202,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id, t.token, t.pos
 FROM (
   SELECT doc_id,
-         unnest(list_filter(
-           list_transform(string_split(text, ' '),
-                          (x, i) -> struct_pack(token := x, pos := i - 1)),
-           s -> s.token <> ''
+         -- filter empties BEFORE indexing: pos is the token's ordinal
+         -- among non-empty tokens, matching the UDTF's counter (a raw
+         -- split index would diverge on consecutive/leading spaces)
+         unnest(list_transform(
+           list_filter(string_split(text, ' '), x -> x <> ''),
+           (x, i) -> struct_pack(token := x, pos := i - 1)
          )) AS t
   FROM documents
 )

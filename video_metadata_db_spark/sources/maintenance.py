@@ -62,8 +62,22 @@ def compact_parquet(
 ZORDER_BITS = 16
 
 
+def zorder_bits(n_cols: int) -> int:
+    """Per-column rank resolution for an ``n_cols``-way interleave.
+
+    The interleaved value must fit in a LONG's 63 value bits — with the
+    full ZORDER_BITS=16 and 4+ columns the top bit would land at
+    position ≥ 63 (the sign bit), making high-rank z-values negative
+    and silently breaking the Morton sort order.  Shrinking resolution
+    as width grows (63 // n) keeps the curve correct at any width; for
+    ≤3 columns the full 16 bits are retained."""
+    if n_cols < 1:
+        raise ValueError("zorder needs at least one column")
+    return min(ZORDER_BITS, 63 // n_cols)
+
+
 def zorder_value(
-    ranks: list,  # list[Column] of integer ranks in [0, 2^ZORDER_BITS)
+    ranks: list,  # list[Column] of integer ranks in [0, 2^zorder_bits(n))
 ) -> "F.Column":
     """Morton (Z-order) interleave of per-column rank integers.
 
@@ -71,18 +85,21 @@ def zorder_value(
     in EVERY dimension get close z-values, so a z-sorted file layout
     gives footer-stat pruning on ALL clustered columns at once, where a
     lexicographic sort prunes only its leading column.  Pure codegen
-    bit arithmetic."""
+    bit arithmetic.  Ranks must carry at most :func:`zorder_bits`
+    bits each so the result stays within the long's sign-free range."""
     n = len(ranks)
+    bits = zorder_bits(n)
+    assert bits * n <= 63, (bits, n)
     z = F.lit(0).cast("long")
-    for b in range(ZORDER_BITS):
+    for b in range(bits):
         for i, r in enumerate(ranks):
             bit = F.shiftright(r.cast("long"), b).bitwiseAND(F.lit(1).cast("long"))
             z = z + F.shiftleft(bit, b * n + i)
     return z
 
 
-def _minmax_rank(col: "F.Column", lo: float, hi: float) -> "F.Column":
-    """Linear rank of ``col`` into [0, 2^ZORDER_BITS) given driver-side
+def _minmax_rank(col: "F.Column", lo: float, hi: float, bits: int = ZORDER_BITS) -> "F.Column":
+    """Linear rank of ``col`` into [0, 2^bits) given driver-side
     min/max.  Right for roughly-uniform keys; for skewed keys substitute
     approx-quantile boundaries (same literal-embedding discipline as
     operators/packing.py) — the interleave is agnostic to how ranks are
@@ -90,8 +107,8 @@ def _minmax_rank(col: "F.Column", lo: float, hi: float) -> "F.Column":
     span = max(hi - lo, 1e-12)
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
     return F.least(
-        F.floor(scaled * (1 << ZORDER_BITS)).cast("long"),
-        F.lit((1 << ZORDER_BITS) - 1).cast("long"),
+        F.floor(scaled * (1 << bits)).cast("long"),
+        F.lit((1 << bits) - 1).cast("long"),
     )
 
 
@@ -117,8 +134,9 @@ def zorder_parquet(
     stats = df.agg(
         *[f(F.col(c)).alias(f"{tag}_{c}") for c in cols for tag, f in (("lo", F.min), ("hi", F.max))]
     ).first()
+    bits = zorder_bits(len(cols))
     ranks = [
-        _minmax_rank(F.col(c), float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"]))
+        _minmax_rank(F.col(c), float(stats[f"lo_{c}"]), float(stats[f"hi_{c}"]), bits)
         for c in cols
     ]
     n_files = max(1, math.ceil(input_bytes(spark, in_dir) / target_bytes))

@@ -14,8 +14,14 @@ could be mid-scan in (snapshots are immutable once written), and a
 failed write leaves only an orphan higher directory with no effect on
 readers until its ``_SUCCESS`` marker exists.  Replayed batches (same
 ``batch_id`` after a restart from the checkpoint) overwrite their own
-version directory — the upsert is idempotent, which together with the
-source checkpoint gives effective exactly-once table maintenance.
+version directory, and — crucially — the merge reads the highest
+committed version STRICTLY BELOW the replaying ``batch_id``, never the
+global latest.  Otherwise a crash after snapshot ``v=N`` committed but
+before the stream checkpoint recorded batch N would replay batch N on
+top of a snapshot that already contains it, double-counting.  Anchoring
+the read below ``batch_id`` makes the overwrite truly idempotent, which
+together with the source checkpoint gives effective exactly-once table
+maintenance.
 
 At scale: per batch, cost = batch partial aggregate (tiny) + one
 |keys|-sized merge shuffle + snapshot write.  For key spaces too large
@@ -47,15 +53,24 @@ def _committed_versions(table_dir: str) -> list[int]:
 
 
 def read_materialized(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    *,
+    below: int | None = None,
 ) -> DataFrame | None:
     """A committed snapshot: the current one (highest version) by
     default, or TIME TRAVEL to any retained ``version`` — every
     snapshot is a complete immutable table, so historical reads are a
-    directory pick, not a log replay.  None before the first refresh;
-    ValueError for a version that was never committed or was retired
-    by :func:`retain_versions`."""
+    directory pick, not a log replay.  ``below`` restricts resolution
+    to versions strictly less than it (the replay-idempotence anchor
+    used by :func:`upsert_user_totals`).  None before the first
+    refresh (or when no version < ``below`` exists); ValueError for a
+    version that was never committed or was retired by
+    :func:`retain_versions`."""
     versions = _committed_versions(table_dir)
+    if below is not None:
+        versions = [v for v in versions if v < below]
     if not versions:
         return None
     if version is None:
@@ -93,7 +108,11 @@ def upsert_user_totals(table_dir: str):
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
         )
-        prev = read_materialized(spark, table_dir)
+        # anchor the read below batch_id: on replay after a crash where
+        # v=batch_id committed but the stream checkpoint did not, the
+        # global latest would BE v=batch_id (already containing this
+        # batch) and the merge would double-count it
+        prev = read_materialized(spark, table_dir, below=batch_id)
         if prev is not None:
             merged = (
                 prev.unionByName(partial)
