@@ -8,7 +8,10 @@ Prints ONE JSON line:
 Each query is executed twice and the best wall time kept (first run pays
 JVM/codegen warmup; the engine's steady-state cost is what matters at
 cluster scale).  ``value`` = sum of per-query best times, excluding
-session startup.
+session startup.  ``core16`` = sum over the FIXED original 16-query set
+recorded in BENCH_r01 — the round-over-round comparable number (the
+headline total grows with coverage, so totals across rounds measure
+breadth, not speed).
 """
 
 from __future__ import annotations
@@ -26,6 +29,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: The headline set: flagship parity query + one per heavy operator
 #: family (agg, star join, window, explode, formatter) — extended as
 #: extension operators land.
+#: The FIRST 16 names below — frozen as recorded in BENCH_r01 — form
+#: the stable cross-round metric (``core16`` in the output JSON).
+CORE16_COUNT = 16
+
 HEADLINE = [
     "variant_report",
     "q1_pricing_summary",
@@ -103,12 +110,16 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
+    core16 = round(
+        sum(per_query.get(n, 0.0) for n in HEADLINE[:CORE16_COUNT]), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "core16": core16,
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -190,24 +190,45 @@ def test_star_components_match_label_propagation(spark):
 
 def test_components_reliable_checkpoint_mode(spark, tmp_path):
     """checkpoint_mode='reliable' (cluster-safe: survives executor
-    loss) produces identical labels via sc.setCheckpointDir storage,
-    and an unknown mode fails fast."""
+    loss) produces identical labels via sc.setCheckpointDir storage
+    for BOTH variants — label propagation and large-star/small-star
+    (the star loop cuts lineage every round, so its reliable path runs
+    many real checkpoints on a multi-round chain) — and an unknown
+    mode fails fast."""
     import pytest
 
-    from video_metadata_db_spark.operators.components import connected_components
+    from video_metadata_db_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
 
     df = spark.createDataFrame(
         [(0, 1), (1, 2), (5, 6), (8, 8)], "doc_a long, doc_b long"
     )
+    # 40-deep chain: several star contraction rounds, each checkpointed
+    chain = [(i, i + 1) for i in range(40)]
+    chain_df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+
     local = {(r["doc"], r["component"]) for r in connected_components(df).collect()}
+    star_local = {
+        (r["doc"], r["component"]) for r in connected_components_star(chain_df).collect()
+    }
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     reliable = {
         (r["doc"], r["component"])
         for r in connected_components(df, checkpoint_mode="reliable").collect()
     }
+    star_reliable = {
+        (r["doc"], r["component"])
+        for r in connected_components_star(chain_df, checkpoint_mode="reliable").collect()
+    }
     assert local == reliable
+    assert star_local == star_reliable
+    assert star_reliable == {(i, 0) for i in range(41)}
     with pytest.raises(ValueError, match="checkpoint_mode"):
         connected_components(df, checkpoint_mode="bogus").collect()
+    with pytest.raises(ValueError, match="checkpoint_mode"):
+        connected_components_star(df, checkpoint_mode="bogus").collect()
 
 
 def test_components_plan_stays_bounded_across_rounds(spark):

@@ -196,3 +196,17 @@ def test_incremental_pairs_equal_full_pairs_across_split(spark):
             n, o = (a, b) if a % 10 == 0 else (b, a)
             full_cross.add((n, o, j))
     assert inc == full_cross and inc
+
+
+def test_kmeans_arrow_matches_fold(spark):
+    """The Arrow (BLAS expansion) and Catalyst (zip_with fold)
+    assignment paths must produce IDENTICAL (cluster, 6-dp sq_dist)
+    rows under the shared determinism contract — including at a k
+    where the Arrow path is the one that would actually ship."""
+    from video_metadata_db_spark.operators.clustering import kmeans_assign_arrow
+
+    emb = load_table(spark, SF, "embeddings")
+    for k in (4, 16):
+        a = sorted(map(tuple, kmeans_assign(emb, k=k, n_iter=2).collect()))
+        b = sorted(map(tuple, kmeans_assign_arrow(emb, k=k, n_iter=2).collect()))
+        assert a == b and a, k

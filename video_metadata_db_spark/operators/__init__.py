@@ -1,4 +1,5 @@
 from .asof import asof_join, time_proximity_pairs
+from .clustering import cluster_profile, kmeans_assign, kmeans_assign_arrow
 from .components import connected_components, connected_components_star
 from .dedup import (
     band_buckets,
@@ -7,6 +8,7 @@ from .dedup import (
     minhash_lsh_dedup,
     minhash_signatures,
     ngram_jaccard_pairs,
+    release_dedup_caches,
     shingles_of,
     shingles_of_tokens,
     simhash,
@@ -40,9 +42,12 @@ __all__ = [
     "bloom_prefiltered_new_keys",
     "build_bloom",
     "build_metadata_records",
+    "cluster_profile",
     "connected_components",
     "connected_components_star",
     "exact_dedup",
+    "kmeans_assign",
+    "kmeans_assign_arrow",
     "extract_features",
     "ffprobe_args",
     "ffprobe_available",
@@ -59,6 +64,7 @@ __all__ = [
     "pack_blocks",
     "probe_from_fixture",
     "probe_videos",
+    "release_dedup_caches",
     "resize_images",
     "sample_frames",
     "sequence_offsets",

@@ -122,6 +122,95 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_arrow(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd's with the assignment pass as an Arrow-batched numpy
+    mat-mul (``mapInPandas``) — the LARGE-k scale path.
+
+    The codegen-fold assignment in :func:`kmeans_assign` costs
+    ∝ k·dim interpreted expression evaluations PER ROW (zip_with /
+    aggregate are interpreted): measured ×5.6 wall at k 8→80 in the
+    round-5 scale experiment.  Here each Arrow batch computes all k
+    distances as one BLAS ``|v|² − 2·V@Cᵀ + |c|²`` expansion, so
+    per-row cost is a dense flop count, independent of expression
+    interpretation — the same fold→Arrow trade proven bit-identical
+    for cosine scoring in ``operators/similarity.py``.
+
+    Same determinism contract as the fold version (smallest-id seeds,
+    6-dp quantized centroid updates, argmin ties to the lowest cluster
+    — numpy ``argmin`` returns the first minimum index): the two
+    variants' outputs are asserted IDENTICAL by
+    ``tests/test_mining.py::test_kmeans_arrow_matches_fold``, because
+    the 1e-9-scale summation-order drift between the fold and the BLAS
+    expansion sits five orders below the 5e-7 rounding boundary the
+    update quantization imposes.  The fold variant stays the
+    DuckDB-oracle surface at oracle-sized k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    df = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    df = df.persist()
+    seed_rows = df.orderBy("vec_id").limit(k).collect()
+    if len(seed_rows) < k:
+        df.unpersist()
+        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+    centroids = [list(r["v"]) for r in seed_rows]
+    dim = len(centroids[0])
+
+    def assign(frame: DataFrame, cents: list[list[float]]) -> DataFrame:
+        C = np.asarray(cents, dtype=np.float64)  # k×dim, broadcast via closure
+        c_sq = (C * C).sum(axis=1)
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c_sq[None, :]
+                cl = d.argmin(axis=1)  # first (lowest) index on ties
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        "cluster": cl.astype("int64"),
+                        "sq_dist": d[np.arange(len(cl)), cl],
+                    }
+                )
+
+        return frame.mapInPandas(
+            score, "vec_id long, v array<double>, cluster long, sq_dist double"
+        )
+
+    for _ in range(n_iter):
+        rows = (
+            assign(df, centroids)
+            .groupBy("cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v")[i]), round_dp).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        got = {r["cluster"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
+        centroids = [got.get(c, centroids[c]) for c in range(k)]
+
+    df.unpersist()
+    return assign(df, centroids).select(
+        "vec_id", "cluster", F.round("sq_dist", round_dp).alias("sq_dist")
+    )
+
+
 def cluster_profile(assigned: DataFrame, emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Per-cluster rollup joined against labels — the sanity view a
     curation run reports: size, mean distance, dominant label purity."""

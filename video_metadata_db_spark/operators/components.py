@@ -178,20 +178,25 @@ def connected_components_star(
         checkpoint_mode,
     )
     for _ in range(max_rounds):
-        # large-star over the symmetric view: (nbr, min-of-neighborhood)
-        # for every strictly-larger neighbor
-        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
+        # Large-star WITHOUT materializing the symmetric view (VERDICT
+        # r4): in canonical (u > v) form, the symmetric pairs with a
+        # strictly-larger second vertex are exactly the canonical edges,
+        # and the neighborhood-min of v collapses to
+        # m(v) = min(v, min of v's SMALLER neighbors) — larger neighbors
+        # can never win a min that already includes v.  v's smaller
+        # neighbors are the rows where v sits in the u slot, so one
+        # aggregate over e + one join replace the 2×-sized sym union:
+        # each canonical edge (u, v) emits the large-star edge
+        # (u, m(v)), and m(v) < u always, so the output is born
+        # canonical — no greatest/least, no a != b filter.
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
         lg = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            e.join(
+                mins.select(F.col("u").alias("v"), F.col("mn").alias("m")),
+                "v",
+                "left",
+            )
+            .select("u", F.coalesce("m", F.col("v")).alias("v"))
             .distinct()
         )
         # small-star on the (larger → smaller) canonical edges

@@ -36,6 +36,44 @@ N_HASHES = 64
 BANDS = 16
 ROWS_PER_BAND = N_HASHES // BANDS
 
+#: Persisted frames owned by the dedup operators.  The signature/
+#: fingerprint persists below are load-bearing (both sides of each LSH
+#: self-join consume them; without the persist the whole shingle→hash
+#: pipeline runs once per consumer), but they can only be released AFTER
+#: the caller materializes the returned lazy frame — so the operator
+#: can't unpersist before returning.  The scope bounds the leak instead:
+#: a small LRU (semantically-identical inputs REUSE the live cache —
+#: repeated dedup over the same corpus pays the signature pass once;
+#: beyond ``_MAX_SCOPED`` distinct frames the oldest is evicted), and
+#: callers that want a cache-free context call
+#: :func:`release_dedup_caches` once they've consumed the results
+#: (tests/test_cache_hygiene.py pins both behaviors).
+_SCOPED_CACHES: list[DataFrame] = []
+_MAX_SCOPED = 4
+
+
+def release_dedup_caches() -> int:
+    """Unpersist every signature/fingerprint frame still held by the
+    dedup operators; returns how many were released.  Safe to call at
+    any time — a dedup result consumed after release simply recomputes
+    its signatures (correct, one extra pass)."""
+    n = 0
+    while _SCOPED_CACHES:
+        _SCOPED_CACHES.pop().unpersist(blocking=True)
+        n += 1
+    return n
+
+
+def _scoped_persist(df: DataFrame) -> DataFrame:
+    for cached in _SCOPED_CACHES:
+        if cached.sameSemantics(df):
+            return cached  # the live cache serves this plan already
+    while len(_SCOPED_CACHES) >= _MAX_SCOPED:
+        _SCOPED_CACHES.pop(0).unpersist(blocking=True)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _SCOPED_CACHES.append(df)
+    return df
+
 #: MinHash permutation family: h_i(x) = (A[i]·h(x) + B[i]) mod MERSENNE_P
 #: over a 31-bit md5-derived base hash.  One md5 per shingle instead of
 #: 64 — the classic affine-permutation scheme (Broder '97).  Constants
@@ -275,8 +313,12 @@ def minhash_lsh_dedup(
     consumer (no exchange reuse across the self-join branches).  At
     scale that's the difference between one and four passes over the
     corpus; signatures are ~512 B/doc, far smaller than the text.
+    Cache scope: a repeated call over the same corpus reuses the live
+    signature cache; distinct corpora rotate through a small LRU; call
+    :func:`release_dedup_caches` after consuming the results for a
+    cache-free session.
     """
-    sigs = minhash_signatures(docs, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _scoped_persist(minhash_signatures(docs, text_col, id_col))
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= threshold)
 
 
@@ -333,9 +375,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     Fingerprints persist before the self-join (one 8-byte long per doc
     — cluster-trivial): both sides of the block join consume them, and
     without the persist the whole explode→vote pipeline executes twice
-    (same reasoning as :func:`minhash_lsh_dedup`).
+    (same reasoning and cache scope as :func:`minhash_lsh_dedup`).
     """
-    sh = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _scoped_persist(simhash(docs))
     blocks = sh.select(
         "doc",
         "simhash",
@@ -389,12 +431,8 @@ def minhash_incremental_pairs(
     downstream of the signature tables is exactly the stored-table
     plan.  Output: (doc_new, doc_old, est_jaccard ≥ threshold).
     """
-    sigs_new = minhash_signatures(new_docs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs_old = minhash_signatures(corpus_docs, text_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs_new = _scoped_persist(minhash_signatures(new_docs, text_col, id_col))
+    sigs_old = _scoped_persist(minhash_signatures(corpus_docs, text_col, id_col))
 
     def packed(sigs: DataFrame) -> DataFrame:
         return sigs.select(

@@ -304,6 +304,21 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, k=_K, n_iter=_N_ITER).orderBy("vec_id")
 
 
+@query("kmeans_clusters_arrow", oracle=_kmeans_oracle())
+def q_kmeans_clusters_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-assignment k-means (``kmeans_assign_arrow``): one BLAS
+    distance expansion per Arrow batch instead of k·dim interpreted
+    fold evaluations per row — the LARGE-k scale path (measured ×5.6
+    wall on the fold at k 8→80 in the round-5 scale experiment).  Same
+    determinism contract as the fold, so the SAME unrolled DuckDB
+    Lloyd's oracle value-checks it — the cross-engine proof that the
+    two physical strategies compute one operator."""
+    from ..operators.clustering import kmeans_assign_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign_arrow(emb, k=_K, n_iter=_N_ITER).orderBy("vec_id")
+
+
 def _cluster_profile_oracle() -> str:
     return (
         _kmeans_ctes()
