@@ -76,6 +76,7 @@ HEADLINE = [
     "unigram_logprob_score",
     "vocab_bigrams",
     "kmeans_clusters",
+    "kmeans_clusters_arrow",
     "dedup_semantic",
     "dedup_incremental_minhash",
     "variant_json_path",

@@ -401,22 +401,25 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     given label) is the blocking key, so candidate generation stays an
     equi-join with O(Σ cluster²) pairs instead of O(n²).
 
-    Composes two verified operators (kmeans_assign →
+    Composes two verified operators (kmeans_assign_arrow →
     embedding_near_dup_arrow with cluster as the block), and the
     oracle composes the same way: the unrolled Lloyd's CTE feeding a
-    within-cluster cosine top-1.  Scoring takes the ARROW path (one
-    numpy gram matmul per cluster) — output bit-identical to the
-    Catalyst zip_with fold (pinned by
-    test_arrow_and_fold_near_dup_agree) and 8.7× faster at sf0.1,
-    because dense b²·d scoring belongs in BLAS, not interpreted
-    higher-order expressions; the label-blocked `dedup_embedding_cosine`
-    keeps the JVM-fold surface pinned.  At 100 TB: k scales ~√n so
-    clusters stay worker-sized; the assignment pass is scan-only."""
-    from ..operators.clustering import kmeans_assign
+    within-cluster cosine top-1.  BOTH passes take the ARROW path —
+    assignment as a BLAS distance expansion (identical to the
+    codegen fold under the shared determinism contract, pinned by
+    test_kmeans_arrow_matches_fold; the fold's per-row cost ∝ k·dim
+    makes it the wrong physical strategy as k scales with n) and
+    scoring as one numpy gram matmul per cluster (bit-identical to the
+    zip_with fold, pinned by test_arrow_and_fold_near_dup_agree, 8.7×
+    faster at sf0.1); the label-blocked `dedup_embedding_cosine` and
+    `kmeans_clusters` keep the JVM-fold surfaces pinned.  At 100 TB:
+    k scales ~√n so clusters stay worker-sized (candidate growth
+    measured ×10.03 at ×10 corpus — SCALE_MEASURE.json)."""
+    from ..operators.clustering import kmeans_assign_arrow
     from ..operators.similarity import embedding_near_dup_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, k=_K, n_iter=_N_ITER).select("vec_id", "cluster")
+    assigned = kmeans_assign_arrow(emb, k=_K, n_iter=_N_ITER).select("vec_id", "cluster")
     blocked = emb.join(assigned, "vec_id")
     return embedding_near_dup_arrow(blocked, threshold=0.5, block_col="cluster").orderBy(
         "vec_id"
