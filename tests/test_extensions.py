@@ -319,3 +319,77 @@ def test_udtf_positional_tokens_double_space_golden(spark, tmp_path):
     finally:
         conn.close()
     assert sorted(got) == sorted(exp)
+
+
+def test_incremental_components_equal_full_recompute(spark):
+    """components_incremental(stored labels, new edges) must reproduce
+    the full recompute over old ∪ new edges exactly — on random graphs
+    where batches merge existing components, extend them, bring brand
+    new vertices, and leave old singletons untouched."""
+    import random
+
+    from video_metadata_db_spark.operators.components import (
+        components_incremental,
+        connected_components_star,
+    )
+
+    rng = random.Random(17)
+    for trial in range(3):
+        old = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        old = [(a, b) for a, b in old if a != b]
+        # new edges reach into the old id space AND a fresh range
+        new = [(rng.randrange(60), rng.randrange(60)) for _ in range(15)]
+        new = [(a, b) for a, b in new if a != b]
+        old_df = spark.createDataFrame(old, "doc_a long, doc_b long")
+        new_df = spark.createDataFrame(new, "doc_a long, doc_b long")
+
+        labels = connected_components_star(old_df)
+        inc = {
+            (r["doc"], r["component"])
+            for r in components_incremental(labels, new_df).collect()
+        }
+        full = {
+            (r["doc"], r["component"])
+            for r in connected_components_star(old_df.unionByName(new_df)).collect()
+        }
+        assert inc == full, f"trial {trial}"
+
+    # old singleton (self-labeled) untouched by the batch survives
+    labels = spark.createDataFrame(
+        [(1, 0), (0, 0), (99, 99)], "doc long, component long"
+    )
+    out = {
+        (r["doc"], r["component"])
+        for r in components_incremental(
+            labels, spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        ).collect()
+    }
+    assert out == {(0, 0), (1, 0), (2, 0), (99, 99)}
+
+
+def test_simhash_block_recall_contract(spark):
+    """Pins the pigeonhole honestly: with B blocks, recall at Hamming h
+    is guaranteed only for h < B.  A pair whose 8 differing bits spread
+    2 per default block shares NO 15-bit block (missed — by contract,
+    not by bug), while n_blocks=9 > h finds it; and a 3-bit pair is
+    always found at the default (3 < 4 blocks)."""
+    from video_metadata_db_spark.operators.dedup import simhash_block_pairs
+
+    spread8 = sum(1 << p for p in (0, 1, 15, 16, 30, 31, 45, 46))  # 2 per block
+    three = sum(1 << p for p in (2, 17, 33))
+    fps = spark.createDataFrame(
+        [(1, 0), (2, spread8), (3, three)], "doc long, simhash long"
+    )
+
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_block_pairs(fps, max_hamming=8, n_blocks=4).collect()
+    }
+    assert (1, 2) not in default  # the documented miss
+    assert (1, 3) in default  # h=3 < 4 blocks: guaranteed
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_block_pairs(fps, max_hamming=8, n_blocks=9).collect()
+    }
+    assert (1, 2) in exact and (1, 3) in exact  # h=8 < 9 blocks: guaranteed

@@ -440,3 +440,57 @@ def test_materialized_time_travel_and_retention(spark, tmp_path):
     assert read_materialized(spark, table).count() > 0
     with pytest.raises(ValueError, match="not committed"):
         read_materialized(spark, table, v0)
+
+
+def test_incremental_dedup_stream_matches_full_recompute(spark, tmp_path):
+    """Streaming dedup maintenance: after draining the corpus in two
+    micro-batches, the stored labels equal a from-scratch recompute
+    over all pairs; a crash-replay of the last batch (same batch_id)
+    leaves them unchanged; and the OPPOSITE arrival order lands on the
+    same labels (merging commutes)."""
+    from video_metadata_db_spark.operators.components import connected_components_star
+    from video_metadata_db_spark.operators.dedup import simhash_near_pairs
+    from video_metadata_db_spark.streaming.incremental_dedup import (
+        dedup_state_maintainer,
+        read_dedup_labels,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    halves = [
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ]
+    full = {
+        (r["doc"], r["component"])
+        for r in connected_components_star(simhash_near_pairs(docs)).collect()
+    }
+
+    state = str(tmp_path / "state")
+    step = dedup_state_maintainer(state)
+    step(halves[0], 0)
+    step(halves[1], 1)
+    got = {
+        (r["doc"], r["component"])
+        for r in read_dedup_labels(spark, state).collect()
+    }
+    assert got == full and got
+
+    # crash-replay: batch 1 re-runs with the same batch_id against a
+    # state whose latest snapshots are v=1 — reads anchor below 1
+    step(halves[1], 1)
+    replayed = {
+        (r["doc"], r["component"])
+        for r in read_dedup_labels(spark, state).collect()
+    }
+    assert replayed == full
+
+    # arrival order commutes
+    state2 = str(tmp_path / "state2")
+    step2 = dedup_state_maintainer(state2)
+    step2(halves[1], 0)
+    step2(halves[0], 1)
+    swapped = {
+        (r["doc"], r["component"])
+        for r in read_dedup_labels(spark, state2).collect()
+    }
+    assert swapped == full

@@ -1,6 +1,16 @@
 from .asof import asof_join, time_proximity_pairs
+from .chunking import (
+    chunk_dedup_groups,
+    content_defined_chunks,
+    doc_containment_pairs,
+    sliding_grams,
+)
 from .clustering import cluster_profile, kmeans_assign, kmeans_assign_arrow
-from .components import connected_components, connected_components_star
+from .components import (
+    components_incremental,
+    connected_components,
+    connected_components_star,
+)
 from .dedup import (
     band_buckets,
     exact_dedup,
@@ -42,7 +52,11 @@ __all__ = [
     "bloom_prefiltered_new_keys",
     "build_bloom",
     "build_metadata_records",
+    "chunk_dedup_groups",
     "cluster_profile",
+    "content_defined_chunks",
+    "doc_containment_pairs",
+    "components_incremental",
     "connected_components",
     "connected_components_star",
     "exact_dedup",
@@ -70,6 +84,7 @@ __all__ = [
     "sequence_offsets",
     "shingles_of",
     "shingles_of_tokens",
+    "sliding_grams",
     "salted_join",
     "simhash",
     "simhash_near_pairs",

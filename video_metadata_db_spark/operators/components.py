@@ -119,6 +119,51 @@ def dedup_groups(
     )
 
 
+def components_incremental(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 30,
+    checkpoint_mode: str = "local",
+) -> DataFrame:
+    """Merge a batch of NEW edges into STORED component labels without
+    re-running pair generation or re-traversing the historical edge
+    set — the ingest-update shape of dedup clustering (the clustering
+    analogue of ``minhash_incremental_pairs``).
+
+    Soundness: a (doc, component) label table IS a depth-1 star forest
+    that preserves the old graph's connectivity exactly (every member
+    points at its component root, and the root id is the component
+    min).  So components over ``star-edges ∪ new-edges`` equal a full
+    recompute over ``old-edges ∪ new-edges`` — old components survive
+    through their stars, new edges extend or merge them, and the
+    component min is preserved because each old root participates.
+    The registered query is value-checked against the FULL-corpus
+    recursive-CTE oracle, which is this equivalence stated as a test.
+
+    Cost per ingest: O(|labels| + |batch edges|) shuffled per round,
+    with round count O(log of the NEW merge chains) — the stored side
+    is depth-1 by construction, so historical corpus diameter never
+    matters again.  Old singletons (label == doc, untouched by the
+    batch) are re-attached unchanged via one anti join.
+    """
+    star = labels.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias(src), F.col("component").alias(dst)
+    )
+    merged = connected_components_star(
+        star.unionByName(new_edges.select(src, dst)),
+        src,
+        dst,
+        max_rounds,
+        checkpoint_mode,
+    )
+    singles = labels.filter(F.col("doc") == F.col("component")).join(
+        merged.select("doc"), "doc", "left_anti"
+    )
+    return merged.unionByName(singles)
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "doc_a",

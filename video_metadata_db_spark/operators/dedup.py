@@ -365,20 +365,22 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return votes.select("doc", fingerprint.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, via 4-block LSH.
+def _block_layout(n_blocks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per block, splitting SIMHASH_BITS as evenly
+    as possible (the leading ``60 % n`` blocks get the extra bit)."""
+    base, extra = divmod(SIMHASH_BITS, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs, acc = [], 0
+    for w in widths:
+        offs.append(acc)
+        acc += w
+    return list(zip(offs, widths))
 
-    Pigeonhole: at ≤ ``max_hamming`` (< 4 blocks) differing bits, at
-    least one 15-bit block matches exactly — join on (block_id, block
-    value), then verify with ``bit_count(xor)``.
 
-    Fingerprints persist before the self-join (one 8-byte long per doc
-    — cluster-trivial): both sides of the block join consume them, and
-    without the persist the whole explode→vote pipeline executes twice
-    (same reasoning and cache scope as :func:`minhash_lsh_dedup`).
-    """
-    sh = _scoped_persist(simhash(docs))
-    blocks = sh.select(
+def _simhash_blocks(fingerprints: DataFrame, n_blocks: int) -> DataFrame:
+    """(doc, simhash, block_id, block) — the slim key rows the block
+    LSH joins shuffle on."""
+    return fingerprints.select(
         "doc",
         "simhash",
         F.explode(
@@ -386,13 +388,35 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("block_id"),
-                        F.shiftright("simhash", i * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias("block"),
+                        F.shiftright("simhash", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block"),
                     )
-                    for i in range(4)
+                    for i, (off, width) in enumerate(_block_layout(n_blocks))
                 ]
             )
         ).alias("bb"),
     ).select("doc", "simhash", "bb.block_id", "bb.block")
+
+
+def simhash_block_pairs(
+    fingerprints: DataFrame, max_hamming: int = 8, n_blocks: int = 4
+) -> DataFrame:
+    """Block-LSH pair generation over (doc, simhash) fingerprints:
+    equi-join on any shared block value, verify with ``bit_count(xor)``.
+
+    RECALL CONTRACT — be honest about the pigeonhole: a pair at
+    Hamming distance h is GUARANTEED to share a block only when
+    ``h < n_blocks`` (h differing bits cannot touch all blocks).  The
+    default (4 × 15-bit blocks, max_hamming=8) is therefore a
+    high-recall HEURISTIC above h=3: a pair whose 8 diffs spread 2 per
+    block is missed (``test_simhash_block_recall_contract`` constructs
+    exactly that).  Raising ``n_blocks`` to ``max_hamming + 1`` makes
+    recall exact but narrows blocks (60/9 ≈ 6 bits), raising the
+    random-collision floor ~n²/2^width — the trade the round-5 scale
+    experiment measured (SCALE.md).  Pick blocks wide for scale,
+    ``n_blocks > max_hamming`` for completeness."""
+    blocks = _simhash_blocks(fingerprints, n_blocks)
     l, r = blocks.alias("l"), blocks.alias("r")
     return (
         l.join(
@@ -409,6 +433,58 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs_between(
+    fp_new: DataFrame,
+    fp_all: DataFrame,
+    max_hamming: int = 8,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Block-LSH pairs TOUCHING the new side only: new-vs-all block
+    join (``fp_all`` may include ``fp_new`` — batch-internal pairs come
+    out once, canonicalized doc_a < doc_b).  The per-ingest shape:
+    cost O(|batch blocks| ⋈ matching corpus blocks), never a corpus
+    self-join — the SimHash analogue of
+    :func:`minhash_incremental_pairs`, feeding
+    ``components_incremental`` in the streaming maintenance pipeline.
+    Same recall contract as :func:`simhash_block_pairs`."""
+    bn = _simhash_blocks(fp_new, n_blocks).alias("n")
+    ba = _simhash_blocks(fp_all, n_blocks).alias("o")
+    return (
+        bn.join(
+            ba,
+            (F.col("n.block_id") == F.col("o.block_id"))
+            & (F.col("n.block") == F.col("o.block"))
+            & (F.col("n.doc") != F.col("o.doc")),
+        )
+        .select(
+            F.least("n.doc", "o.doc").alias("doc_a"),
+            F.greatest("n.doc", "o.doc").alias("doc_b"),
+            F.bit_count(F.col("n.simhash").bitwiseXOR(F.col("o.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 8, n_blocks: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, via block LSH —
+    see :func:`simhash_block_pairs` for the recall contract (exact
+    only when ``max_hamming < n_blocks``; the 4 × 15-bit default is the
+    scale-friendly heuristic the registered oracle mirrors).
+
+    Fingerprints persist before the self-join (one 8-byte long per doc
+    — cluster-trivial): both sides of the block join consume them, and
+    without the persist the whole explode→vote pipeline executes twice
+    (same reasoning and cache scope as :func:`minhash_lsh_dedup`).
+    """
+    sh = _scoped_persist(simhash(docs))
+    return simhash_block_pairs(sh, max_hamming, n_blocks)
 
 
 def minhash_incremental_pairs(

@@ -343,3 +343,242 @@ def q_length_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "pct_rank")
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- content-defined chunking --
+
+_CDC_CTES = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> CAST(concat('0x', substr(md5(
+                  list_aggregate(toks[i:i+2], 'string_agg', ' ')), 1, 15))
+                AS BIGINT)
+         ) AS hs
+  FROM t
+),
+p AS (
+  -- 1-based gram i covers toks[i..i+2]; a flagged gram closes a chunk
+  -- at 0-based token position i+1
+  SELECT doc_id, toks,
+         list_filter(
+           list_transform(hs, (h, i) -> CASE WHEN h % 16 = 0 THEN i + 1 END),
+           x -> x IS NOT NULL
+         ) AS bp
+  FROM g
+),
+r AS (
+  SELECT doc_id, toks,
+         list_prepend(0, list_transform(bp, x -> x + 1)) AS starts,
+         list_append(bp, len(toks) - 1) AS ends
+  FROM p
+),
+c AS (
+  -- only the TAIL range can be empty (start > end: boundary on the
+  -- last token, or an empty doc), so pre-filter indexes are stable
+  SELECT doc_id, toks,
+         unnest(list_filter(
+           list_transform(range(1, len(starts) + 1),
+                          i -> struct_pack(idx := i, s := starts[i], e := ends[i])),
+           z -> z.s <= z.e
+         )) AS z
+  FROM r
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(z.idx - 1 AS BIGINT) AS chunk_idx,
+         CAST(z.e - z.s + 1 AS BIGINT) AS n_tokens,
+         md5(list_aggregate(toks[z.s+1:z.e+1], 'string_agg', ' ')) AS chunk_hash,
+         list_aggregate(toks[z.s+1:z.e+1], 'string_agg', ' ') AS chunk_text
+  FROM c
+)
+"""
+
+
+@query(
+    "chunk_content_defined",
+    oracle=_CDC_CTES
+    + """
+SELECT doc_id, chunk_idx, n_tokens, chunk_hash, chunk_text
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def q_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: documents cut where a rolling trigram
+    hash ≡ 0 mod 16 (mean chunk ~16 tokens) — boundaries depend only on
+    local content, so shared passages produce identical chunks wherever
+    they sit (the property fixed-width chunking lacks; an early edit
+    shifts every fixed-width chunk but at most one content-defined
+    chunk).  Array-native Catalyst: grams by zip-shift, ranges as array
+    exprs, ONE posexplode at the end — no per-token shuffle at any
+    scale.  See operators/chunking.py for the 100 TB cost shape."""
+    from ..operators.chunking import content_defined_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return content_defined_chunks(docs).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "dedup_chunks",
+    oracle=_CDC_CTES
+    + """,
+ranked AS (
+  SELECT chunk_hash, doc_id, chunk_idx,
+         row_number() OVER (PARTITION BY chunk_hash
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+stats AS (
+  SELECT chunk_hash, COUNT(*) AS n_copies,
+         COUNT(DISTINCT doc_id) AS n_docs,
+         MIN(n_tokens) AS n_tokens
+  FROM chunks GROUP BY chunk_hash HAVING COUNT(*) > 1
+)
+SELECT s.chunk_hash, s.n_copies, s.n_docs,
+       r.doc_id AS canonical_doc, r.chunk_idx AS canonical_idx, s.n_tokens
+FROM stats s JOIN ranked r ON s.chunk_hash = r.chunk_hash AND r.rn = 1
+ORDER BY s.chunk_hash
+""",
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: chunk contents appearing more than once in
+    the corpus, with copy/doc counts and the canonical (min doc, idx)
+    occurrence — the passage-level analogue of `dedup_exact`, catching
+    the boilerplate/quotation duplication that document-level hashing
+    misses entirely.  One groupBy on the chunk hash; chunk text never
+    shuffles (hashes travel, text stays with the scan)."""
+    from ..operators.chunking import chunk_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_groups(docs).orderBy("chunk_hash")
+
+
+@query(
+    "encode_tokens",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, z.pos, z.token
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks, (x, i) -> struct_pack(pos := i, token := x))) AS z
+    FROM t
+  )
+),
+counts AS (
+  SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+),
+vocab AS (
+  SELECT token, row_number() OVER (ORDER BY c DESC, token) - 1 AS id
+  FROM counts ORDER BY c DESC, token LIMIT 256
+),
+enc AS (
+  SELECT tok.doc_id, tok.pos,
+         COALESCE(v.id,
+                  256 + CAST(concat('0x', substr(md5(tok.token), 1, 15)) AS BIGINT) % 64
+         ) AS id
+  FROM tok LEFT JOIN vocab v ON tok.token = v.token
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       string_agg(id, ' ' ORDER BY pos) AS ids
+FROM enc GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding — the tokenize-to-ids step between text
+    curation and sequence packing: induce a rank-ordered vocab (top-256
+    unigrams by corpus count, ties broken by token — deterministic at
+    any parallelism), map tokens to ids via a BROADCAST vocab join,
+    and hash out-of-vocab tokens into 64 overflow buckets (ids ≥ 256)
+    so no token is ever dropped — the standard hashed-OOV trick.
+
+    At 100 TB: vocab induction is one (token) count aggregate with
+    map-side partials; real vocabularies (50-100 k entries) broadcast;
+    the encode pass is scan + broadcast-join; the only corpus-keyed
+    shuffle is the per-doc regroup.  The tiny rank window runs over the
+    vocab-sized aggregate, never the corpus.  Output ids are
+    space-joined so the row stays driver-hashable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens_of(F.col("text"))).alias("pos", "token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "id",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), "token")
+            )
+            - 1,
+        )
+        .filter(F.col("id") < 256)
+        .select("token", "id")
+    )
+    enc = tok.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("id"), F.lit(256) + hash60(F.col("token")) % 64).alias("id"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_containment",
+    oracle=_CDC_CTES
+    + """,
+dchunks AS (
+  SELECT DISTINCT doc_id, chunk_hash FROM chunks
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM dchunks GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM dchunks a JOIN dchunks b
+    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= 2
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       round(s.n_shared * 1.0 / least(sa.n_chunks, sb.n_chunks), 6) AS containment
+FROM shared s
+JOIN sizes sa ON s.doc_a = sa.doc_id
+JOIN sizes sb ON s.doc_b = sb.doc_id
+ORDER BY s.doc_a, s.doc_b
+""",
+)
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment detection over content-defined chunks: pairs sharing
+    ≥2 chunks, scored |shared| / min(|chunks|) — catches the
+    quotes-or-embeds relationship (high containment, low Jaccard) that
+    symmetric near-dup measures miss.  Inverted-index join on the
+    chunk hash (O(Σ group²), never O(n²)); production adds the
+    ``max_df`` hot-chunk cap, same as the shingle index."""
+    from ..operators.chunking import doc_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_containment_pairs(docs, min_shared=2).orderBy("doc_a", "doc_b")

@@ -12,3 +12,4 @@ a stream (covered by checkpointed AvailableNow tests).
 """
 
 from .windows import session_stats, sliding_avg, stream_dedup, tumbling_counts  # noqa: F401
+from .incremental_dedup import dedup_state_maintainer, read_dedup_labels  # noqa: F401
