@@ -82,6 +82,14 @@ HEADLINE = [
     "variant_json_path",
     "quality_expectations",
     "curation_pipeline",
+    # round-5 additions: sub-document dedup (content-defined chunking +
+    # containment), incremental label maintenance, vocab encoding
+    "chunk_content_defined",
+    "dedup_chunks",
+    "doc_containment",
+    "dedup_components_incremental",
+    "encode_tokens",
+    "pq_adc_topk",
 ]
 
 REPEATS = 2

@@ -393,3 +393,36 @@ def test_simhash_block_recall_contract(spark):
         for r in simhash_block_pairs(fps, max_hamming=8, n_blocks=9).collect()
     }
     assert (1, 2) in exact and (1, 3) in exact  # h=8 < 9 blocks: guaranteed
+
+
+def test_pq_adc_recall_and_compression_shape(spark):
+    """PQ sanity: (a) codes span multiple values per subspace (the
+    quantizer engages), (b) ADC top-10 recovers a real fraction of the
+    exact top-10 (coarse 4×16 codebooks → modest recall, but far above
+    the ~2% random floor), (c) estimated distances are non-negative
+    and monotone with the ranking."""
+    from video_metadata_db_spark.operators.quantization import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_codebooks(emb)
+    codes = pq_encode(emb, books)
+    for s in range(4):
+        assert codes.select(f"code_{s}").distinct().count() > 1
+
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=10).collect()
+    approx = pq_adc_topk(emb, qids, topk=10).collect()
+    exact_set = {(r["query_id"], r["cand_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["cand_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"PQ recall {recall:.2f}"
+
+    by_q: dict[int, list[float]] = {}
+    for r in sorted(approx, key=lambda r: (r["query_id"], r["approx_sq_dist"])):
+        assert r["approx_sq_dist"] >= 0
+        by_q.setdefault(r["query_id"], []).append(r["approx_sq_dist"])
+    assert all(len(v) == 10 for v in by_q.values())

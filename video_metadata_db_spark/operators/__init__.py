@@ -43,6 +43,7 @@ from .parity import (
     with_parsed_title,
 )
 from .pipeline import build_metadata_records, filter_candidates, join_sidecars
+from .quantization import pq_adc_topk, pq_codebooks, pq_encode
 from .probe import ffprobe_args, ffprobe_available, probe_from_fixture, probe_videos
 from .skew import salted_join, top_frequency_keys, two_stage_distinct_count
 
@@ -76,6 +77,9 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "pack_blocks",
+    "pq_adc_topk",
+    "pq_codebooks",
+    "pq_encode",
     "probe_from_fixture",
     "probe_videos",
     "release_dedup_caches",

@@ -147,9 +147,17 @@ def doc_containment_pairs(
     docs (boilerplate chunks are the hot keys and carry no pairing
     signal beyond the first few dozen docs — the skew bomb at scale).
     """
-    chunks = content_defined_chunks(docs, w, divisor, text_col, id_col).select(
-        "doc_id", "chunk_hash"
-    ).distinct()
+    from .dedup import _scoped_persist
+
+    # the (doc, hash) index feeds sizes + BOTH self-join sides — without
+    # a persist the whole chunking pipeline executes up to 4×; the
+    # frame joins the dedup family's LRU cache scope (release via
+    # release_dedup_caches, same contract as the MinHash signatures)
+    chunks = _scoped_persist(
+        content_defined_chunks(docs, w, divisor, text_col, id_col)
+        .select("doc_id", "chunk_hash")
+        .distinct()
+    )
     if max_df is not None:
         rare = (
             chunks.groupBy("chunk_hash")

@@ -49,31 +49,28 @@ def _sq_dist_to(vec: F.Column, centroid: list[float]) -> F.Column:
     )
 
 
-def kmeans_assign(
-    emb: DataFrame,
-    k: int = 8,
-    n_iter: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_dp: int = 6,
-) -> DataFrame:
-    """Cluster every vector: (vec_id, cluster, sq_dist) after
-    ``n_iter`` Lloyd's updates from the deterministic seed centroids
-    (vectors with the ``k`` smallest ids).
-
-    ``sq_dist`` is the squared L2 distance to the FINAL centroid,
-    rounded to ``round_dp`` — the quantity semantic dedup thresholds
-    on (drop/sample far-from-centroid outliers, dedup near-centroid
-    crowds)."""
-    df = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+def _assign_to(frame: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cluster, sq_dist) vs literal centroids — the codegen
+    fold assignment (argmin ties to the lowest cluster)."""
+    dists = F.array(*[_sq_dist_to(F.col("v"), c) for c in centroids])
+    return frame.select(
+        "vec_id",
+        "v",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
+        F.array_min(dists).alias("sq_dist"),
     )
-    # Persist the projected (vec_id, v) frame for the iteration loop:
-    # seeding + every per-iteration update aggregate read the cache
-    # instead of rescanning (and re-decoding) the source each job.
-    # Released before returning — the final assignment scan reads the
-    # source once (it must touch the corpus anyway), and no cache entry
-    # outlives the call (registry-wide hygiene is test-pinned).
+
+
+def lloyds_centroids(
+    df: DataFrame, k: int, n_iter: int, round_dp: int = 6
+) -> list[list[float]]:
+    """Train centroids over a (vec_id, v: array<double>) frame under
+    the determinism contract (smallest-id seeds, ``round_dp``-quantized
+    updates, lowest-cluster argmin ties, emptied clusters keep their
+    centroid).  The frame is persisted for the iteration loop and
+    released before returning; only k×dim doubles reach the driver.
+    Shared by :func:`kmeans_assign` and the product-quantization
+    codebooks (operators/quantization.py)."""
     df = df.persist()
     # seed: k smallest ids — a driver action over k rows, not row data
     seed_rows = df.orderBy("vec_id").limit(k).collect()
@@ -81,19 +78,9 @@ def kmeans_assign(
         df.unpersist()
         raise ValueError(f"need >= {k} vectors to seed {k} clusters")
     centroids: list[list[float]] = [list(r["v"]) for r in seed_rows]
-
-    def assign(frame: DataFrame) -> DataFrame:
-        dists = F.array(*[_sq_dist_to(F.col("v"), c) for c in centroids])
-        return frame.select(
-            "vec_id",
-            "v",
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
-            F.array_min(dists).alias("sq_dist"),
-        )
-
     dim = len(centroids[0])
     for _ in range(n_iter):
-        assigned = assign(df)
+        assigned = _assign_to(df, centroids)
         # (cluster, dim) means as dim aggregate COLUMNS — one map-side-
         # partial aggregate, no posexplode (which would inflate the
         # shuffle by dim× for the same k×dim cells).  The round_dp
@@ -113,11 +100,33 @@ def kmeans_assign(
         got = {r["cluster"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
         # emptied cluster keeps its centroid
         centroids = [got.get(c, centroids[c]) for c in range(k)]
-
-    # iteration cache released before the (lazy) final assignment — the
-    # consumer's one materializing scan reads the source directly
+    # iteration cache released before any (lazy) downstream assignment —
+    # the consumer's one materializing scan reads the source directly
     df.unpersist()
-    return assign(df).select(
+    return centroids
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cluster every vector: (vec_id, cluster, sq_dist) after
+    ``n_iter`` Lloyd's updates from the deterministic seed centroids
+    (vectors with the ``k`` smallest ids).
+
+    ``sq_dist`` is the squared L2 distance to the FINAL centroid,
+    rounded to ``round_dp`` — the quantity semantic dedup thresholds
+    on (drop/sample far-from-centroid outliers, dedup near-centroid
+    crowds)."""
+    df = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    centroids = lloyds_centroids(df, k, n_iter, round_dp)
+    return _assign_to(df, centroids).select(
         "vec_id", "cluster", F.round("sq_dist", round_dp).alias("sq_dist")
     )
 

@@ -1,0 +1,164 @@
+"""Product quantization (PQ) — compressed-vector ANN at corpus scale.
+
+Brute-force and IVF search still read full vectors (dim × 4-8 bytes
+each); at 10¹¹ embeddings that is the dominant I/O.  PQ (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search") cuts the vector
+into ``m`` subspaces, k-means-quantizes each subspace independently,
+and stores only the ``m`` one-byte codes per vector — a 32× compression
+at m=4/dim=64 — while asymmetric distance computation (ADC) estimates
+query→vector distance as the SUM of per-subspace query→centroid
+distances, read from an (m × k) lookup table built per query.
+
+Spark-first layout:
+
+- **codebooks**: ``m`` independent Lloyd's runs over the subspace
+  slices, via the shared deterministic trainer
+  (:func:`~.clustering.lloyds_centroids` — smallest-id seeds, 6-dp
+  quantized updates) so the ENTIRE construction replays in DuckDB SQL
+  and both registered queries carry full value oracles.
+- **encode**: per-subspace argmin against ≤ k broadcast centroid
+  literals — pure codegen folds, scan-only, no shuffle.
+- **ADC search**: the per-query distance tables are TINY DataFrames
+  (n_queries × k rows per subspace) broadcast against the CODES table;
+  the full vectors are never touched after encoding — which is the
+  entire point: the search-time working set is m bytes/vector plus a
+  broadcast, so a 100 TB vector corpus probes from a ~3 TB code table.
+
+Determinism: per-subspace distances round to 6 dp before the m-way
+sum (both engines then add the same four doubles in the same order —
+bit-identical), ranking ties break on cand_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .clustering import _sq_dist_to, lloyds_centroids
+
+SUBSPACES = 4
+CODES = 16
+PQ_ITER = 1
+
+
+def _slice(vec_col: str, s: int, sub_dim: int) -> F.Column:
+    return F.slice(F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim)
+
+
+def _sq_dist_cols(a: F.Column, b: F.Column) -> F.Column:
+    """Squared L2 between two array columns, folded left-to-right (the
+    same bit-reproducible shape as the literal-centroid fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = SUBSPACES,
+    k: int = CODES,
+    n_iter: int = PQ_ITER,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """``m`` codebooks of ``k`` centroids each, trained independently
+    per subspace slice.  Driver memory: m·k·(dim/m) doubles."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub_dim = dim // m
+    books = []
+    for s in range(m):
+        df = emb.select(
+            F.col(id_col).alias("vec_id"), _slice(vec_col, s, sub_dim).alias("v")
+        )
+        books.append(lloyds_centroids(df, k, n_iter))
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code_0 .. code_{m-1}) — each code the argmin centroid of
+    its subspace slice (ties to the lowest code).  Codegen folds against
+    broadcast literals: scan-only, no shuffle, no Python."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cols = [F.col(id_col).alias("vec_id")]
+    for s, book in enumerate(codebooks):
+        sl = _slice(vec_col, s, sub_dim)
+        dists = F.array(*[_sq_dist_to(sl, c) for c in book])
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1).alias(f"code_{s}"))
+    return emb.select(*cols)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    topk: int = 10,
+    m: int = SUBSPACES,
+    k: int = CODES,
+    n_iter: int = PQ_ITER,
+    dim: int = 64,
+    round_dp: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, cand_id, approx_sq_dist),
+    the ``topk`` nearest code-compressed candidates per query (queries
+    excluded from their own results).
+
+    The per-(query, subspace) distance tables are built as tiny
+    DataFrames — |queries| × k rows each — and BROADCAST onto the codes
+    table; after encoding, search never touches a full vector."""
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, k, n_iter, dim, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+    sub_dim = dim // m
+
+    queries = emb.filter(F.col(id_col).isin(query_ids))
+    scored = codes.filter(~F.col("vec_id").isin(query_ids))
+    total = None
+    for s, book in enumerate(books):
+        cents = spark.createDataFrame(
+            [(c, list(map(float, v))) for c, v in enumerate(book)],
+            f"code_{s} int, c array<double>",
+        )
+        qd = (
+            queries.select(
+                F.col(id_col).alias("query_id"), _slice(vec_col, s, sub_dim).alias("q")
+            )
+            .crossJoin(cents)
+            .select(
+                "query_id",
+                f"code_{s}",
+                F.round(_sq_dist_cols(F.col("q"), F.col("c")), round_dp).alias(
+                    f"d_{s}"
+                ),
+            )
+        )
+        scored = scored.join(
+            F.broadcast(qd),
+            ["query_id", f"code_{s}"] if s else [f"code_{s}"],
+            "inner",
+        )
+        total = F.col(f"d_{s}") if total is None else total + F.col(f"d_{s}")
+
+    ranked = scored.select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(total, round_dp).alias("approx_sq_dist"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("approx_sq_dist", "cand_id")
+        ),
+    )
+    return ranked.filter(F.col("rn") <= topk).select(
+        "query_id", "cand_id", "approx_sq_dist"
+    )

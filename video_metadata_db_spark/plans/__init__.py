@@ -120,6 +120,7 @@ def _import_all() -> None:
     from . import tpch_queries  # noqa: F401
     from . import tpch_gap_queries  # noqa: F401
     from . import mining_queries  # noqa: F401
+    from . import quant_queries  # noqa: F401
     from . import quality_queries  # noqa: F401
     from . import membership_queries  # noqa: F401
     from . import merged_queries  # noqa: F401

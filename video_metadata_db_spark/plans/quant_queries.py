@@ -1,0 +1,152 @@
+"""Product-quantization queries (operators/quantization.py) with FULL
+value oracles: the per-subspace Lloyd's runs, the code assignment, and
+the asymmetric-distance ranking all replay in DuckDB SQL under the
+shared determinism contract (smallest-id seeds, 6-dp quantized
+updates, left-to-right distance folds, lowest-code argmin ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .registry import query
+
+_M = 4  # subspaces
+_K = 16  # codes per subspace
+_SUB = 16  # dims per subspace (64 / 4)
+_QUERY_IDS = [0, 1, 2, 3, 4]
+_TOPK = 10
+
+
+def _sub_ctes(s: int) -> str:
+    """The CTE chain for subspace ``s``: slice → seeds → 1 Lloyd's
+    round → final code assignment (mirrors lloyds_centroids +
+    pq_encode exactly)."""
+    lo, hi = s * _SUB + 1, (s + 1) * _SUB
+    dist = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> ({a}.v[i] - {b}.c[i]) * ({a}.v[i] - {b}.c[i])))"
+    )
+    d0 = dist.format(n=_SUB, a=f"e{s}", b=f"c0_{s}")
+    d1 = dist.format(n=_SUB, a=f"e{s}", b=f"c1_{s}")
+    return f"""
+e{s} AS (
+  SELECT vec_id, (CAST(embedding AS DOUBLE[]))[{lo}:{hi}] AS v FROM embeddings
+),
+c0_{s} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+  FROM (SELECT vec_id, v FROM e{s} ORDER BY vec_id LIMIT {_K}) seeds
+),
+a1_{s} AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e{s}.vec_id, e{s}.v, c0_{s}.cluster,
+           row_number() OVER (PARTITION BY e{s}.vec_id
+                              ORDER BY {d0}, c0_{s}.cluster) AS rn
+    FROM e{s} CROSS JOIN c0_{s}
+  ) WHERE rn = 1
+),
+m1_{s} AS (
+  SELECT cluster, i, round(avg(v[i]), 6) AS val
+  FROM a1_{s}, range(1, {_SUB} + 1) t(i)
+  GROUP BY cluster, i
+),
+u1_{s} AS (
+  SELECT cluster, list(val ORDER BY i) AS c FROM m1_{s} GROUP BY cluster
+),
+c1_{s} AS (
+  SELECT p.cluster, COALESCE(u1_{s}.c, p.c) AS c
+  FROM c0_{s} p LEFT JOIN u1_{s} ON p.cluster = u1_{s}.cluster
+),
+code{s} AS (
+  SELECT vec_id, cluster AS code FROM (
+    SELECT e{s}.vec_id, c1_{s}.cluster,
+           row_number() OVER (PARTITION BY e{s}.vec_id
+                              ORDER BY {d1}, c1_{s}.cluster) AS rn
+    FROM e{s} CROSS JOIN c1_{s}
+  ) WHERE rn = 1
+)"""
+
+
+def _codes_oracle() -> str:
+    ctes = ",".join(_sub_ctes(s) for s in range(_M))
+    joins = " ".join(f"JOIN code{s} ON code0.vec_id = code{s}.vec_id" for s in range(1, _M))
+    cols = ", ".join(f"CAST(code{s}.code AS BIGINT) AS code_{s}" for s in range(_M))
+    return f"""
+WITH {ctes}
+SELECT code0.vec_id, {cols}
+FROM code0 {joins}
+ORDER BY code0.vec_id
+"""
+
+
+def _adc_oracle() -> str:
+    ctes = ",".join(_sub_ctes(s) for s in range(_M))
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    qd = ",".join(
+        f"""
+qd{s} AS (
+  SELECT q.vec_id AS query_id, c.cluster AS code,
+         round(list_sum(list_transform(range(1, {_SUB} + 1),
+               i -> (q.v[i] - c.c[i]) * (q.v[i] - c.c[i]))), 6) AS d
+  FROM (SELECT vec_id, v FROM e{s} WHERE vec_id IN ({ids})) q
+  CROSS JOIN c1_{s} c
+)"""
+        for s in range(_M)
+    )
+    code_joins = " ".join(
+        f"JOIN code{s} x{s} ON x0.vec_id = x{s}.vec_id" for s in range(1, _M)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.code = x{s}.code AND qd{s}.query_id = qd0.query_id"
+        for s in range(1, _M)
+    )
+    total = " + ".join(f"qd{s}.d" for s in range(_M))
+    return f"""
+WITH {ctes},{qd},
+scored AS (
+  SELECT qd0.query_id, x0.vec_id AS cand_id,
+         round({total}, 6) AS approx_sq_dist
+  FROM code0 x0 {code_joins}
+  JOIN qd0 ON qd0.code = x0.code {qd_joins}
+  WHERE x0.vec_id NOT IN ({ids})
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_sq_dist, cand_id) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, approx_sq_dist
+FROM ranked WHERE rn <= {_TOPK}
+ORDER BY query_id, cand_id
+"""
+
+
+@query("pq_codes", oracle=_codes_oracle())
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: every embedding compressed to
+    {m} one-byte codes (argmin centroid per 16-dim subspace — codegen
+    folds against broadcast literals, scan-only).  32× compression at
+    dim=64: the representation ADC search probes INSTEAD of the full
+    vectors.  The oracle replays all {m} per-subspace Lloyd's runs and
+    assignments in SQL.""".replace("{m}", str(_M))
+    from ..operators.quantization import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=_M, k=_K, n_iter=1)
+    return pq_encode(emb, books).orderBy("vec_id")
+
+
+@query("pq_adc_topk", oracle=_adc_oracle())
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-10 per query over PQ codes: per-query
+    distance tables (|queries| × k rows per subspace) broadcast onto
+    the codes table; the full vectors are never read after encoding —
+    at 10¹¹ vectors the search working set is m bytes/vector, which is
+    why PQ is the corpus-scale ANN representation.  Estimated distances
+    are per-subspace 6-dp-rounded sums, bit-identical across engines;
+    ties rank by cand_id."""
+    from ..operators.quantization import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _QUERY_IDS, topk=_TOPK).orderBy("query_id", "cand_id")
