@@ -106,21 +106,33 @@ def content_defined_chunks(
             lambda r: r["s"] <= r["e"],
         ).alias("ranges"),
     )
-    exploded = ranges.select(
-        "doc_id", "toks", F.posexplode("ranges").alias("chunk_idx", "r")
+    # Materialize chunk texts INSIDE the array domain, then explode the
+    # (n_tokens, text) structs: the generator output carries only the
+    # chunk strings — exploding the ranges instead would duplicate the
+    # full token array once per chunk row AND re-evaluate the
+    # slice+join per downstream reference (CollapseProject inlines it
+    # into both md5(chunk_text) and chunk_text — measured ~2× on the
+    # sf0.1 bench before this form).
+    chunked = ranges.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.col("ranges"),
+                lambda r: F.struct(
+                    (r["e"] - r["s"] + 1).alias("n_tokens"),
+                    F.array_join(
+                        F.slice(F.col("toks"), r["s"] + 1, r["e"] - r["s"] + 1), " "
+                    ).alias("txt"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
     )
-    chunk_text = F.array_join(
-        F.slice(
-            F.col("toks"), F.col("r.s") + 1, F.col("r.e") - F.col("r.s") + 1
-        ),
-        " ",
-    )
-    return exploded.select(
+    return chunked.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        (F.col("r.e") - F.col("r.s") + 1).cast("long").alias("n_tokens"),
-        F.md5(chunk_text).alias("chunk_hash"),
-        chunk_text.alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.col("c.txt")).alias("chunk_hash"),
+        F.col("c.txt").alias("chunk_text"),
     )
 
 
