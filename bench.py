@@ -29,9 +29,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: The headline set: flagship parity query + one per heavy operator
 #: family (agg, star join, window, explode, formatter) — extended as
 #: extension operators land.
-#: The FIRST 16 names below — frozen as recorded in BENCH_r01 — form
-#: the stable cross-round metric (``core16`` in the output JSON).
-CORE16_COUNT = 16
+#: The stable cross-round metric (``core16`` in the output JSON): the
+#: EXACT query set recorded in BENCH_r01, frozen by NAME — a positional
+#: slice would silently change meaning if a query were ever inserted
+#: near the top of HEADLINE.
+CORE16 = (
+    "variant_report",
+    "q1_pricing_summary",
+    "join_star_revenue",
+    "window_topk_per_group",
+    "explode_tokens",
+    "fmt_duration_hms",
+    "dedup_minhash_lsh",
+    "knn_cosine_topk",
+    "text_quality_score",
+    "stream_session_windows",
+    "join_asof_attribution",
+    "q3_shipping_priority",
+    "update_bloom_prefilter",
+    "join_range_binned",
+    "contamination_check",
+    "split_train_val_test",
+)
 
 HEADLINE = [
     "variant_report",
@@ -119,9 +138,9 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
-    core16 = round(
-        sum(per_query.get(n, 0.0) for n in HEADLINE[:CORE16_COUNT]), 3
-    )
+    missing_core = [n for n in CORE16 if n not in per_query]
+    assert not missing_core, f"core16 queries absent from this run: {missing_core}"
+    core16 = round(sum(per_query[n] for n in CORE16), 3)
     print(
         json.dumps(
             {

@@ -132,3 +132,26 @@ def test_containment_catches_asymmetric_quote(spark):
     uncapped = doc_containment_pairs(many, min_shared=1).count()
     capped = doc_containment_pairs(many, min_shared=1, max_df=3).count()
     assert uncapped == 15 and capped == 0
+
+    # the denominator must count the FULL chunk set even under max_df:
+    # two docs sharing a rare passage atop per-pair boilerplate score
+    # by their total chunks, not by the few join survivors
+    rare = " ".join(f"rare{i}" for i in range(60))
+    mixed = _df(
+        spark,
+        [(i, boiler + f" uniq{i} " + (rare if i <= 2 else "")) for i in range(1, 7)],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in doc_containment_pairs(mixed, min_shared=1, max_df=3).collect()
+    }
+    assert (1, 2) in rows
+    full_sizes = {
+        r["doc_id"]: r["cnt"]
+        for r in content_defined_chunks(mixed)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("chunk_hash").alias("cnt"))
+        .collect()
+    }
+    assert rows[(1, 2)] < 1.0  # boilerplate chunks still count below
+    assert rows[(1, 2)] <= round(1.0 - 1.0 / min(full_sizes[1], full_sizes[2]), 6) + 1e-9

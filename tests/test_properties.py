@@ -346,3 +346,41 @@ def test_zorder_four_columns_stays_positive_and_bijective(spark, rank_tuples):
             for i in range(4)
         )
         assert got == (row["r0"], row["r1"], row["r2"], row["r3"])
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd", "e", "ffff", "gg", "hhh"]),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SETTINGS
+def test_chunking_partitions_every_document(spark, token_lists):
+    """Property: content-defined chunking is a PARTITION of the token
+    stream — chunk texts joined in order reconstruct the document
+    exactly, n_tokens sums to the token count, chunk indexes are dense
+    from 0, and empty documents emit nothing."""
+    from video_metadata_db_spark.operators.chunking import content_defined_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    rows = content_defined_chunks(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(token_lists):
+        got = sorted(by_doc.get(i, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert got == []
+            continue
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        assert sum(r["n_tokens"] for r in got) == len(toks)
+        assert " ".join(r["chunk_text"] for r in got) == " ".join(toks)
+        assert all(r["n_tokens"] >= 1 for r in got)

@@ -56,23 +56,11 @@ def _minhash_candidates(docs) -> int:
 
 
 def _simhash_candidates(docs) -> int:
-    sh = simhash(docs)
-    blocks = sh.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        F.shiftright("simhash", i * 15)
-                        .bitwiseAND(F.lit((1 << 15) - 1))
-                        .alias("block"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.block_id", "bb.block")
+    from video_metadata_db_spark.operators.dedup import _simhash_blocks
+
+    blocks = _simhash_blocks(simhash(docs), n_blocks=4).select(
+        "doc", "block_id", "block"
+    )
     l, r = blocks.alias("l"), blocks.alias("r")
     return (
         l.join(

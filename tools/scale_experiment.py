@@ -153,23 +153,10 @@ def run_factor(spark: SparkSession, factor: int) -> list[dict]:
 
     # --- SimHash: candidates = distinct block co-occurrences (pre-Hamming)
     def simhash_counts() -> dict:
+        from video_metadata_db_spark.operators.dedup import _simhash_blocks
+
         sh = simhash(docs)
-        blocks = sh.select(
-            "doc",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("block_id"),
-                            F.shiftright("simhash", i * 15)
-                            .bitwiseAND(F.lit((1 << 15) - 1))
-                            .alias("block"),
-                        )
-                        for i in range(4)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc", "bb.block_id", "bb.block")
+        blocks = _simhash_blocks(sh, n_blocks=4).select("doc", "block_id", "block")
         l, r = blocks.alias("l"), blocks.alias("r")
         cand = (
             l.join(
@@ -200,13 +187,15 @@ def run_factor(spark: SparkSession, factor: int) -> list[dict]:
     # --- semantic dedup, scale-path parameterization: k ~ n/250
     def semantic_counts() -> dict:
         k = max(8, n_vecs // 250)
-        assigned = kmeans_assign(emb, k=k, n_iter=2).select("vec_id", "cluster")
+        # ONE training serves both the candidate count and the scoring
+        # pass — duplicating it would double the recorded wall/shuffle
+        assigned = kmeans_assign(emb, k=k, n_iter=2).select("vec_id", "cluster").persist()
         sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("c"))
         cand = sizes.agg(F.sum(F.col("c") * (F.col("c") - 1))).first()[0] or 0
-        assigned2 = kmeans_assign(emb, k=k, n_iter=2).select("vec_id", "cluster")
         scored = embedding_near_dup_arrow(
-            emb.join(assigned2, "vec_id"), threshold=0.5, block_col="cluster"
+            emb.join(assigned, "vec_id"), threshold=0.5, block_col="cluster"
         ).count()
+        assigned.unpersist()
         return {"n_vecs": n_vecs, "k": k, "candidates": int(cand), "result_rows": scored}
 
     out.append(measured(spark, "dedup_semantic", factor, semantic_counts))

@@ -170,6 +170,11 @@ def doc_containment_pairs(
         .select("doc_id", "chunk_hash")
         .distinct()
     )
+    # the denominator counts a document's FULL chunk set — computing it
+    # after the max_df filter would inflate containment for
+    # boilerplate-heavy docs (2 surviving chunks shared out of 100
+    # total must score 0.02, not 1.0); the cap prunes only the JOIN
+    sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     if max_df is not None:
         rare = (
             chunks.groupBy("chunk_hash")
@@ -177,7 +182,6 @@ def doc_containment_pairs(
             .filter(F.col("df") <= max_df)
         )
         chunks = chunks.join(rare.select("chunk_hash"), "chunk_hash")
-    sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     a, b = chunks.alias("a"), chunks.alias("b")
     shared = (
         a.join(

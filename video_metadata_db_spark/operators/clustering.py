@@ -62,15 +62,20 @@ def _assign_to(frame: DataFrame, centroids: list[list[float]]) -> DataFrame:
 
 
 def lloyds_centroids(
-    df: DataFrame, k: int, n_iter: int, round_dp: int = 6
+    df: DataFrame, k: int, n_iter: int, round_dp: int = 6, assign_fn=None
 ) -> list[list[float]]:
     """Train centroids over a (vec_id, v: array<double>) frame under
     the determinism contract (smallest-id seeds, ``round_dp``-quantized
     updates, lowest-cluster argmin ties, emptied clusters keep their
     centroid).  The frame is persisted for the iteration loop and
     released before returning; only k×dim doubles reach the driver.
-    Shared by :func:`kmeans_assign` and the product-quantization
-    codebooks (operators/quantization.py)."""
+    ``assign_fn(frame, centroids)`` is the per-iteration assignment
+    (default: the codegen fold; the Arrow variant passes its BLAS
+    assignment) — keeping the trainer single-sourced means a contract
+    change cannot silently diverge the two physical strategies.
+    Shared by :func:`kmeans_assign`, :func:`kmeans_assign_arrow`, and
+    the product-quantization codebooks (operators/quantization.py)."""
+    assign_fn = assign_fn or _assign_to
     df = df.persist()
     # seed: k smallest ids — a driver action over k rows, not row data
     seed_rows = df.orderBy("vec_id").limit(k).collect()
@@ -80,7 +85,7 @@ def lloyds_centroids(
     centroids: list[list[float]] = [list(r["v"]) for r in seed_rows]
     dim = len(centroids[0])
     for _ in range(n_iter):
-        assigned = _assign_to(df, centroids)
+        assigned = assign_fn(df, centroids)
         # (cluster, dim) means as dim aggregate COLUMNS — one map-side-
         # partial aggregate, no posexplode (which would inflate the
         # shuffle by dim× for the same k×dim cells).  The round_dp
@@ -167,13 +172,10 @@ def kmeans_assign_arrow(
     df = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    df = df.persist()
-    seed_rows = df.orderBy("vec_id").limit(k).collect()
-    if len(seed_rows) < k:
-        df.unpersist()
-        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
-    centroids = [list(r["v"]) for r in seed_rows]
-    dim = len(centroids[0])
+    # id type follows the input (the fold variant is id-type-agnostic;
+    # hardcoding 'long' here would break the documented equivalence for
+    # string/decimal id domains)
+    id_type = df.schema["vec_id"].dataType.simpleString()
 
     def assign(frame: DataFrame, cents: list[list[float]]) -> DataFrame:
         C = np.asarray(cents, dtype=np.float64)  # k×dim, broadcast via closure
@@ -196,25 +198,13 @@ def kmeans_assign_arrow(
                 )
 
         return frame.mapInPandas(
-            score, "vec_id long, v array<double>, cluster long, sq_dist double"
+            score,
+            f"vec_id {id_type}, v array<double>, cluster long, sq_dist double",
         )
 
-    for _ in range(n_iter):
-        rows = (
-            assign(df, centroids)
-            .groupBy("cluster")
-            .agg(
-                *[
-                    F.round(F.avg(F.col("v")[i]), round_dp).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        got = {r["cluster"]: [r[f"m{i}"] for i in range(dim)] for r in rows}
-        centroids = [got.get(c, centroids[c]) for c in range(k)]
-
-    df.unpersist()
+    # the shared trainer with the Arrow assignment plugged in — the
+    # determinism contract lives in ONE place for both variants
+    centroids = lloyds_centroids(df, k, n_iter, round_dp, assign_fn=assign)
     return assign(df, centroids).select(
         "vec_id", "cluster", F.round("sq_dist", round_dp).alias("sq_dist")
     )

@@ -125,11 +125,11 @@ ORDER BY query_id, cand_id
 @query("pq_codes", oracle=_codes_oracle())
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding: every embedding compressed to
-    {m} one-byte codes (argmin centroid per 16-dim subspace — codegen
+    four one-byte codes (argmin centroid per 16-dim subspace — codegen
     folds against broadcast literals, scan-only).  32× compression at
     dim=64: the representation ADC search probes INSTEAD of the full
-    vectors.  The oracle replays all {m} per-subspace Lloyd's runs and
-    assignments in SQL.""".replace("{m}", str(_M))
+    vectors.  The oracle replays all four per-subspace Lloyd's runs
+    and assignments in SQL."""
     from ..operators.quantization import pq_codebooks, pq_encode
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -85,8 +85,16 @@ def zorder_value(
     in EVERY dimension get close z-values, so a z-sorted file layout
     gives footer-stat pruning on ALL clustered columns at once, where a
     lexicographic sort prunes only its leading column.  Pure codegen
-    bit arithmetic.  Ranks must carry at most :func:`zorder_bits`
-    bits each so the result stays within the long's sign-free range."""
+    bit arithmetic.
+
+    Ranks MUST be built with :func:`zorder_bits(len(ranks))` bits —
+    the interleave reads exactly that many low bits of each rank, so a
+    rank built wider (e.g. ``_minmax_rank`` at the full 16 bits fed to
+    a 4-column interleave) would have its high bits silently ignored
+    and alias distant keys onto the same curve position.  The guard
+    below can't see runtime values, but callers that scale ranks from
+    data (``zorder_parquet``) are wired to the same ``zorder_bits``
+    source; direct callers own the contract."""
     n = len(ranks)
     bits = zorder_bits(n)
     assert bits * n <= 63, (bits, n)
@@ -98,12 +106,15 @@ def zorder_value(
     return z
 
 
-def _minmax_rank(col: "F.Column", lo: float, hi: float, bits: int = ZORDER_BITS) -> "F.Column":
+def _minmax_rank(col: "F.Column", lo: float, hi: float, bits: int) -> "F.Column":
     """Linear rank of ``col`` into [0, 2^bits) given driver-side
-    min/max.  Right for roughly-uniform keys; for skewed keys substitute
-    approx-quantile boundaries (same literal-embedding discipline as
-    operators/packing.py) — the interleave is agnostic to how ranks are
-    made."""
+    min/max.  ``bits`` is required and must be ``zorder_bits(n_cols)``
+    of the interleave this rank feeds (a defaulted 16 here fed to a
+    4-column interleave would silently truncate high bits).  Right for
+    roughly-uniform keys; for skewed keys substitute approx-quantile
+    boundaries (same literal-embedding discipline as
+    operators/packing.py) — the interleave is agnostic to how ranks
+    are made."""
     span = max(hi - lo, 1e-12)
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
     return F.least(

@@ -53,10 +53,23 @@ def dedup_state_maintainer(state_dir: str, max_hamming: int = 8, n_blocks: int =
 
     def step(batch_docs: DataFrame, batch_id: int) -> None:
         spark = batch_docs.sparkSession
-        fp_new = simhash(batch_docs)
+        # Commit the fingerprint snapshot FIRST, with the batch's
+        # fingerprints persisted: the vote pipeline runs once (into the
+        # snapshot write), and pair generation reads the corpus side
+        # back from the just-committed parquet instead of re-deriving
+        # prev ∪ new lineage — without this, the label materialization
+        # and the fp write each recompute the batch SimHash and rescan
+        # the previous snapshot (a doubled per-trigger cost).  Write
+        # order is crash-safe either way: every read anchors strictly
+        # below the replaying batch_id.
+        fp_new = simhash(batch_docs).persist()
         prev_fp = read_materialized(spark, f"{state_dir}/fp", below=batch_id)
         fp_all = fp_new if prev_fp is None else prev_fp.unionByName(fp_new)
-        new_pairs = simhash_pairs_between(fp_new, fp_all, max_hamming, n_blocks)
+        fp_dir = os.path.join(state_dir, "fp", f"v={batch_id}")
+        fp_all.write.mode("overwrite").parquet(fp_dir)
+        new_pairs = simhash_pairs_between(
+            fp_new, spark.read.parquet(fp_dir), max_hamming, n_blocks
+        )
         prev_labels = read_materialized(spark, f"{state_dir}/labels", below=batch_id)
         if prev_labels is None:
             labels = connected_components_star(new_pairs)
@@ -65,9 +78,7 @@ def dedup_state_maintainer(state_dir: str, max_hamming: int = 8, n_blocks: int =
         labels.write.mode("overwrite").parquet(
             os.path.join(state_dir, "labels", f"v={batch_id}")
         )
-        fp_all.write.mode("overwrite").parquet(
-            os.path.join(state_dir, "fp", f"v={batch_id}")
-        )
+        fp_new.unpersist()
 
     return step
 
