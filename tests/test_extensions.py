@@ -426,3 +426,49 @@ def test_pq_adc_recall_and_compression_shape(spark):
         assert r["approx_sq_dist"] >= 0
         by_q.setdefault(r["query_id"], []).append(r["approx_sq_dist"])
     assert all(len(v) == 10 for v in by_q.values())
+
+
+def test_pq_codebooks_match_per_subspace_lloyds(spark):
+    """The fused one-pass multi-subspace trainer must reproduce m
+    INDEPENDENT per-subspace Lloyd's runs exactly — same seeds, same
+    6-dp means, same books — at n_iter where the update actually moves
+    the centroids (the DuckDB oracle replays the per-subspace form)."""
+    from pyspark.sql import functions as F
+
+    from video_metadata_db_spark.operators.clustering import lloyds_centroids
+    from video_metadata_db_spark.operators.quantization import _slice, pq_codebooks
+
+    emb = load_table(spark, SF, "embeddings")
+    for n_iter in (1, 2):
+        fused = pq_codebooks(emb, m=4, k=8, n_iter=n_iter)
+        for s in range(4):
+            df = emb.select(
+                F.col("vec_id"), _slice("embedding", s, 16).alias("v")
+            )
+            assert fused[s] == lloyds_centroids(df, k=8, n_iter=n_iter), (s, n_iter)
+
+
+def test_sq_dist_sql_matches_column_fold(spark):
+    """The SQL-string distance fold (_dists_array — one JVM-side parse)
+    must be BIT-identical to the nested-Column form it replaced,
+    including full-precision (un-rounded) centroid literals surviving
+    the repr→parse round trip."""
+    from pyspark.sql import functions as F
+
+    from video_metadata_db_spark.operators.clustering import (
+        _dists_array,
+        _sq_dist_to,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(64)
+    cents = [list(r["embedding"]) for r in emb.limit(3).collect()]
+    cents = [[float(x) for x in c] for c in cents]
+    cents.append([1e-17, -3.5e12, 0.0, 2.5] + [0.125] * 60)  # parser edge shapes
+    df = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = df.select("vec_id", _dists_array("v", cents).alias("d")).collect()
+    b = df.select(
+        "vec_id", F.array(*[_sq_dist_to(F.col("v"), c) for c in cents]).alias("d")
+    ).collect()
+    assert [(r["vec_id"], list(r["d"])) for r in a] == [
+        (r["vec_id"], list(r["d"])) for r in b
+    ]

@@ -38,9 +38,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str:
+    """SQL text of the squared-L2 fold from the vector expression
+    ``vec_sql`` to a literal centroid, strictly left-to-right
+    (bit-reproducible across engines).
+
+    A string, not a Column, deliberately: the assignment expression is
+    k of these folds, each zipping dim literals — built as nested
+    Column calls that is thousands of py4j round-trips and ~3 s of
+    DRIVER time per iteration at k-means sizes (measured at k=16×4,
+    dim=16), repeated every call because centroids change.  One
+    ``F.expr`` parse of the whole tree is milliseconds, and parses to
+    the IDENTICAL expression (pinned by
+    test_sq_dist_sql_matches_column_fold)."""
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, z) -> acc + z)"
+    )
+
+
 def _sq_dist_to(vec: F.Column, centroid: list[float]) -> F.Column:
-    """Squared L2 distance from ``vec`` to a literal centroid, folded
-    strictly left-to-right (bit-reproducible across engines)."""
+    """Column form of :func:`_sq_dist_sql` — for one-off distances
+    against a Column that has no stable SQL text.  Avoid in loops."""
     arr = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(vec, arr, lambda x, y: (x - y) * (x - y)),
@@ -49,15 +69,30 @@ def _sq_dist_to(vec: F.Column, centroid: list[float]) -> F.Column:
     )
 
 
+def _dists_array(vec_sql: str, centroids: list[list[float]]) -> F.Column:
+    """array(sq_dist to each centroid) — ONE JVM-side parse."""
+    return F.expr(
+        "array(" + ", ".join(_sq_dist_sql(vec_sql, c) for c in centroids) + ")"
+    )
+
+
 def _assign_to(frame: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """(vec_id, v, cluster, sq_dist) vs literal centroids — the codegen
-    fold assignment (argmin ties to the lowest cluster)."""
-    dists = F.array(*[_sq_dist_to(F.col("v"), c) for c in centroids])
-    return frame.select(
+    fold assignment (argmin ties to the lowest cluster).
+
+    The fold array is projected ONCE and argmin/min read from the
+    projected column: referencing the k-fold array inline at each of
+    its three uses would triple the expression tree the optimizer
+    walks per iteration (driver-side cost; CollapseProject keeps the
+    projection barrier because higher-order folds are non-cheap)."""
+    with_d = frame.select(
+        "vec_id", "v", _dists_array("v", centroids).alias("_dists")
+    )
+    return with_d.select(
         "vec_id",
         "v",
-        (F.array_position(dists, F.array_min(dists)) - 1).alias("cluster"),
-        F.array_min(dists).alias("sq_dist"),
+        (F.array_position("_dists", F.array_min("_dists")) - 1).alias("cluster"),
+        F.array_min("_dists").alias("sq_dist"),
     )
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .clustering import _sq_dist_to, lloyds_centroids
+from .clustering import _dists_array, lloyds_centroids  # noqa: F401 — lloyds re-exported for the per-subspace equivalence test
 
 SUBSPACES = 4
 CODES = 16
@@ -43,6 +43,12 @@ PQ_ITER = 1
 
 def _slice(vec_col: str, s: int, sub_dim: int) -> F.Column:
     return F.slice(F.col(vec_col).cast("array<double>"), s * sub_dim + 1, sub_dim)
+
+
+def _slice_sql(vec_col: str, s: int, sub_dim: int) -> str:
+    """SQL text of :func:`_slice` — feeds :func:`~.clustering._dists_array`
+    so per-subspace distance arrays parse JVM-side in one call."""
+    return f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {s * sub_dim + 1}, {sub_dim})"
 
 
 def _sq_dist_cols(a: F.Column, b: F.Column) -> F.Column:
@@ -63,18 +69,94 @@ def pq_codebooks(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int = 6,
 ) -> list[list[list[float]]]:
-    """``m`` codebooks of ``k`` centroids each, trained independently
-    per subspace slice.  Driver memory: m·k·(dim/m) doubles."""
+    """``m`` codebooks of ``k`` centroids each — every subspace trained
+    in the SAME pass, not ``m`` sequential Lloyd's runs.
+
+    One ``posexplode`` lays the corpus out as (vec_id, s, slice) rows;
+    assignment is a CASE-WHEN branch per subspace (codegen evaluates
+    only the matched branch, so per-row work stays one k-centroid
+    fold), and the update is ONE (s, cluster)-grouped aggregate
+    producing all m·k·(dim/m) cells.  Per iteration: one corpus scan +
+    one aggregate for ALL books, vs m scans + m aggregates for the
+    loop-over-:func:`~.clustering.lloyds_centroids` equivalent — the
+    difference between reading a 100 TB corpus once or m times per
+    round.
+
+    The math is the shared trainer's determinism contract verbatim
+    (smallest-id seeds per subspace — the SAME ids for every s —
+    ``round_dp``-quantized means, lowest-cluster argmin ties, emptied
+    clusters keep their centroid), so the DuckDB oracle that replays m
+    independent per-subspace runs still matches bit-for-bit; pinned by
+    test_pq_codebooks_match_per_subspace_lloyds."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     sub_dim = dim // m
-    books = []
-    for s in range(m):
-        df = emb.select(
-            F.col(id_col).alias("vec_id"), _slice(vec_col, s, sub_dim).alias("v")
+    sliced = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(
+            F.array(*[_slice(vec_col, s, sub_dim) for s in range(m)])
+        ).alias("s", "v"),
+    )
+    if n_iter > 1:
+        sliced = sliced.persist()
+    # seeds: slices of the k smallest-id vectors — identical to each
+    # per-subspace trainer's smallest-id seeds; ONE k-row collect
+    seed_rows = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
         )
-        books.append(lloyds_centroids(df, k, n_iter))
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+    books = [
+        [list(r["v"])[s * sub_dim : (s + 1) * sub_dim] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        # per-subspace fold array behind a CASE on s, projected ONCE so
+        # the argmin's two references don't double the m·k-fold tree
+        # the optimizer walks (driver time, paid per iteration)
+        dcase = None
+        for s in range(m):
+            d = _dists_array("v", books[s])
+            dcase = (
+                F.when(F.col("s") == s, d)
+                if dcase is None
+                else dcase.when(F.col("s") == s, d)
+            )
+        rows = (
+            sliced.select("s", "v", dcase.alias("_dists"))
+            .select(
+                "s",
+                "v",
+                (F.array_position("_dists", F.array_min("_dists")) - 1).alias(
+                    "cluster"
+                ),
+            )
+            .groupBy("s", "cluster")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v")[i]), round_dp).alias(f"m{i}")
+                    for i in range(sub_dim)
+                ]
+            )
+            .collect()
+        )
+        got = {
+            (r["s"], r["cluster"]): [r[f"m{i}"] for i in range(sub_dim)]
+            for r in rows
+        }
+        books = [
+            [got.get((s, c), books[s][c]) for c in range(k)] for s in range(m)
+        ]
+    if n_iter > 1:
+        sliced.unpersist()
     return books
 
 
@@ -89,12 +171,24 @@ def pq_encode(
     broadcast literals: scan-only, no shuffle, no Python."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    cols = [F.col(id_col).alias("vec_id")]
-    for s, book in enumerate(codebooks):
-        sl = _slice(vec_col, s, sub_dim)
-        dists = F.array(*[_sq_dist_to(sl, c) for c in book])
-        cols.append((F.array_position(dists, F.array_min(dists)) - 1).alias(f"code_{s}"))
-    return emb.select(*cols)
+    # fold arrays projected once, argmins read from the projection —
+    # same single-copy-tree discipline as _assign_to
+    with_d = emb.select(
+        F.col(id_col).alias("vec_id"),
+        *[
+            _dists_array(_slice_sql(vec_col, s, sub_dim), book).alias(f"_d{s}")
+            for s, book in enumerate(codebooks)
+        ],
+    )
+    return with_d.select(
+        "vec_id",
+        *[
+            (F.array_position(f"_d{s}", F.array_min(f"_d{s}")) - 1).alias(
+                f"code_{s}"
+            )
+            for s in range(m)
+        ],
+    )
 
 
 def pq_adc_topk(
