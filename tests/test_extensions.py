@@ -472,3 +472,36 @@ def test_sq_dist_sql_matches_column_fold(spark):
     assert [(r["vec_id"], list(r["d"])) for r in a] == [
         (r["vec_id"], list(r["d"])) for r in b
     ]
+
+
+def test_corpus_diff_classification_and_null_safety(spark):
+    """added/removed/changed classification, including the null cases
+    a naive != compare gets wrong: null→value and value→null are
+    CHANGED, null→null is unchanged (suppressed by default)."""
+    from video_metadata_db_spark.operators.diff import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "c", None), (4, None, 40), (5, "e", 50)],
+        "k long, t string, x long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b2", 20), (3, "c", None), (4, None, 41), (5, "e", 50), (6, "f", 60)],
+        "k long, t string, x long",
+    )
+    got = {r["k"]: r["change"] for r in corpus_diff(old, new, ["k"]).collect()}
+    # 1 removed; 2 null→value changed; 3 identical incl. null x (absent);
+    # 4 x changed under a still-null t; 5 identical (absent); 6 added
+    assert got == {1: "removed", 2: "changed", 4: "changed", 6: "added"}
+
+    full = {
+        r["k"]: r["change"]
+        for r in corpus_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert full[3] == "unchanged" and full[5] == "unchanged" and len(full) == 6
+
+    # compare_cols restricts the payload: diff on x only → 2 unchanged
+    only_x = {
+        r["k"]: r["change"]
+        for r in corpus_diff(old, new, ["k"], compare_cols=["x"]).collect()
+    }
+    assert 2 not in only_x and only_x[4] == "changed"

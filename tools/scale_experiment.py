@@ -220,6 +220,10 @@ def run_factor(spark: SparkSession, factor: int) -> list[dict]:
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10]
     spark = get_spark()
+    # untimed warmup sweep at the base factor: the first execution of
+    # each operator pays JVM/codegen/broadcast warmup that would land
+    # entirely in the factor-1 rows and flatter every wall ratio
+    run_factor(spark, factors[0])
     rows: list[dict] = []
     for f in factors:
         rows.extend(run_factor(spark, f))

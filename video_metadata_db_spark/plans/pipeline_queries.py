@@ -582,3 +582,52 @@ def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return doc_containment_pairs(docs, min_shared=2).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "corpus_diff",
+    oracle="""
+WITH old_rel AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5
+),
+new_rel AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old_rel o FULL OUTER JOIN new_rel n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+   OR o.text IS DISTINCT FROM n.text
+ORDER BY doc_id
+""",
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release corpus CDC: every doc classified
+    added / removed / changed between two simulated dataset versions
+    (the previous release drops ``doc_id % 13 == 5``; the new release
+    drops ``doc_id % 11 == 3`` and revises ``doc_id % 7 == 2`` in
+    place) — the audit a versioned-corpus pipeline publishes with each
+    release, and the full three-way generalization of the reference's
+    update mode (which only detects ADDED files,
+    video_metadata_db.py:443-476).
+
+    One full-outer equi-join on the key (single co-partitioned
+    shuffle; zero with bucketed releases) + a null-safe compare —
+    see operators/diff.py for the 100 TB framing."""
+    from ..operators.diff import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old_rel = docs.filter(F.col("doc_id") % 13 != 5).select("doc_id", "text")
+    new_rel = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old_rel, new_rel, ["doc_id"]).orderBy("doc_id")
