@@ -93,3 +93,57 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # and the filter is NOT re-evaluated row-wise on the scanned data
     n_click = ev.filter(F.col("event_type") == "click").count()
     assert back.count() == n_click > 0
+
+
+def test_corpus_diff_over_bucketed_releases_has_no_exchange(spark, tmp_path):
+    """The diff docstring's zero-shuffle claim, plan-gated: two
+    releases bucketed on the key full-outer-join without any Exchange,
+    and the classification matches the plain (shuffling) diff."""
+    from video_metadata_db_spark.operators.diff import corpus_diff
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    old_rel = docs.filter(F.col("doc_id") % 5 != 0)
+    new_rel = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 1, F.concat("text", F.lit(" v2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS diff_test LOCATION '{tmp_path / 'wh'}'"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, rel in (("old_rel_b", old_rel), ("new_rel_b", new_rel)):
+            (
+                rel.write.bucketBy(8, "doc_id").sortBy("doc_id")
+                .mode("overwrite").saveAsTable(f"diff_test.{name}")
+            )
+        bucketed = corpus_diff(
+            spark.table("diff_test.old_rel_b"),
+            spark.table("diff_test.new_rel_b"),
+            ["doc_id"],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bucketed.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            "bucketed corpus_diff must not re-shuffle either release:\n" + plan
+        )
+        got = {r["doc_id"]: r["change"] for r in bucketed.collect()}
+        want = {
+            r["doc_id"]: r["change"]
+            for r in corpus_diff(old_rel, new_rel, ["doc_id"]).collect()
+        }
+        assert got == want and "added" in got.values() and "removed" in got.values()
+        assert "changed" in got.values()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.sql("DROP DATABASE IF EXISTS diff_test CASCADE")
