@@ -505,3 +505,42 @@ def test_corpus_diff_classification_and_null_safety(spark):
         for r in corpus_diff(old, new, ["k"], compare_cols=["x"]).collect()
     }
     assert 2 not in only_x and only_x[4] == "changed"
+
+
+def test_ivf_adc_composition_and_recall(spark):
+    """IVFADC structural contract: every returned candidate belongs to
+    one of its query's probed lists AND carries the same ADC distance
+    the flat-ADC path assigns; recall vs brute force stays above the
+    random floor despite scoring only n_probe/16 of the corpus."""
+    from video_metadata_db_spark.operators.quantization import (
+        ivf_adc_topk,
+        pq_adc_topk,
+    )
+    from video_metadata_db_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    ivf = ivf_adc_topk(emb, qids, topk=10).collect()
+    assert ivf and all(r["approx_sq_dist"] >= 0 for r in ivf)
+    by_q: dict[int, int] = {}
+    for r in ivf:
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+    assert set(by_q) == set(qids) and all(n <= 10 for n in by_q.values())
+
+    # distances must agree with the flat-ADC scorer on shared pairs
+    # (IVF restricts WHICH candidates are scored, never HOW)
+    flat = {
+        (r["query_id"], r["cand_id"]): r["approx_sq_dist"]
+        for r in pq_adc_topk(emb, qids, topk=10_000).collect()
+    }
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        assert key in flat and flat[key] == r["approx_sq_dist"], key
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in brute_force_topk(emb, qids, k=10).collect()
+    }
+    got = {(r["query_id"], r["cand_id"]) for r in ivf}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.1, f"IVFADC recall {recall:.2f}"

@@ -44,7 +44,7 @@ from .parity import (
     with_parsed_title,
 )
 from .pipeline import build_metadata_records, filter_candidates, join_sidecars
-from .quantization import pq_adc_topk, pq_codebooks, pq_encode
+from .quantization import ivf_adc_topk, pq_adc_topk, pq_codebooks, pq_encode
 from .probe import ffprobe_args, ffprobe_available, probe_from_fixture, probe_videos
 from .skew import salted_join, top_frequency_keys, two_stage_distinct_count
 
@@ -80,6 +80,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "pack_blocks",
     "pq_adc_topk",
+    "ivf_adc_topk",
     "pq_codebooks",
     "pq_encode",
     "probe_from_fixture",

@@ -256,3 +256,113 @@ def pq_adc_topk(
     return ranked.filter(F.col("rn") <= topk).select(
         "query_id", "cand_id", "approx_sq_dist"
     )
+
+
+def ivf_adc_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    topk: int = 10,
+    n_probe: int | None = None,
+    m: int = SUBSPACES,
+    k: int = CODES,
+    n_iter: int = PQ_ITER,
+    dim: int = 64,
+    centroid_ids: list[int] | None = None,
+    round_dp: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. §V): the inverted-file coarse quantizer
+    restricts WHICH candidates are scored, product-quantization codes
+    define HOW — the composition production ANN engines (FAISS IVFPQ)
+    ship, built here from the two already-verified operators.
+
+    Per query: probe the ``n_probe`` nearest inverted lists (cosine, the
+    same deterministic medoid coarse quantizer as ``ivf_topk``), then
+    rank ONLY those lists' members by asymmetric PQ distance.  Search
+    cost = (n_probe/C of the code table) per query, and the code table
+    is m bytes/vector — both reductions compound: at 10¹¹ vectors a
+    query touches ~m·n·n_probe/C bytes instead of 4·dim·n.  Spark
+    shape: candidate generation is one broadcast equi-join on the list
+    id (partition-prunable when codes are written partitioned by list),
+    ADC tables broadcast as in :func:`pq_adc_topk`; no shuffle of the
+    corpus.  Every stage is deterministic, so the full pipeline —
+    coarse assignment, codebooks, codes, distance tables, ranking —
+    replays in the DuckDB oracle."""
+    from .similarity import N_CENTROIDS, N_PROBE, _to_double, ivf_assign
+
+    spark = emb.sparkSession
+    if n_probe is None:
+        n_probe = N_PROBE
+    if centroid_ids is None:
+        centroid_ids = [10 + 25 * i for i in range(N_CENTROIDS)]
+    e = emb.select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+    # sorted: list position is the assignment tie-break (see ivf_topk)
+    centroids = sorted(
+        (r[id_col], list(r["v"]))
+        for r in e.filter(F.col(id_col).isin(centroid_ids)).collect()
+    )
+    books = pq_codebooks(emb, m, k, n_iter, dim, id_col, vec_col)
+    codes = pq_encode(emb, books, id_col, vec_col)
+    corpus = (
+        ivf_assign(
+            e.filter(~F.col(id_col).isin(query_ids)),
+            centroids,
+            n_probe=1,
+            id_col=id_col,
+        )
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.element_at("clusters", 1).alias("cluster"),
+        )
+        .join(codes.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+    )
+    qprobe = ivf_assign(
+        e.filter(F.col(id_col).isin(query_ids)),
+        centroids,
+        n_probe=n_probe,
+        id_col=id_col,
+    ).select(
+        F.col(id_col).alias("query_id"), F.explode("clusters").alias("cluster")
+    )
+    # each corpus vector lives in exactly one list, so a (query, cand)
+    # pair appears at most once — no dedup needed after the probe join
+    scored = corpus.join(F.broadcast(qprobe), "cluster")
+
+    sub_dim = dim // m
+    queries = emb.filter(F.col(id_col).isin(query_ids))
+    total = None
+    for s, book in enumerate(books):
+        cents = spark.createDataFrame(
+            [(c, list(map(float, v))) for c, v in enumerate(book)],
+            f"code_{s} int, c array<double>",
+        )
+        qd = (
+            queries.select(
+                F.col(id_col).alias("query_id"), _slice(vec_col, s, sub_dim).alias("q")
+            )
+            .crossJoin(cents)
+            .select(
+                "query_id",
+                f"code_{s}",
+                F.round(_sq_dist_cols(F.col("q"), F.col("c")), round_dp).alias(
+                    f"d_{s}"
+                ),
+            )
+        )
+        scored = scored.join(F.broadcast(qd), ["query_id", f"code_{s}"], "inner")
+        total = F.col(f"d_{s}") if total is None else total + F.col(f"d_{s}")
+
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        F.round(total, round_dp).alias("approx_sq_dist"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy("approx_sq_dist", "cand_id")
+        ),
+    )
+    return ranked.filter(F.col("rn") <= topk).select(
+        "query_id", "cand_id", "approx_sq_dist"
+    )

@@ -80,10 +80,10 @@ ORDER BY code0.vec_id
 """
 
 
-def _adc_oracle() -> str:
-    ctes = ",".join(_sub_ctes(s) for s in range(_M))
-    ids = ", ".join(str(i) for i in _QUERY_IDS)
-    qd = ",".join(
+def _qd_ctes(ids: str) -> str:
+    """Per-subspace query→code distance tables (the ADC lookup tables)
+    — shared by the flat-ADC and IVFADC oracles."""
+    return ",".join(
         f"""
 qd{s} AS (
   SELECT q.vec_id AS query_id, c.cluster AS code,
@@ -94,6 +94,12 @@ qd{s} AS (
 )"""
         for s in range(_M)
     )
+
+
+def _adc_oracle() -> str:
+    ctes = ",".join(_sub_ctes(s) for s in range(_M))
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    qd = _qd_ctes(ids)
     code_joins = " ".join(
         f"JOIN code{s} x{s} ON x0.vec_id = x{s}.vec_id" for s in range(1, _M)
     )
@@ -110,6 +116,62 @@ scored AS (
   FROM code0 x0 {code_joins}
   JOIN qd0 ON qd0.code = x0.code {qd_joins}
   WHERE x0.vec_id NOT IN ({ids})
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY approx_sq_dist, cand_id) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, approx_sq_dist
+FROM ranked WHERE rn <= {_TOPK}
+ORDER BY query_id, cand_id
+"""
+
+
+def _ivf_adc_oracle() -> str:
+    from ..operators.similarity import N_CENTROIDS, N_PROBE
+
+    ctes = ",".join(_sub_ctes(s) for s in range(_M))
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    qd = _qd_ctes(ids)
+    cent_ids = ", ".join(str(10 + 25 * i) for i in range(N_CENTROIDS))
+    code_joins = " ".join(
+        f"JOIN code{s} x{s} ON x{s}.vec_id = cand.cand_id" for s in range(_M)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.query_id = cand.query_id AND qd{s}.code = x{s}.code"
+        for s in range(_M)
+    )
+    total = " + ".join(f"qd{s}.d" for s in range(_M))
+    return f"""
+WITH {ctes},{qd},
+ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS c FROM ef WHERE vec_id IN ({cent_ids})),
+corpus_assign AS (
+  SELECT cand_id, cluster FROM (
+    SELECT x.vec_id AS cand_id, cent.cid AS cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
+                                       cent.cid) AS rn
+    FROM ef x CROSS JOIN cent WHERE x.vec_id NOT IN ({ids})
+  ) WHERE rn = 1
+),
+query_probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT x.vec_id AS query_id, cent.cid AS cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
+                                       cent.cid) AS rn
+    FROM ef x CROSS JOIN cent WHERE x.vec_id IN ({ids})
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT qp.query_id, ca.cand_id
+  FROM corpus_assign ca JOIN query_probe qp USING (cluster)
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id, round({total}, 6) AS approx_sq_dist
+  FROM cand {code_joins} {qd_joins}
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -150,3 +212,20 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, _QUERY_IDS, topk=_TOPK).orderBy("query_id", "cand_id")
+
+
+@query("ivf_adc_topk", oracle=_ivf_adc_oracle())
+def q_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — inverted-file candidate restriction composed with
+    asymmetric-distance PQ ranking (the FAISS IVFPQ search shape):
+    each query probes its 4 nearest coarse lists and ranks only those
+    lists' members by code-table distance, so search touches
+    n_probe/C of an m-bytes-per-vector table instead of any full
+    vectors.  Both constituent operators are already value-oracled;
+    this query oracles their COMPOSITION — coarse assignment, probe
+    set, codebooks, codes, distance tables, and ranking replayed
+    end-to-end in SQL."""
+    from ..operators.quantization import ivf_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_adc_topk(emb, _QUERY_IDS, topk=_TOPK).orderBy("query_id", "cand_id")
