@@ -129,3 +129,27 @@ def upsert_user_totals(table_dir: str):
         )
 
     return merge
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-travel CDC: what changed between two committed snapshot
+    versions of a materialized table — :func:`~..operators.diff.corpus_diff`
+    over two directory picks.  Because snapshots are complete and
+    immutable, the diff needs no log replay and is exact for ANY
+    version pair (not just adjacent ones); per-key classification is
+    added / removed / changed.  The audit surface for "what did batch
+    range (a, b] do to the serving table"."""
+    from ..operators.diff import corpus_diff
+
+    old = read_materialized(spark, table_dir, v_old)
+    new = read_materialized(spark, table_dir, v_new)
+    if old is None or new is None:
+        raise ValueError(f"both versions must be committed: {v_old}, {v_new}")
+    return corpus_diff(old, new, key_cols, compare_cols)
