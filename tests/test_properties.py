@@ -384,3 +384,45 @@ def test_chunking_partitions_every_document(spark, token_lists):
         assert sum(r["n_tokens"] for r in got) == len(toks)
         assert " ".join(r["chunk_text"] for r in got) == " ".join(toks)
         assert all(r["n_tokens"] >= 1 for r in got)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),                       # key
+            st.one_of(st.none(), st.text("abc", max_size=3)),  # t
+            st.one_of(st.none(), st.integers(0, 5)),  # x
+        ),
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.text("abc", max_size=3)),
+            st.one_of(st.none(), st.integers(0, 5)),
+        ),
+        max_size=12,
+    ),
+)
+@SETTINGS
+def test_corpus_diff_patch_roundtrip(spark, old_rows, new_rows):
+    """Property: apply_diff(old, corpus_diff_patch(old, new)) == new
+    for ANY pair of releases (duplicate keys dropped to keep releases
+    well-formed; null payloads included)."""
+    from video_metadata_db_spark.operators.diff import (
+        apply_diff,
+        corpus_diff_patch,
+    )
+
+    def frame(rows):
+        dedup = list({r[0]: r for r in rows}.values())
+        return spark.createDataFrame(
+            dedup or [(-(10 ** 9), None, None)], "k long, t string, x long"
+        )
+
+    old, new = frame(old_rows), frame(new_rows)
+    patch = corpus_diff_patch(old, new, ["k"])
+    rebuilt = apply_diff(old, patch, ["k"])
+    want = {tuple(r) for r in new.collect()}
+    got = {tuple(r) for r in rebuilt.collect()}
+    assert got == want

@@ -25,7 +25,7 @@ from .dedup import (
     simhash_near_pairs,
     tokens_of,
 )
-from .diff import corpus_diff
+from .diff import apply_diff, corpus_diff, corpus_diff_patch
 from .membership import bloom_prefiltered_new_keys, build_bloom
 from .metrics import observe_dead_letter, observe_stage
 from .packing import global_row_number, pack_blocks, sequence_offsets
@@ -57,7 +57,9 @@ __all__ = [
     "chunk_dedup_groups",
     "cluster_profile",
     "content_defined_chunks",
+    "apply_diff",
     "corpus_diff",
+    "corpus_diff_patch",
     "doc_containment_pairs",
     "components_incremental",
     "connected_components",

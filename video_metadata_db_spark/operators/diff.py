@@ -71,3 +71,42 @@ def corpus_diff(
     if not include_unchanged:
         out = out.filter(F.col("change") != "unchanged")
     return out
+
+
+def corpus_diff_patch(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """:func:`corpus_diff` carrying the new-side payload — an
+    APPLYABLE changeset: (key..., change, payload...) where payload is
+    the new release's columns (null for 'removed').  Shipping the
+    patch instead of the release is the bandwidth win when churn is
+    low: |patch| = |added| + |removed| + |changed|, not |corpus|.
+    Inverse pinned by test_corpus_diff_patch_roundtrip:
+    ``apply_diff(old, patch) == new`` exactly."""
+    keys = list(key_cols)
+    compare = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in new.columns if c not in set(keys)]
+    )
+    classified = corpus_diff(old, new, keys, compare)
+    return classified.join(new, keys, "left").select(
+        *keys, "change", *compare
+    )
+
+
+def apply_diff(
+    old: DataFrame, patch: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Reconstruct the new release from the old one plus a
+    :func:`corpus_diff_patch` changeset: drop removed+changed keys,
+    union in the patch's added+changed payloads.  One anti join + one
+    union — the merge an incremental release publisher runs instead of
+    rewriting the corpus."""
+    keys = list(key_cols)
+    upserts = patch.filter(F.col("change") != "removed").drop("change")
+    kept = old.join(patch.select(*keys), keys, "left_anti")
+    return kept.unionByName(upserts)
