@@ -109,6 +109,9 @@ HEADLINE = [
     "dedup_components_incremental",
     "encode_tokens",
     "pq_adc_topk",
+    # round-5 late additions: compressed-ANN composition and release CDC
+    "ivf_adc_topk",
+    "corpus_diff",
 ]
 
 REPEATS = 2
