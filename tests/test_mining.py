@@ -210,3 +210,31 @@ def test_kmeans_arrow_matches_fold(spark):
         a = sorted(map(tuple, kmeans_assign(emb, k=k, n_iter=2).collect()))
         b = sorted(map(tuple, kmeans_assign_arrow(emb, k=k, n_iter=2).collect()))
         assert a == b and a, k
+
+
+def test_bpe_merge_is_greedy_left_to_right_non_overlapping(spark):
+    """The merge contract on the adversarial overlap case: pair (a,a)
+    applied to 'aaaa' must yield [aa, aa] (greedy non-overlapping,
+    never [aa, a, a] or a cascading [aaaa]), and the next round merges
+    the new symbols, not stale ones."""
+    from video_metadata_db_spark.operators.bpe import bpe_train
+
+    words = spark.createDataFrame([("aaaa", 5), ("aab", 3)], "word string, cnt long")
+    merges, seg = bpe_train(words, 2)
+    # round 1: (a,a) = 3*5 + 1*3 = 18 beats (a,b) = 3
+    assert merges[0] == ("a", "a", "aa", 18)
+    # round 2: (aa,aa) = 5 beats (aa,b) = 3
+    assert merges[1] == ("aa", "aa", "aaaa", 5)
+    got = {r["word"]: r["seg_str"] for r in seg.collect()}
+    assert got == {"aaaa": "aaaa", "aab": "aa b"}
+
+    # one-round view: 'aaaa' is [aa, aa], proving non-overlap directly
+    m1, seg1 = bpe_train(words, 1)
+    got1 = {r["word"]: r["seg_str"] for r in seg1.collect()}
+    assert got1["aaaa"] == "aa aa" and got1["aab"] == "aa b"
+
+    # exhaustion: more rounds than mergeable pairs stops cleanly
+    tiny = spark.createDataFrame([("xy", 1)], "word string, cnt long")
+    m, s = bpe_train(tiny, 10)
+    assert [t[:2] for t in m] == [("x", "y")]
+    assert s.collect()[0]["seg_str"] == "xy"

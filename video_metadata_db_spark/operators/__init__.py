@@ -25,6 +25,7 @@ from .dedup import (
     simhash_near_pairs,
     tokens_of,
 )
+from .bpe import bpe_train, bpe_word_counts
 from .diff import apply_diff, corpus_diff, corpus_diff_patch
 from .membership import bloom_prefiltered_new_keys, build_bloom
 from .metrics import observe_dead_letter, observe_stage
@@ -51,6 +52,8 @@ from .skew import salted_join, top_frequency_keys, two_stage_distinct_count
 __all__ = [
     "asof_join",
     "band_buckets",
+    "bpe_train",
+    "bpe_word_counts",
     "bloom_prefiltered_new_keys",
     "build_bloom",
     "build_metadata_records",

@@ -624,3 +624,113 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("kl_term"), 6).cast("double").alias("kl_from_corpus"))
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------------ BPE ---
+
+_BPE_N = 3
+
+
+def _bpe_ctes(n: int) -> str:
+    """Unrolled BPE training in SQL: word counts → char segmentation →
+    n rounds of (pair counts, argmax, literal string-replace merge) —
+    the exact contract operators/bpe.py documents, same separator
+    encoding, same replace semantics."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    parts = [
+        f"""w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  ) WHERE NOT contains(word, chr(31))
+  GROUP BY word
+),
+s0 AS (
+  SELECT word, cnt,
+         {sep2} || regexp_replace(word, '(.)', '\\1' || {sep2}, 'g') AS seg
+  FROM w
+)"""
+    ]
+    for r in range(1, n + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""p{r} AS (
+  SELECT p[1] AS left_sym, p[2] AS right_sym,
+         CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt, unnest(list_zip(l[1:length(l)-1], l[2:length(l)])) AS p
+    FROM (SELECT cnt,
+                 list_filter(string_split(seg, {sep2}), x -> x <> '') AS l
+          FROM {prev})
+  ) GROUP BY 1, 2
+),
+b{r} AS (
+  SELECT * FROM p{r} ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+),
+s{r} AS (
+  SELECT word, cnt,
+         replace(seg, {sep}||b.left_sym||{sep2}||b.right_sym||{sep},
+                      {sep}||b.left_sym||b.right_sym||{sep}) AS seg
+  FROM {prev} CROSS JOIN b{r} b
+)"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, left_sym, right_sym, "
+        f"left_sym||right_sym AS merged, pair_count FROM b{r}"
+        for r in range(1, _BPE_N + 1)
+    )
+    return f"{_bpe_ctes(_BPE_N)}\nSELECT * FROM ({rows}) ORDER BY merge_rank"
+
+
+def _bpe_segment_oracle() -> str:
+    return f"""{_bpe_ctes(_BPE_N)}
+SELECT word, cnt,
+       array_to_string(
+         list_filter(string_split(seg, chr(31)||chr(31)), x -> x <> ''), ' '
+       ) AS seg_str
+FROM s{_BPE_N}
+ORDER BY word
+"""
+
+
+@query("bpe_merges", oracle=_bpe_merges_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the ordered merge list itself: three
+    rounds of (adjacent-pair count → deterministic argmax → greedy
+    left-to-right merge) over the word-count table.  The corpus is
+    read ONCE (words localCheckpointed); each round costs O(|vocab|)
+    with one 1-row driver collect — corpus size prices only the first
+    scan, exactly how production BPE trainers scale.  The merge list
+    is the learned model (driver-side by nature, like k-means
+    centroids); the oracle replays all rounds unrolled with the same
+    separator-string replace contract."""
+    from ..operators.bpe import bpe_train, bpe_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs).localCheckpoint(eager=True)
+    merges, _ = bpe_train(words, _BPE_N)
+    return spark.createDataFrame(
+        [
+            (r + 1, left, right, merged, cnt)
+            for r, (left, right, merged, cnt) in enumerate(merges)
+        ],
+        "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
+@query("bpe_segment_words", oracle=_bpe_segment_oracle())
+def q_bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vocabulary word segmented by the learned merges — the
+    application side of `bpe_merges` (what the tokenizer would emit
+    per word after three merges), value-checked for the WHOLE vocab.
+    Same single-corpus-scan + O(|vocab|)-per-round shape."""
+    from ..operators.bpe import bpe_train, bpe_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs).localCheckpoint(eager=True)
+    _, seg = bpe_train(words, _BPE_N)
+    return seg.orderBy("word")
