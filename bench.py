@@ -109,9 +109,11 @@ HEADLINE = [
     "dedup_components_incremental",
     "encode_tokens",
     "pq_adc_topk",
-    # round-5 late additions: compressed-ANN composition and release CDC
+    # round-5 late additions: compressed-ANN composition, release CDC,
+    # and tokenizer training
     "ivf_adc_topk",
     "corpus_diff",
+    "bpe_merges",
 ]
 
 REPEATS = 2
