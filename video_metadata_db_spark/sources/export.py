@@ -19,9 +19,9 @@ files.  This sink produces both from any ordered frame:
   per shard, written alongside the data.  Position ranges are dense
   and non-overlapping by construction; the test pins it.
 
-The reference has no export surface beyond TSV
-(video_metadata_db.py:640-700); this is the extension sink a
-pretraining pipeline actually feeds.
+The reference has no export surface beyond its TSV writer
+(video_metadata_db.py:215-400, `save_video_information`); this is the
+extension sink a pretraining pipeline actually feeds.
 """
 
 from __future__ import annotations
