@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .clustering import _dists_array, lloyds_centroids  # noqa: F401 — lloyds re-exported for the per-subspace equivalence test
+from .clustering import _dists_array
 
 SUBSPACES = 4
 CODES = 16

@@ -734,3 +734,69 @@ def q_bpe_segment_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = bpe_word_counts(docs).localCheckpoint(eager=True)
     _, seg = bpe_train(words, _BPE_N)
     return seg.orderBy("word")
+
+
+def _bpe_encode_oracle() -> str:
+    sep2 = "chr(31)||chr(31)"
+    return f"""{_bpe_ctes(_BPE_N)},
+tok AS (
+  SELECT doc_id, t.pos, t.word FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_filter(string_split(text, ' '), x -> x <> ''),
+             (x, i) -> struct_pack(word := x, pos := i)
+           )) AS t
+    FROM documents
+  )
+),
+sv AS (
+  SELECT word,
+         array_to_string(
+           list_filter(string_split(seg, {sep2}), x -> x <> ''), ' '
+         ) AS seg_str
+  FROM s{_BPE_N}
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(len(string_split(seg_str, ' '))) AS BIGINT) AS n_symbols,
+       string_agg(seg_str, ' ' ORDER BY pos) AS encoded
+FROM tok JOIN sv USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer story end-to-end: merges learned on the
+    word-count table (`bpe_merges`) applied back to EVERY document —
+    per-doc token count, post-merge symbol count, and the full encoded
+    text.  The application is a broadcast join of the |vocab|-sized
+    segmentation table onto the exploded corpus (the 100 TB shape: the
+    learned tokenizer always fits a broadcast; the corpus is never
+    shuffled except the per-doc regroup), with position-ordered
+    reassembly via sort_array, not a window."""
+    from ..operators.bpe import bpe_train, bpe_word_counts, tokens_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs).localCheckpoint(eager=True)
+    _, seg = bpe_train(words, _BPE_N)
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_of(F.col("text"))).alias("pos", "word")
+    )
+    joined = toks.join(F.broadcast(seg.select("word", "seg_str")), "word")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.size(F.split("seg_str", " "))).cast("long").alias("n_symbols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg_str"))),
+                    lambda s: s["seg_str"],
+                ),
+                " ",
+            ).alias("encoded"),
+        )
+        .orderBy("doc_id")
+    )
