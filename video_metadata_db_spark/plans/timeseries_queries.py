@@ -179,3 +179,78 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, ts, value, epoch_us(ts) AS us FROM events
+),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+),
+f AS (
+  SELECT *,
+         CASE WHEN prev IS NULL OR us - prev > 21600000000 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM f
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS started,
+       MAX(ts) AS ended,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+""",
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization — the gap-and-island rollup
+    `stream_session_windows` computes with watermarked state, here as
+    pure windows over history: a session breaks after >6 h of
+    inactivity; session_seq is the running sum of break flags.  Two
+    per-user windows (lag + running sum) and one aggregate — the
+    shuffle key is user_id throughout, so one exchange serves all
+    three at any history size.  Ties break on event_id; the money-sum
+    uses the DECIMAL discipline so partial-sum order can't leak into
+    the 6-dp total."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 6 * 3600 * 1_000_000
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w).isNull()
+            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("started"),
+            F.max("ts").alias("ended"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
