@@ -631,3 +631,84 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return corpus_diff(old_rel, new_rel, ["doc_id"]).orderBy("doc_id")
+
+
+_PPS_K = 20
+_PPS_SEED = "pps1:"
+
+
+@query(
+    "sample_pps_systematic",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST(concat('0x',
+              substr(md5(concat('{_PPS_SEED}', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lo,
+         SUM(n_tokens) OVER () AS total_w
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_lo AS BIGINT) AS cum_lo,
+       CAST(((cum_lo + n_tokens) * {_PPS_K}) // total_w
+            - (cum_lo * {_PPS_K}) // total_w AS BIGINT) AS n_picks
+FROM c
+WHERE ((cum_lo + n_tokens) * {_PPS_K}) // total_w > (cum_lo * {_PPS_K}) // total_w
+ORDER BY doc_id
+""",
+)
+def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size systematic sampling: docs laid
+    on a seeded-hash circle weighted by token count; a doc is drawn
+    once per grid point j·W/k its weight interval covers — the
+    sampling-without-libm design (Madow systematic PPS): selection is
+    PURE INTEGER arithmetic (multiply + integer division), so there is
+    no ln/pow whose last-ulp could diverge engines, and inclusion
+    probability is exactly min(1, k·w/W) with long docs drawn with
+    multiplicity.
+
+    Scale shape: the cumulative positions come from the distributed
+    two-pass prefix sum (`sequence_offsets`), NOT a global window —
+    the oracle IS the naive single-window form, so the value match
+    doubles as the prefix-sum equivalence proof at one more weight
+    distribution.  One scalar aggregate (total W) reaches the driver."""
+    from ..operators.packing import sequence_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_PPS_SEED), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hk"),
+    )
+    total_w = keyed.agg(F.sum("n_tokens")).first()[0]
+    off = sequence_offsets(keyed, "hk", "n_tokens", tiebreak_col="doc_id")
+    picks_hi = F.expr(f"((start_offset + n_tokens) * {_PPS_K}) div {total_w}")
+    picks_lo = F.expr(f"(start_offset * {_PPS_K}) div {total_w}")
+    return (
+        off.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("start_offset").cast("long").alias("cum_lo"),
+            (picks_hi - picks_lo).cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") > 0)
+        .orderBy("doc_id")
+    )

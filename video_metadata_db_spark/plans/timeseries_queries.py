@@ -254,3 +254,76 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS BIGINT)
+           AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size FROM firsts
+  GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+       s.cohort_size,
+       round(COUNT(DISTINCT a.user_id) * 1.0 / s.cohort_size, 6) AS retention
+FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+ORDER BY a.cohort_week, a.week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, per
+    (cohort, week-offset) active-user counts and retention ratio —
+    the canonical product-analytics rollup.  Two aggregations on the
+    user_id key plus a broadcast-sized cohort join; the ratio divides
+    two exact integers (no float accumulation).  Week arithmetic stays
+    in DATE space (date_trunc / datediff) so both engines bucket
+    identically across DST and month boundaries."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts").cast("date")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", "ts").cast("date"), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
