@@ -327,3 +327,64 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "histogram_event_values",
+    oracle="""
+WITH iv AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+  WHERE value IS NOT NULL
+),
+bounds AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n FROM iv
+)
+SELECT bucket,
+       CAST(lo + bucket * (hi - lo + 1) // 20 AS BIGINT) AS edge_lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(COUNT(*) * 1.0 / n, 6) AS share
+FROM (
+  SELECT LEAST(((cents - lo) * 20) // (hi - lo + 1), 19) AS bucket,
+         lo, hi, n
+  FROM iv CROSS JOIN bounds
+)
+GROUP BY bucket, lo, hi, n
+ORDER BY bucket
+""",
+)
+def q_histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values — the
+    distribution profile a quality dashboard renders.  Bucketing is
+    PURE INTEGER arithmetic on cents (one round() whose half-up
+    semantics agree across engines, then multiply + integer division)
+    — no float-division bucket edges whose last ulp could flip a
+    boundary row between engines.  One scan + one tiny cross-joined
+    bounds aggregate + one groupBy; shares divide exact integers."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = events.select(F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    bounds = iv.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bucketed = iv.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.expr("((cents - lo) * 20) div (hi - lo + 1)"), F.lit(19)
+        ).alias("bucket"),
+        "lo",
+        "hi",
+        "n",
+    )
+    return (
+        bucketed.groupBy("bucket", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "bucket",
+            F.expr("lo + bucket * (hi - lo + 1) div 20").cast("long").alias(
+                "edge_lo_cents"
+            ),
+            F.col("n_events").cast("long"),
+            F.round(F.col("n_events") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("bucket")
+    )
