@@ -388,3 +388,81 @@ def q_histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "scd2_user_event_type",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM changes
+),
+intervals AS (
+  SELECT user_id, event_type, run_id,
+         MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type,
+       CAST(run_id AS BIGINT) AS version,
+       valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM intervals
+ORDER BY user_id, version
+""",
+)
+def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: each user's event_type
+    history collapsed into versioned validity intervals
+    [valid_from, valid_to) — the dimension-table shape every
+    warehouse's as-of joins consume, and the batch complement of the
+    streaming label maintenance.  Run detection = lag + running
+    change-sum (one user_id exchange serves the lag, the run-sum, the
+    rollup, and the lead), current versions carry a NULL valid_to.
+    Ties break on event_id; all counters are exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        events.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            )
+            .otherwise(0)
+            .alias("chg"),
+        )
+        .withColumn(
+            "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        F.col("run_id").cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    ).orderBy("user_id", "version")
