@@ -114,6 +114,7 @@ HEADLINE = [
     "ivf_adc_topk",
     "corpus_diff",
     "bpe_merges",
+    "sessionize_events",
 ]
 
 REPEATS = 2
