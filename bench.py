@@ -115,6 +115,9 @@ HEADLINE = [
     "corpus_diff",
     "bpe_merges",
     "sessionize_events",
+    "pagerank_copurchase",
+    "dedup_jaccard_prefix",
+    "bm25_search",
 ]
 
 REPEATS = 2

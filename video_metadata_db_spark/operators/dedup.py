@@ -205,6 +205,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold_tenths: int = 6,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold_tenths/10, exactly,
+    via PREFIX FILTERING (the AllPairs/PPJoin candidate rule) instead of
+    the full inverted-index join.
+
+    The lossless pruning fact: order every doc's shingles by one GLOBAL
+    total order (ascending document frequency, shingle string as the
+    tiebreak — rarest first) and keep only the first
+    ``n - ceil(t·n) + 1`` as the doc's *prefix*.  Two sets with
+    Jaccard ≥ t must share ≥ ceil(t·n) elements, so skipping a full
+    prefix would leave fewer than that many candidates — hence every
+    qualifying pair shares at least one PREFIX shingle, and the
+    candidate join only touches prefixes.  Against the plain inverted
+    index (``ngram_jaccard_pairs``) this shrinks the quadratic join
+    input by ~t/(1+t) per doc AND concentrates it on the rarest (least
+    skewed) shingles — the frequent-shingle hot keys that force
+    ``max_df`` capping there never enter this join at all.
+
+    Everything is integer-exact: ``ceil(t·n)`` is ``(t10·n + 9) div
+    10`` (no float ceil), and the final test is
+    ``10·inter ≥ t10·(na + nb − inter)`` — so the DuckDB oracle (the
+    unfiltered exact join with the same integer test) matches by
+    construction, proving the pruning lossless on real data.
+
+    Scale: one shuffle to build df, one doc-partitioned window to rank
+    (bounded by doc size), a prefix×prefix equi-join on the shingle,
+    then verification joins that fan out only over candidate pairs.
+    """
+    t10 = int(threshold_tenths)
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col).alias("doc"), tokens_of(F.col(text_col)).alias("_toks")
+    ).select("doc", F.explode(shingles_of_tokens(F.col("_toks"), k)).alias("s"))
+    sh = _scoped_persist(sh)
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(df, "s").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("s").asc())
+        ),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # prefix length = n - ceil(t*n) + 1, ceil as integer arithmetic
+    plen = sizes.select(
+        "doc",
+        "n_sh",
+        (
+            F.col("n_sh")
+            - F.floor((F.lit(t10) * F.col("n_sh") + 9) / 10).cast("long")
+            + 1
+        ).alias("plen"),
+    )
+    prefix = ranked.join(plen, "doc").filter(F.col("pos") <= F.col("plen")).select(
+        "doc", "s"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification over full shingle sets, candidates only
+    fa = sh.select(F.col("doc").alias("doc_a"), "s")
+    fb = sh.select(F.col("doc").alias("doc_b"), "s")
+    inter = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = plen.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = plen.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(10) * F.col("inter")
+            >= F.lit(t10) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
 # ----------------------------------------------------- MinHash + LSH ----
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -800,3 +800,126 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: BM25 free parameters and the fixed query-term set.  k1=1.2, b=0.75
+#: are the classic Robertson defaults; scaled by 10 below so the
+#: saturation denominator is INTEGER arithmetic (10·k1=12, 10·k1·(1−b)=3,
+#: 10·k1·b=9) — the only floats are one idf ln (rounded to 6 dp) and one
+#: final division per (doc, term).
+_BM25_TERMS = ("spark", "vector", "stream")
+
+
+_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term IN {_BM25_TERMS!r}
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         round(ln((s.n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1), 6) AS idf
+  FROM tf CROSS JOIN stats s
+  GROUP BY term, s.n_docs
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(i.idf * ((22 * t.tf * s.dl_sum)
+                    / (1.0 * (10 * t.tf * s.dl_sum + 3 * s.dl_sum + 9 * d.dl * s.n_docs))),
+                    9) AS DECIMAL(18,9)) AS term_score
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN idf i USING (term)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(round(SUM(term_score), 6) AS DOUBLE) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY SUM(term_score) DESC, doc_id
+LIMIT 15
+"""
+
+
+@query("bm25_search", oracle=_BM25_SQL)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed
+    query-term set — the lexical retrieval scorer that complements
+    `tfidf_top_terms` (per-doc salience) and the ANN family (semantic
+    retrieval): this is how the lexical half of a hybrid search stack
+    ranks at scale.
+
+    Plan: tokenize ONCE; doc lengths and corpus totals are aggregates;
+    tf is the exploded stream filtered to the (broadcast-tiny) query
+    terms before its only shuffle; idf (|terms| rows) broadcasts back.
+    Float discipline: the length-normalized saturation
+    tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is algebraically rescaled by
+    10·dl_sum into an integer numerator/denominator, so per (doc,term)
+    exactly one float division and one 6-dp-rounded ln occur, and the
+    per-doc SUM runs over DECIMAL(18,9) — associative, engine-exact
+    (same discipline as the KL and PageRank oracles).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (
+                    (F.lit(22) * F.col("tf") * F.col("dl_sum"))
+                    / (
+                        F.lit(1.0)
+                        * (
+                            F.lit(10) * F.col("tf") * F.col("dl_sum")
+                            + F.lit(3) * F.col("dl_sum")
+                            + F.lit(9) * F.col("dl") * F.col("n_docs")
+                        )
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(18,9)")
+            .alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("_s"))
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", F.round("_s", 6).cast("double").alias("score"))
+    )
