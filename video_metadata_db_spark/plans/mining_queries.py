@@ -810,8 +810,11 @@ def q_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "vector", "stream")
 
 
-_BM25_SQL = f"""
-WITH toks AS (
+def _bm25_ctes() -> str:
+    """DuckDB CTE chain ending in ``bm25(doc_id, s)`` — per-doc BM25
+    score as DECIMAL(18,9); shared by `bm25_search` and the RRF fusion
+    oracle."""
+    return f"""toks AS (
   SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
   FROM documents
 ),
@@ -828,7 +831,7 @@ idf AS (
   FROM tf CROSS JOIN stats s
   GROUP BY term, s.n_docs
 ),
-scored AS (
+bm25_scored AS (
   SELECT t.doc_id,
          CAST(round(i.idf * ((22 * t.tf * s.dl_sum)
                     / (1.0 * (10 * t.tf * s.dl_sum + 3 * s.dl_sum + 9 * d.dl * s.n_docs))),
@@ -837,11 +840,17 @@ scored AS (
   JOIN dl d USING (doc_id)
   JOIN idf i USING (term)
   CROSS JOIN stats s
-)
-SELECT doc_id, CAST(round(SUM(term_score), 6) AS DOUBLE) AS score
-FROM scored
-GROUP BY doc_id
-ORDER BY SUM(term_score) DESC, doc_id
+),
+bm25 AS (
+  SELECT doc_id, SUM(term_score) AS s FROM bm25_scored GROUP BY doc_id
+)"""
+
+
+_BM25_SQL = f"""
+WITH {_bm25_ctes()}
+SELECT doc_id, CAST(round(s, 6) AS DOUBLE) AS score
+FROM bm25
+ORDER BY s DESC, doc_id
 LIMIT 15
 """
 
@@ -864,6 +873,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc SUM runs over DECIMAL(18,9) — associative, engine-exact
     (same discipline as the KL and PageRank oracles).
     """
+    return (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(15)
+        .select("doc_id", F.round("_s", 6).cast("double").alias("score"))
+    )
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, _s) — per-doc BM25 score as DECIMAL, the Spark twin of
+    ``_bm25_ctes``; shared by `bm25_search` and `hybrid_rrf_search`."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -916,10 +936,122 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_score"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_score").alias("_s"))
+    return scored.groupBy("doc_id").agg(F.sum("term_score").alias("_s"))
+
+
+#: RRF constant (the standard 60) and per-list depth for the fusion.
+_RRF_K = 60
+_RRF_DEPTH = 50
+#: The semantic query: one vector id (aligned with doc_id in the test
+#: corpus), excluded from its own candidate list.
+_RRF_QUERY_ID = 0
+
+
+_RRF_SQL = f"""
+WITH {_bm25_ctes()},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+  FROM bm25
+  QUALIFY lex_rank <= {_RRF_DEPTH}
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = {_RRF_QUERY_ID}
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> {_RRF_QUERY_ID}
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+  FROM cos
+  QUALIFY sem_rank <= {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         COALESCE(CAST(round(1.0 / ({_RRF_K} + l.lex_rank), 9) AS DECIMAL(18,9)),
+                  CAST(0 AS DECIMAL(18,9)))
+         + COALESCE(CAST(round(1.0 / ({_RRF_K} + s.sem_rank), 9) AS DECIMAL(18,9)),
+                    CAST(0 AS DECIMAL(18,9))) AS rrf
+  FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+)
+SELECT doc_id, lex_rank, sem_rank,
+       CAST(round(rrf, 6) AS DOUBLE) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 15
+"""
+
+
+@query("hybrid_rrf_search", oracle=_RRF_SQL)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (k=60) of the lexical
+    BM25 ranking and the semantic cosine ranking — the standard way a
+    production search stack combines the two signal families this
+    engine already ships separately (`bm25_search`, `knn_cosine_topk`).
+
+    Scale shape: both input rankings are top-``DEPTH`` lists (bounded,
+    never corpus-sized), so the fusion join and its window run on
+    2·DEPTH rows regardless of corpus size; the corpus-scale work is
+    exactly the two underlying rankers, each already scale-shaped
+    (BM25: postings of the broadcast term set; cosine: broadcast query
+    × one corpus scan with WindowGroupLimit).  Each reciprocal rank is
+    one float division rounded to 9 dp into DECIMAL(18,9); the 2-term
+    sum is decimal-exact, so the fused ordering is engine-exact.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    # TakeOrderedAndProject-shaped top-DEPTH FIRST, then rank the
+    # surviving DEPTH rows — the global row_number window never sees
+    # more than DEPTH rows at any corpus size (QUALIFY-then-filter in
+    # the oracle is result-equivalent).
+    lex = (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("_s").desc(), F.col("doc_id"))),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = (
+        brute_force_topk(emb, [_RRF_QUERY_ID], k=_RRF_DEPTH)
+        .select(F.col("cand_id").alias("doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    zero = F.lit(0).cast("decimal(18,9)")
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), 9)
+                    .cast("decimal(18,9)"),
+                    zero,
+                )
+                + F.coalesce(
+                    F.round(F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), 9)
+                    .cast("decimal(18,9)"),
+                    zero,
+                )
+            ).alias("rrf"),
+        )
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
         .limit(15)
-        .select("doc_id", F.round("_s", 6).cast("double").alias("score"))
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round("rrf", 6).cast("double").alias("rrf_score"),
+        )
     )
