@@ -118,6 +118,7 @@ HEADLINE = [
     "pagerank_copurchase",
     "dedup_jaccard_prefix",
     "bm25_search",
+    "hybrid_rrf_search",
 ]
 
 REPEATS = 2

@@ -466,3 +466,81 @@ def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
     ).orderBy("user_id", "version")
+
+
+@query(
+    "ewma_event_values",
+    oracle="""
+WITH iv AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+lagged AS (
+  SELECT event_id, user_id, cents,
+         lag(cents, 1) OVER w AS l1,
+         lag(cents, 2) OVER w AS l2,
+         lag(cents, 3) OVER w AS l3,
+         lag(cents, 4) OVER w AS l4
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(round(
+         (16 * cents + 8 * COALESCE(l1, 0) + 4 * COALESCE(l2, 0)
+          + 2 * COALESCE(l3, 0) + COALESCE(l4, 0))
+         / (1.0 * (16 + CASE WHEN l1 IS NULL THEN 0 ELSE 8 END
+                      + CASE WHEN l2 IS NULL THEN 0 ELSE 4 END
+                      + CASE WHEN l3 IS NULL THEN 0 ELSE 2 END
+                      + CASE WHEN l4 IS NULL THEN 0 ELSE 1 END)), 4)
+         AS DOUBLE) AS ewma_cents
+FROM lagged
+ORDER BY event_id
+""",
+)
+def q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=1/2, depth 5) of event values — the smoothing
+    signal anomaly monitors and rate limiters read, as a FINITE-impulse
+    lag chain rather than a true recursion (which Spark SQL cannot
+    express and which would be nondeterministic to fuse anyway).
+
+    Exactness by construction: α=1/2 makes every weight a binary
+    fraction, so scaling by 16 turns the whole numerator/denominator
+    into INTEGER arithmetic on cents — per row exactly one float
+    division then one 4-dp round, identical cross-engine.  The window
+    head (fewer than 4 predecessors) renormalizes over the weights
+    actually present, matching the standard adjusted-EWMA definition.
+    One user_id exchange serves all four lags."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = iv.select(
+        "event_id",
+        "user_id",
+        "cents",
+        *[F.lag("cents", i).over(w).alias(f"l{i}") for i in (1, 2, 3, 4)],
+    )
+    num = (
+        F.lit(16) * F.col("cents")
+        + F.lit(8) * F.coalesce(F.col("l1"), F.lit(0))
+        + F.lit(4) * F.coalesce(F.col("l2"), F.lit(0))
+        + F.lit(2) * F.coalesce(F.col("l3"), F.lit(0))
+        + F.coalesce(F.col("l4"), F.lit(0))
+    )
+    den = (
+        F.lit(16)
+        + F.when(F.col("l1").isNull(), F.lit(0)).otherwise(F.lit(8))
+        + F.when(F.col("l2").isNull(), F.lit(0)).otherwise(F.lit(4))
+        + F.when(F.col("l3").isNull(), F.lit(0)).otherwise(F.lit(2))
+        + F.when(F.col("l4").isNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    return lagged.select(
+        "event_id",
+        "user_id",
+        F.round(num / (F.lit(1.0) * den), 4).cast("double").alias("ewma_cents"),
+    ).orderBy("event_id")
