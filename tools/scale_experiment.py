@@ -208,6 +208,50 @@ def run_factor(spark: SparkSession, factor: int) -> list[dict]:
 
     out.append(measured(spark, "dedup_semantic", factor, semantic_counts))
 
+    # --- prefix-filtered Jaccard: candidates = prefix-token join output
+    # (the quantity the AllPairs rule bounds; replicas share no
+    # shingles, so growth must be ~linear)
+    def prefix_counts() -> dict:
+        from video_metadata_db_spark.operators.dedup import (
+            jaccard_prefix_pairs,
+            shingles_of_tokens,
+            tokens_of,
+        )
+        from pyspark.sql import Window
+
+        sh = docs.select(
+            F.col("doc_id").alias("doc"), tokens_of(F.col("text")).alias("_t")
+        ).select("doc", F.explode(shingles_of_tokens(F.col("_t"), 3)).alias("s"))
+        dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ranked = sh.join(dfreq, "s").withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("s").asc())
+            ),
+        )
+        plen = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n")).select(
+            "doc",
+            (F.col("n") - F.floor((F.lit(6) * F.col("n") + 9) / 10).cast("long") + 1
+             ).alias("plen"),
+        )
+        prefix = ranked.join(plen, "doc").filter(F.col("pos") <= F.col("plen")).select(
+            "doc", "s"
+        )
+        l, r = prefix.alias("l"), prefix.alias("r")
+        cand = (
+            l.join(
+                r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc") < F.col("r.doc"))
+            )
+            .select(F.col("l.doc"), F.col("r.doc"))
+            .distinct()
+            .count()
+        )
+        pairs = jaccard_prefix_pairs(docs, threshold_tenths=6).count()
+        release_dedup_caches()
+        return {"n_docs": n_docs, "candidates": cand, "result_pairs": pairs}
+
+    out.append(measured(spark, "dedup_jaccard_prefix", factor, prefix_counts))
+
     # --- contamination: candidates = gram-hash hits pre-aggregation
     def contamination_counts() -> dict:
         rows = QUERIES["contamination_check"](spark, sf_dir).count()

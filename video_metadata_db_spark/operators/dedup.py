@@ -274,7 +274,13 @@ def jaccard_prefix_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    # exact verification over full shingle sets, candidates only
+    # exact verification over full shingle sets, candidates only.
+    # Measured A/B at sf0.1 (warm, local[32]): this posting-re-join
+    # form (narrow 16 B rows, map-side-combinable pair count) beats the
+    # array-per-doc + array_intersect form 7.2 s vs 11.7 s — the wide
+    # array payload pays more in SMJ sort/shuffle than the posting
+    # fan-out costs, and the fan-out is bounded by |cand|·|doc shingle
+    # set| either way.
     fa = sh.select(F.col("doc").alias("doc_a"), "s")
     fb = sh.select(F.col("doc").alias("doc_b"), "s")
     inter = (

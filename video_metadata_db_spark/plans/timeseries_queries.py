@@ -544,3 +544,90 @@ def q_ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(num / (F.lit(1.0) * den), 4).cast("double").alias("ewma_cents"),
     ).orderBy("event_id")
+
+
+#: 2024-01-01T00:00:00 UTC in microseconds — the fixed x-origin for the
+#: trend regression (data-independent, so x stays a small exact integer).
+_TREND_T0_US = 1_704_067_200 * 1_000_000
+
+
+@query(
+    "trend_event_values",
+    oracle=f"""
+WITH xy AS (
+  SELECT event_type,
+         (epoch_us(ts) - {_TREND_T0_US}) // 3600000000 AS x,
+         CAST(round(value * 100, 0) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x * y) AS HUGEINT) AS sxy,
+         CAST(sum(x * x) AS HUGEINT) AS sxx
+  FROM xy GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)
+         AS slope_cents_per_hour,
+       CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS DOUBLE)
+         AS intercept_cents
+FROM m
+ORDER BY event_type
+""",
+)
+def q_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (slope + intercept of value over time)
+    in closed form — the drift detector a pipeline monitor fits per
+    metric, computed as ONE partial-aggregatable pass.
+
+    Determinism upgrade over the co-moment family (`agg_corr_stats`
+    relies on both engines' single-pass co-moments agreeing to 4 dp):
+    here the five moments (n, Σx, Σy, Σxy, Σx²) are EXACT INTEGERS
+    (x = whole hours from a fixed origin, y = cents), combined into
+    slope/intercept numerators in 128-bit-exact arithmetic
+    (DECIMAL(38,0) / HUGEINT), so each statistic is one deterministic
+    double division of exactly-agreed integers — no accumulation
+    order anywhere.  Shuffle: one hash exchange on event_type with
+    map-side partials; at 100 TB the moment magnitudes (~1e19 ≪ 1e38)
+    still fit the decimal width."""
+    events = load_table(spark, sf_dir, "events")
+    xy = events.select(
+        "event_type",
+        # integer div (not float /) — no quotient-ulp edge at hour
+        # boundaries on either engine
+        F.expr(f"(unix_micros(ts) - {_TREND_T0_US}L) div 3600000000L").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    m = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / den,
+            6,
+        )
+        .cast("double")
+        .alias("slope_cents_per_hour"),
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / den,
+            4,
+        )
+        .cast("double")
+        .alias("intercept_cents"),
+    ).orderBy("event_type")
