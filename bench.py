@@ -119,6 +119,9 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "bm25_search",
     "hybrid_rrf_search",
+    "frequent_brand_pairs",
+    "ewma_event_values",
+    "trend_event_values",
 ]
 
 REPEATS = 2

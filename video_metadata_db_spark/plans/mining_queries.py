@@ -1055,3 +1055,70 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).cast("double").alias("rrf_score"),
         )
     )
+
+
+@query(
+    "vocab_top_p",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+),
+totals AS (SELECT source, sum(c) AS tot FROM counts GROUP BY source),
+cum AS (
+  SELECT source, term, c, tot,
+         SUM(c) OVER (PARTITION BY source ORDER BY c DESC, term
+                      ROWS UNBOUNDED PRECEDING) AS run
+  FROM counts JOIN totals USING (source)
+),
+kept AS (
+  SELECT * FROM cum WHERE (run - c) * 10 < 9 * tot
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms_kept,
+       CAST(max(run) AS BIGINT) AS kept_mass,
+       CAST(any_value(tot) AS BIGINT) AS total_mass,
+       CAST(round(max(run) / (1.0 * any_value(tot)), 6) AS DOUBLE) AS coverage
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_vocab_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary truncation per source: the smallest
+    count-ranked term prefix covering ≥ 90% of each source's token
+    mass — the truncation rule tokenizer-vocab builders and sampling
+    filters apply, here as a corpus diagnostic (how concentrated each
+    source's vocabulary is).
+
+    The cumulative window runs over the (source, term) COUNT table —
+    vocabulary-sized, never corpus-sized — so the per-source window is
+    bounded by |vocab| at any corpus scale; the corpus-wide work is
+    one tokenize + one partial-aggregatable count.  The crossing test
+    ``(run − c)·10 < 9·tot`` is pure integer arithmetic (no float
+    cumulative mass), so the kept set is engine-exact; the single
+    reported ratio divides two exact integers once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_of(F.col("text"))).alias("term"))
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("term")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.join(totals, "source").withColumn("run", F.sum("c").over(w))
+    kept = cum.filter((F.col("run") - F.col("c")) * 10 < 9 * F.col("tot"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_kept"),
+            F.max("run").alias("kept_mass"),
+            F.any_value(F.col("tot")).alias("total_mass"),
+            F.round(F.max("run") / (F.lit(1.0) * F.any_value(F.col("tot"))), 6)
+            .cast("double")
+            .alias("coverage"),
+        )
+        .orderBy("source")
+    )
