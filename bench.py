@@ -122,6 +122,12 @@ HEADLINE = [
     "frequent_brand_pairs",
     "ewma_event_values",
     "trend_event_values",
+    "dedup_edit_distance",
+    "markov_transitions",
+    "peak_concurrency",
+    "skyline_pareto",
+    "chi_square_independence",
+    "triangle_count",
 ]
 
 REPEATS = 2

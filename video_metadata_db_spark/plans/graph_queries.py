@@ -195,3 +195,172 @@ def q_frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
         .limit(30)
     )
+
+
+#: Strong co-occurrence edges only: suppliers sharing at least
+#: max(pair_count)/2 orders.  The threshold ADAPTS to scale from one
+#: scalar aggregate (no global sort, no fixed constant that yields a
+#: complete graph at one SF and an empty one at another) and is pure
+#: integer arithmetic, so both engines select identical edge sets.
+_TRI_EDGES_CTE = """
+so AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+pair_counts AS (
+  SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, count(*) AS n
+  FROM so a JOIN so b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+),
+thr AS (SELECT GREATEST(MAX(n) // 2, 2) AS min_n FROM pair_counts),
+edges AS (
+  SELECT s1, s2 FROM pair_counts CROSS JOIN thr WHERE n >= min_n
+)"""
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+WITH {_TRI_EDGES_CTE},
+tri AS (
+  SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.s2 = e2.s1
+  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+node_tri AS (
+  SELECT node, count(*) AS n_triangles FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT s1 AS node FROM edges UNION ALL SELECT s2 FROM edges
+  ) GROUP BY node
+)
+SELECT d.node AS supp_key,
+       CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(round(2.0 * COALESCE(t.n_triangles, 0)
+                  / (d.degree * (d.degree - 1)), 6) AS DOUBLE)
+         AS clustering
+FROM deg d LEFT JOIN node_tri t ON d.node = t.node
+WHERE d.degree >= 2
+ORDER BY n_triangles DESC, supp_key
+LIMIT 20
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients over
+    the supplier co-occurrence graph (suppliers sharing many orders) —
+    the community-density primitive behind spam-graph detection and
+    cohesion scoring.
+
+    Scale shape: the Spark side runs the DEGREE-ORIENTED enumeration —
+    every undirected edge is directed from its (degree, id)-smaller to
+    its (degree, id)-larger endpoint, so each triangle is generated by
+    EXACTLY ONE wedge rooted at its lowest-degree corner.  Wedge count
+    drops from Σ d(v)² (ruinous on hubs) to Σ d⁺(v)² with out-degree
+    bounded by O(√|E|) — the standard mitigation that keeps the
+    quadratic step skew-proof at scale.  Both the wedge build and the
+    closure check are equi-joins (shuffle on node / edge keys, AQE
+    balances residual skew).  The DuckDB oracle enumerates the SAME
+    triangles by the id-canonical x<y<z chain join — a different
+    orientation entirely — so agreement verifies the oriented
+    algorithm against the specification, not against itself.
+    Clustering = 2T / d(d−1): one exact-integer division, rounded.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    so = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = so.alias("a"), so.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = pair_counts.agg(
+        F.greatest(F.expr("MAX(n) div 2"), F.lit(2)).alias("min_n")
+    )
+    # The edge list roots every downstream frame (degrees, all three
+    # legs of the triangle join, the output join); persisting it
+    # (bounded LRU scope shared with the dedup signature caches,
+    # released by release_dedup_caches) makes the expensive pair-count
+    # self-join + threshold subtree a ONE-time computation instead of
+    # five plan copies racing exchange reuse.
+    from ..operators.dedup import _scoped_persist
+
+    edges = _scoped_persist(
+        pair_counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("min_n"))
+        .select("s1", "s2")
+    )
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionByName(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Orient each edge from the (degree, id)-smaller endpoint to the
+    # larger: a total order, so orientation is unique and acyclic.
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "s1"), "s1")
+        .withColumnRenamed("degree", "d1")
+        .join(
+            deg.withColumnRenamed("node", "s2").withColumnRenamed(
+                "degree", "d2"
+            ),
+            "s2",
+        )
+    )
+    fwd = F.struct(F.col("d1"), F.col("s1")) < F.struct(F.col("d2"), F.col("s2"))
+    oriented = ed.select(
+        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o1.v") == F.col("o2.u"))
+        .join(
+            o3,
+            (F.col("o3.u") == F.col("o1.u")) & (F.col("o3.v") == F.col("o2.v")),
+        )
+        .select(
+            F.col("o1.u").alias("x"), F.col("o1.v").alias("y"),
+            F.col("o2.v").alias("z"),
+        )
+    )
+    node_tri = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(node_tri, "node", "left")
+        .select(
+            F.col("node").alias("supp_key"),
+            F.col("degree").cast("long"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.round(
+                2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            )
+            .cast("double")
+            .alias("clustering"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "supp_key")
+        .limit(20)
+    )

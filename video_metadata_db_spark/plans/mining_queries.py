@@ -1122,3 +1122,194 @@ def q_vocab_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------- Pareto / skyline ---
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+WITH k AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS cents,
+         p_size
+  FROM part
+),
+pts AS (SELECT DISTINCT cents, p_size FROM k),
+frontier AS (
+  SELECT cents, p_size FROM pts a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.cents <= a.cents AND b.p_size >= a.p_size
+      AND (b.cents < a.cents OR b.p_size > a.p_size)
+  )
+)
+SELECT f.cents AS price_cents,
+       f.p_size,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       MIN(k.p_partkey) AS min_partkey
+FROM frontier f JOIN k ON k.cents = f.cents AND k.p_size = f.p_size
+GROUP BY 1, 2
+ORDER BY price_cents
+""",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of parts: minimize retail price,
+    maximize size — the multi-objective shortlist query (no part on
+    the frontier is beaten on BOTH axes by any other part).  Price is
+    compared in integer cents so dominance is exact cross-engine.
+
+    Scale shape — the textbook single-pass skyline is a GLOBAL window
+    (sort by price asc, size desc; a point is dominated iff the
+    running max size over strictly-preceding rows ≥ its size), which
+    is a one-reducer sort at corpus scale.  This implementation is the
+    lossless two-level version: (1) distinct (price, size) pairs are
+    range-bucketed on price (32 equi-width integer buckets from one
+    tiny min/max aggregate, broadcast back); (2) the window rule runs
+    PER BUCKET — full parallelism — pruning everything dominated
+    within its bucket (lossless: a same-bucket dominator is still a
+    dominator); (3) the same rule runs once more over the survivors,
+    a frame bounded by Σ per-bucket frontier sizes, not the corpus.
+    Transitivity makes the survivor pass exact: any pruned dominator
+    is itself dominated by a surviving frontier point.  The oracle is
+    the independent NOT-EXISTS dominance definition, so the window
+    algebra is verified against the spec, not against itself."""
+    parts = load_table(spark, sf_dir, "part")
+    k = parts.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+        "p_size",
+    )
+    pts = k.select("cents", "p_size").distinct()
+    bounds = pts.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        "p_size",
+        F.least(
+            F.expr("((cents - lo) * 32) div (hi - lo + 1)"), F.lit(31)
+        ).alias("bucket"),
+    )
+    local_prev = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("cents").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = (
+        bucketed.withColumn("lmax", F.max("p_size").over(local_prev))
+        .filter(F.col("lmax").isNull() | (F.col("lmax") < F.col("p_size")))
+        .select("cents", "p_size")
+    )
+    global_prev = (
+        Window.orderBy(F.col("cents").asc(), F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        survivors.withColumn("gmax", F.max("p_size").over(global_prev))
+        .filter(F.col("gmax").isNull() | (F.col("gmax") < F.col("p_size")))
+        .select("cents", "p_size")
+    )
+    return (
+        frontier.join(k, ["cents", "p_size"])
+        .groupBy("cents", "p_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("p_partkey").alias("min_partkey"),
+        )
+        .select(
+            F.col("cents").alias("price_cents"),
+            "p_size",
+            "n_parts",
+            "min_partkey",
+        )
+        .orderBy("price_cents")
+    )
+
+
+# ------------------------------------- chi-square independence test ---
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+WITH o AS (
+  SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS obs
+  FROM orders GROUP BY 1, 2
+),
+m AS (
+  SELECT obs,
+         SUM(obs) OVER (PARTITION BY s) AS r,
+         SUM(obs) OVER (PARTITION BY p) AS c,
+         SUM(obs) OVER () AS n,
+         s, p
+  FROM o
+),
+t AS (
+  SELECT ANY_VALUE(n) AS n,
+         COUNT(DISTINCT s) AS ns,
+         COUNT(DISTINCT p) AS np,
+         SUM(CAST(round((obs * obs) / (1.0 * r * c), 12)
+                  AS DECIMAL(24,12))) AS st
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(ns AS BIGINT) AS n_statuses,
+       CAST(np AS BIGINT) AS n_priorities,
+       CAST((ns - 1) * (np - 1) AS BIGINT) AS dof,
+       CAST(round(n * (st - 1), 6) AS DOUBLE) AS chi2,
+       CAST(round(sqrt(CAST(round(n * (st - 1), 6) AS DOUBLE)
+                       / CAST(n * LEAST(ns - 1, np - 1) AS DOUBLE)), 6)
+            AS DOUBLE) AS cramers_v
+FROM t
+""",
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order status and
+    order priority (plus Cramér's V effect size) — the drift/association
+    diagnostic a curation dashboard runs between any two categorical
+    columns.
+
+    Float discipline: the identity chi² = N·(Σ O²/(R·C) − 1) keeps
+    every operand an EXACT int64 (O² and R·C both ≤ N² < 2⁵³, so the
+    one double division per cell is IEEE-exact-rounded and identical
+    cross-engine); each cell term is quantized to DECIMAL(24,12)
+    before the order-free decimal sum, so partial-sum order can never
+    leak into the statistic.  Cramér's V applies one correctly-rounded
+    sqrt to an already-6-dp-rounded ratio of exact values.
+
+    Scale shape: one corpus scan feeding one partial-aggregatable
+    groupBy on the (status, priority) cell key; the marginal windows
+    and the final fold run on the CONTINGENCY MATRIX — |statuses| ×
+    |priorities| rows, never corpus-sized — so the empty-partition
+    window warnings are cardinality-bounded by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    m = o.select(
+        "obs",
+        F.sum("obs").over(Window.partitionBy("s")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("p")).alias("c"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+        "s",
+        "p",
+    )
+    t = m.agg(
+        F.any_value("n").alias("n"),
+        F.countDistinct("s").alias("ns"),
+        F.countDistinct("p").alias("np"),
+        F.sum(
+            F.expr("CAST(round((obs * obs) / (1.0 * r * c), 12) AS DECIMAL(24,12))")
+        ).alias("st"),
+    )
+    return t.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("ns").cast("long").alias("n_statuses"),
+        F.col("np").cast("long").alias("n_priorities"),
+        ((F.col("ns") - 1) * (F.col("np") - 1)).cast("long").alias("dof"),
+        F.expr("CAST(round(n * (st - 1), 6) AS DOUBLE)").alias("chi2"),
+        F.expr(
+            "CAST(round(sqrt(CAST(round(n * (st - 1), 6) AS DOUBLE)"
+            " / CAST(n * LEAST(ns - 1, np - 1) AS DOUBLE)), 6) AS DOUBLE)"
+        ).alias("cramers_v"),
+    )

@@ -631,3 +631,156 @@ def q_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("intercept_cents"),
     ).orderBy("event_type")
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, count(*) AS n_transitions
+  FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src AS src_event, dst AS dst_event, n_transitions,
+       CAST(round(n_transitions
+                  / (1.0 * sum(n_transitions) OVER (PARTITION BY src)), 6)
+            AS DOUBLE) AS p_transition
+FROM c
+ORDER BY src_event, dst_event
+""",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral fingerprint session-prediction and
+    anomaly models consume (which event follows which, how often).
+
+    One lead() per user (total order: ts then the unique event_id, so
+    both engines pair identical successors), then a partial-aggregatable
+    count on (src, dst).  The normalizing window runs on the AGGREGATED
+    matrix — at most |event_types|² rows regardless of corpus size — so
+    the only corpus-scale shuffles are the per-user sort and one hash
+    exchange on the pair key.  p = one division of exactly-agreed
+    integers, rounded to 6 dp: deterministic cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_transitions"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        F.col("src").alias("src_event"),
+        F.col("dst").alias("dst_event"),
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / (F.lit(1.0) * F.sum("n_transitions").over(wsrc)),
+            6,
+        )
+        .cast("double")
+        .alias("p_transition"),
+    ).orderBy("src_event", "dst_event")
+
+
+@query(
+    "peak_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts,
+         ts + to_minutes(abs(CAST(round(value * 100, 0) AS BIGINT)) % 120 + 1)
+           AS end_ts
+  FROM events WHERE value IS NOT NULL
+),
+pts AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT event_type, end_ts AS t, -1 AS delta FROM iv
+),
+net AS (
+  SELECT event_type, t, SUM(delta) AS net FROM pts GROUP BY 1, 2
+),
+run AS (
+  SELECT event_type, t,
+         SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS conc
+  FROM net
+),
+pk AS (
+  SELECT event_type, t, conc,
+         MAX(conc) OVER (PARTITION BY event_type) AS peak
+  FROM run
+)
+SELECT event_type,
+       CAST(peak AS BIGINT) AS peak_concurrent,
+       MIN(t) AS first_peak_ts
+FROM pk WHERE conc = peak
+GROUP BY event_type, peak
+ORDER BY event_type
+""",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type — the classic
+    start/stop sweep (max simultaneous sessions, room-booking overlap,
+    connection-pool high-water mark).  Each event becomes a HALF-OPEN
+    interval [ts, ts + dur) whose duration is derived from the value
+    column by pure integer arithmetic (abs(cents) % 120 + 1 minutes),
+    so both engines build bit-identical intervals.
+
+    The sweep is the +1/−1 endpoint trick: interval starts emit +1,
+    ends emit −1; net deltas are PRE-AGGREGATED per (type, instant) —
+    a partial-aggregatable shuffle that collapses the 2×|events|
+    endpoint stream to distinct instants BEFORE any window — then one
+    running sum per event type yields the concurrency step function,
+    whose max is the peak (ends sort before the starts they abut by
+    the half-open convention: an interval ending at t does not overlap
+    one starting at t, which the per-instant net already encodes).
+    The window partitions on event_type: bounded cardinality, so each
+    partition is one executor's sequential scan.  At 100 TB you would
+    sub-partition the sweep by (event_type, day) and carry each day's
+    closing concurrency into the next as an offset — the same
+    two-pass distributed prefix-sum used by ``shuffle_global_order``
+    (operators/packing.py); the single-key window here keeps the
+    diagnostic one exchange at test scale."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = events.select(
+        "event_type",
+        "ts",
+        F.expr(
+            "timestampadd(MINUTE,"
+            " CAST(abs(CAST(round(value * 100, 0) AS BIGINT)) % 120 + 1 AS INT),"
+            " ts)"
+        ).alias("end_ts"),
+    )
+    pts = iv.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("event_type", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("event_type", "t").agg(F.sum("delta").alias("net"))
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.select("event_type", "t", F.sum("net").over(w_run).alias("conc"))
+    w_peak = Window.partitionBy("event_type")
+    pk = run.select(
+        "event_type", "t", "conc", F.max("conc").over(w_peak).alias("peak")
+    )
+    return (
+        pk.filter(F.col("conc") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("peak_concurrent"),
+            "first_peak_ts",
+        )
+        .orderBy("event_type")
+    )
