@@ -128,6 +128,10 @@ HEADLINE = [
     "skyline_pareto",
     "chi_square_independence",
     "triangle_count",
+    "khop_reach",
+    "gini_revenue",
+    "entropy_by_source",
+    "ab_test_proportions",
 ]
 
 REPEATS = 2

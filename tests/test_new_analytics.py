@@ -1,0 +1,193 @@
+"""Unit tests for the analytics batch: degree-oriented triangle
+counting, the two-level Pareto skyline, the interval-concurrency sweep,
+and the chi-square independence statistic.
+
+(The full value oracles run in test_registry_queries.py; these pin the
+ALGORITHMIC properties a hash compare can't articulate — orientation
+correctness vs brute force, skyline losslessness under bucketing,
+half-open abutment semantics, and the chi² = 0 fixed point.)
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.operators.analytics import (
+    pareto_frontier_2d,
+    peak_concurrency,
+)
+from video_metadata_db_spark.operators.graph import triangle_counts
+from video_metadata_db_spark.plans import QUERIES
+
+# ------------------------------------------------- triangle counting ---
+
+
+def _tri(spark, edges):
+    rows = triangle_counts(
+        spark.createDataFrame(edges, "s1 long, s2 long")
+    ).collect()
+    return {r["node"]: (r["degree"], r["n_triangles"], r["clustering"]) for r in rows}
+
+
+def test_triangles_k4_all_closed(spark):
+    """K4: every node has degree 3, sits in C(3,2)=3 triangles, and has
+    clustering exactly 1.0."""
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    got = _tri(spark, k4)
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_triangles_path_has_none(spark):
+    """A path graph is triangle-free; degree-1 endpoints get clustering
+    0.0 (not a division error)."""
+    got = _tri(spark, [(0, 1), (1, 2), (2, 3)])
+    assert got == {0: (1, 0, 0.0), 1: (2, 0, 0.0), 2: (2, 0, 0.0), 3: (1, 0, 0.0)}
+
+
+def test_triangles_star_plus_chord(spark):
+    """Star 0–{1,2,3} plus chord (1,2): exactly one triangle {0,1,2}.
+    Hub clustering = 2·1/(3·2) = 1/3; chord endpoints = 1.0; the
+    untouched leaf 3 stays at zero."""
+    got = _tri(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    assert got == {
+        0: (3, 1, 0.333333),
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (1, 0, 0.0),
+    }
+
+
+def test_triangles_match_brute_force_on_random_graphs(spark):
+    """Degree-oriented enumeration must agree with the O(n³) definition
+    on seeded random graphs — including hub-heavy ones where the
+    orientation actually reorders most wedges."""
+    for seed, n, p in ((1, 12, 0.4), (2, 16, 0.25), (3, 10, 0.7)):
+        rng = random.Random(seed)
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expect = {}
+        for v in range(n):
+            if not adj[v]:
+                continue  # isolated nodes never appear in an edge list
+            t = sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[v]), 2)
+                if y in adj[x]
+            )
+            d = len(adj[v])
+            c = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+            expect[v] = (d, t, c)
+        assert _tri(spark, edges) == expect, f"seed {seed}"
+
+
+# ------------------------------------------------------- 2-D skyline ---
+
+
+def _brute_frontier(pts):
+    s = set(pts)
+    return sorted(
+        (x, y)
+        for x, y in s
+        if not any(
+            (bx <= x and by >= y and (bx < x or by > y)) for bx, by in s
+        )
+    )
+
+
+def _spark_frontier(spark, pts, n_buckets=32):
+    df = spark.createDataFrame(pts, "c long, v long")
+    got = pareto_frontier_2d(df, "c", "v", n_buckets=n_buckets).collect()
+    return sorted((r["c"], r["v"]) for r in got)
+
+
+def test_skyline_matches_brute_force(spark):
+    """Two-level bucketed skyline == the dominance definition on seeded
+    point sets with heavy duplicate/tie pressure (small integer domains
+    force equal-coordinate edge cases)."""
+    for seed in (7, 8, 9):
+        rng = random.Random(seed)
+        pts = [(rng.randrange(20), rng.randrange(20)) for _ in range(300)]
+        assert _spark_frontier(spark, pts) == _brute_frontier(pts), f"seed {seed}"
+
+
+def test_skyline_bucket_count_is_semantically_invisible(spark):
+    """The bucket count is a parallelism knob, never a semantics knob:
+    1 bucket (pure global pass) and 64 buckets (every point nearly
+    alone) must return the identical frontier."""
+    rng = random.Random(42)
+    pts = [(rng.randrange(1000), rng.randrange(1000)) for _ in range(500)]
+    expect = _brute_frontier(pts)
+    assert _spark_frontier(spark, pts, n_buckets=1) == expect
+    assert _spark_frontier(spark, pts, n_buckets=64) == expect
+
+
+def test_skyline_degenerate_single_point(spark):
+    """All-identical points collapse to one frontier row (duplicates
+    must not survive distinct, nor dominate each other)."""
+    assert _spark_frontier(spark, [(5, 5)] * 10) == [(5, 5)]
+
+
+# ------------------------------------------------- concurrency sweep ---
+
+
+def _peaks(spark, intervals):
+    df = spark.createDataFrame(intervals, "g string, s long, e long")
+    rows = peak_concurrency(df, "g", "s", "e").collect()
+    return {r["g"]: (r["peak_concurrent"], r["first_peak_ts"]) for r in rows}
+
+
+def test_concurrency_half_open_abutment(spark):
+    """[0,10) and [10,20) do NOT overlap under the half-open
+    convention: the end at 10 nets against the start at 10."""
+    assert _peaks(spark, [("a", 0, 10), ("a", 10, 20)]) == {"a": (1, 0)}
+
+
+def test_concurrency_nesting_and_first_instant(spark):
+    """An umbrella interval plus two disjoint inner ones peaks at 2,
+    first reached when the FIRST inner interval opens."""
+    iv = [("a", 0, 100), ("a", 30, 40), ("a", 10, 20)]
+    assert _peaks(spark, iv) == {"a": (2, 10)}
+
+
+def test_concurrency_identical_intervals_stack(spark):
+    """k copies of the same interval reach concurrency k at its start;
+    groups are independent."""
+    iv = [("a", 5, 9)] * 3 + [("b", 0, 1)]
+    assert _peaks(spark, iv) == {"a": (3, 5), "b": (1, 0)}
+
+
+# -------------------------------------------- chi-square independence ---
+
+
+def test_chi_square_zero_on_product_table(spark, tmp_path):
+    """A contingency table in exact product form (cell = row·col/N) is
+    the independence fixed point: chi² and Cramér's V must both be
+    exactly 0.0 — any nonzero here is an arithmetic bug, not noise."""
+    rows = (
+        [("A", "X")] * 6 + [("A", "Y")] * 2 + [("B", "X")] * 3 + [("B", "Y")] * 1
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "o_orderstatus string, o_orderpriority string"
+    ).write.parquet(f"{sf}/orders.parquet")
+    got = QUERIES["chi_square_independence"](spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_orders"], r["n_statuses"], r["n_priorities"], r["dof"]) == (
+        12,
+        2,
+        2,
+        1,
+    )
+    assert r["chi2"] == 0.0
+    assert r["cramers_v"] == 0.0

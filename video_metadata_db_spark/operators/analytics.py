@@ -1,0 +1,130 @@
+"""Reusable analytic operators: 2-D Pareto frontier (skyline) and the
+interval-sweep peak-concurrency operator.
+
+Neither exists in the reference (video_metadata_db.py's reporting stops
+at group/sort/top-k); both are standard OLAP extension shapes a
+metadata lake's analytics layer needs, implemented as compositions of
+built-in DataFrame ops with an eye on the 100 TB plan:
+
+- the skyline avoids the textbook single-reducer global sort via a
+  lossless two-level bucket prune (see :func:`pareto_frontier_2d`);
+- the concurrency sweep pre-aggregates endpoint deltas per instant so
+  the per-key running sum runs over distinct instants, not raw
+  endpoints (see :func:`peak_concurrency`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pareto_frontier_2d(
+    pts: DataFrame,
+    minimize: str,
+    maximize: str,
+    *,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Distinct (minimize, maximize) pairs on the Pareto frontier:
+    no returned pair is beaten on BOTH axes (≤ on ``minimize``, ≥ on
+    ``maximize``, strict on at least one) by any input pair.  Both
+    columns must be integer-comparable (exact dominance — callers
+    convert prices to cents first).
+
+    The textbook single-pass skyline is a GLOBAL window (sort by
+    minimize asc / maximize desc; a point is dominated iff the running
+    max of ``maximize`` over strictly-preceding rows ≥ its own) — a
+    one-reducer sort at corpus scale.  This is the lossless two-level
+    version: (1) distinct pairs are range-bucketed on ``minimize``
+    (``n_buckets`` equi-width integer buckets from one broadcast
+    min/max aggregate); (2) the window rule runs PER BUCKET — full
+    parallelism — pruning everything dominated within its bucket
+    (lossless: a same-bucket dominator is still a dominator); (3) the
+    same rule runs once over the survivors, a frame bounded by
+    Σ per-bucket frontier sizes, not the corpus.  Transitivity makes
+    the survivor pass exact: any pruned dominator is itself dominated
+    by a surviving frontier point, which precedes the pruned point in
+    the global order.
+    """
+    pts = pts.select(
+        F.col(minimize).alias("_min"), F.col(maximize).alias("_max")
+    ).distinct()
+    bounds = pts.agg(F.min("_min").alias("lo"), F.max("_min").alias("hi"))
+    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
+        "_min",
+        "_max",
+        F.least(
+            F.expr(f"((_min - lo) * {n_buckets}) div (hi - lo + 1)"),
+            F.lit(n_buckets - 1),
+        ).alias("bucket"),
+    )
+    local_prev = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("_min").asc(), F.col("_max").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = (
+        bucketed.withColumn("lmax", F.max("_max").over(local_prev))
+        .filter(F.col("lmax").isNull() | (F.col("lmax") < F.col("_max")))
+        .select("_min", "_max")
+    )
+    global_prev = Window.orderBy(
+        F.col("_min").asc(), F.col("_max").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        survivors.withColumn("gmax", F.max("_max").over(global_prev))
+        .filter(F.col("gmax").isNull() | (F.col("gmax") < F.col("_max")))
+        .select(F.col("_min").alias(minimize), F.col("_max").alias(maximize))
+    )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    group: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Per-group maximum number of simultaneously-open HALF-OPEN
+    intervals ``[start, end)`` and the first instant it is reached:
+    ``(group, peak_concurrent, first_peak_ts)``.
+
+    The +1/−1 endpoint sweep: starts emit +1, ends emit −1; net deltas
+    are PRE-AGGREGATED per (group, instant) — a partial-aggregatable
+    shuffle collapsing the 2·n endpoint stream to distinct instants
+    BEFORE any window — then one running sum per group yields the
+    concurrency step function, whose max is the peak.  The half-open
+    convention (an interval ending at t does not overlap one starting
+    at t) is encoded by the per-instant netting itself.  The window
+    partitions on ``group``: bounded key cardinality means each
+    partition is one executor's sequential pass; at corpus scale,
+    sub-split the sweep by (group, day) and carry each day's closing
+    sum forward — the same two-pass distributed prefix sum as
+    ``operators/packing.py``.
+    """
+    iv = intervals.select(
+        F.col(group).alias("g"), F.col(start).alias("s"), F.col(end).alias("e")
+    )
+    pts = iv.select("g", F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select("g", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    net = pts.groupBy("g", "t").agg(F.sum("delta").alias("net"))
+    w_run = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = net.select("g", "t", F.sum("net").over(w_run).alias("conc"))
+    pk = run.select(
+        "g", "t", "conc", F.max("conc").over(Window.partitionBy("g")).alias("peak")
+    )
+    return (
+        pk.filter(F.col("conc") == F.col("peak"))
+        .groupBy("g", "peak")
+        .agg(F.min("t").alias("first_peak_ts"))
+        .select(
+            F.col("g").alias(group),
+            F.col("peak").cast("long").alias("peak_concurrent"),
+            "first_peak_ts",
+        )
+    )

@@ -157,3 +157,74 @@ def pagerank_oracle_sql(
         )
     parts.append(f"pr AS (SELECT node, rank FROM r{iterations})")
     return ",\n".join(parts)
+
+
+def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients for an
+    undirected graph given as CANONICAL edges (``a < b``, no duplicates):
+    returns ``(node, degree, n_triangles, clustering)`` for every node of
+    degree ≥ 1, with ``clustering = 2T / d(d−1)`` rounded to 6 dp (0.0
+    for degree-1 nodes).
+
+    Distributed shape — DEGREE-ORIENTED wedge enumeration: every edge is
+    directed from its (degree, id)-smaller to its (degree, id)-larger
+    endpoint (a total order, so orientation is unique and acyclic), and
+    each triangle is generated by EXACTLY ONE wedge rooted at its
+    lowest-degree corner.  The wedge count drops from Σ d(v)² (ruinous
+    on hubs) to Σ d⁺(v)² with out-degree bounded by O(√|E|) — the
+    standard skew-proof mitigation.  Wedge build and closure check are
+    plain equi-joins; callers SHOULD persist ``edges`` (it roots five
+    downstream subtrees).
+    """
+    edges = edges.select(F.col(a).alias("s1"), F.col(b).alias("s2"))
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionByName(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "s1"), "s1")
+        .withColumnRenamed("degree", "d1")
+        .join(
+            deg.withColumnRenamed("node", "s2").withColumnRenamed("degree", "d2"),
+            "s2",
+        )
+    )
+    fwd = F.struct(F.col("d1"), F.col("s1")) < F.struct(F.col("d2"), F.col("s2"))
+    oriented = ed.select(
+        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o1.v") == F.col("o2.u"))
+        .join(
+            o3,
+            (F.col("o3.u") == F.col("o1.u")) & (F.col("o3.v") == F.col("o2.v")),
+        )
+        .select(
+            F.col("o1.u").alias("x"),
+            F.col("o1.v").alias("y"),
+            F.col("o2.v").alias("z"),
+        )
+    )
+    node_tri = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return deg.join(node_tri, "node", "left").select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        t.cast("long").alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(2.0 * t / (F.col("degree") * (F.col("degree") - 1)), 6)
+        )
+        .cast("double")
+        .alias("clustering"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank, pagerank_oracle_sql
+from ..operators.graph import pagerank, pagerank_oracle_sql, triangle_counts
 from ..sources.tables import load_table
 from .registry import query
 
@@ -197,6 +197,48 @@ def q_frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (s1 < s2) supplier co-occurrence edges: pairs sharing
+    at least max(pair_count)/2 orders (the scale-adaptive threshold of
+    ``_TRI_EDGES_CTE``).  PERSISTED in the bounded LRU scope shared
+    with the dedup signature caches (released by
+    ``release_dedup_caches``): the pair-count self-join + threshold
+    subtree roots every leg of both the triangle and the k-hop query,
+    and ``_scoped_persist``'s sameSemantics check means the two queries
+    share ONE materialization within a session.  The returned frame is
+    additionally ``localCheckpoint``-ed: the cached relation's child is
+    an AdaptiveSparkPlan, and consumers that reference it five times
+    (triangle legs, degrees, output join) otherwise plan their whole
+    downstream DAG WITHOUT AQE coalescing — ~20 sequential
+    32/64-partition micro-stages over a 17k-row graph cost ~8 s of pure
+    scheduling at sf0.1 (measured); the checkpoint leaf restores AQE
+    planning and the same query runs in ~2 s."""
+    from ..operators.dedup import _scoped_persist
+
+    li = load_table(spark, sf_dir, "lineitem")
+    so = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = so.alias("a"), so.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = pair_counts.agg(
+        F.greatest(F.expr("MAX(n) div 2"), F.lit(2)).alias("min_n")
+    )
+    return _scoped_persist(
+        pair_counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("min_n"))
+        .select("s1", "s2")
+    ).localCheckpoint(eager=True)
+
+
 #: Strong co-occurrence edges only: suppliers sharing at least
 #: max(pair_count)/2 orders.  The threshold ADAPTS to scale from one
 #: scalar aggregate (no global sort, no fixed constant that yields a
@@ -258,109 +300,107 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the community-density primitive behind spam-graph detection and
     cohesion scoring.
 
-    Scale shape: the Spark side runs the DEGREE-ORIENTED enumeration —
-    every undirected edge is directed from its (degree, id)-smaller to
-    its (degree, id)-larger endpoint, so each triangle is generated by
-    EXACTLY ONE wedge rooted at its lowest-degree corner.  Wedge count
-    drops from Σ d(v)² (ruinous on hubs) to Σ d⁺(v)² with out-degree
-    bounded by O(√|E|) — the standard mitigation that keeps the
-    quadratic step skew-proof at scale.  Both the wedge build and the
-    closure check are equi-joins (shuffle on node / edge keys, AQE
-    balances residual skew).  The DuckDB oracle enumerates the SAME
-    triangles by the id-canonical x<y<z chain join — a different
-    orientation entirely — so agreement verifies the oriented
-    algorithm against the specification, not against itself.
-    Clustering = 2T / d(d−1): one exact-integer division, rounded.
+    The enumeration is :func:`..operators.graph.triangle_counts` —
+    DEGREE-ORIENTED wedges, each triangle generated exactly once at
+    its lowest-degree corner (skew analysis there; K4/path/star
+    property tests on crafted graphs in tests/test_new_analytics.py).
+    The DuckDB oracle enumerates the SAME triangles by the
+    id-canonical x<y<z chain join — a different orientation entirely —
+    so agreement verifies the oriented algorithm against the
+    specification, not against itself.  Clustering = 2T / d(d−1): one
+    exact-integer division, rounded.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    so = li.select("l_orderkey", "l_suppkey").distinct()
-    a, b = so.alias("a"), so.alias("b")
-    pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("s1"), F.col("b.l_suppkey").alias("s2")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    thr = pair_counts.agg(
-        F.greatest(F.expr("MAX(n) div 2"), F.lit(2)).alias("min_n")
-    )
-    # The edge list roots every downstream frame (degrees, all three
-    # legs of the triangle join, the output join); persisting it
-    # (bounded LRU scope shared with the dedup signature caches,
-    # released by release_dedup_caches) makes the expensive pair-count
-    # self-join + threshold subtree a ONE-time computation instead of
-    # five plan copies racing exchange reuse.
-    from ..operators.dedup import _scoped_persist
-
-    edges = _scoped_persist(
-        pair_counts.crossJoin(F.broadcast(thr))
-        .filter(F.col("n") >= F.col("min_n"))
-        .select("s1", "s2")
-    )
-    deg = (
-        edges.select(F.col("s1").alias("node"))
-        .unionByName(edges.select(F.col("s2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    # Orient each edge from the (degree, id)-smaller endpoint to the
-    # larger: a total order, so orientation is unique and acyclic.
-    ed = (
-        edges.join(deg.withColumnRenamed("node", "s1"), "s1")
-        .withColumnRenamed("degree", "d1")
-        .join(
-            deg.withColumnRenamed("node", "s2").withColumnRenamed(
-                "degree", "d2"
-            ),
-            "s2",
-        )
-    )
-    fwd = F.struct(F.col("d1"), F.col("s1")) < F.struct(F.col("d2"), F.col("s2"))
-    oriented = ed.select(
-        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
-        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
-    )
-    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
-    tri = (
-        o1.join(o2, F.col("o1.v") == F.col("o2.u"))
-        .join(
-            o3,
-            (F.col("o3.u") == F.col("o1.u")) & (F.col("o3.v") == F.col("o2.v")),
-        )
-        .select(
-            F.col("o1.u").alias("x"), F.col("o1.v").alias("y"),
-            F.col("o2.v").alias("z"),
-        )
-    )
-    node_tri = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
+    per_node = triangle_counts(_supplier_edges(spark, sf_dir))
     return (
-        deg.filter(F.col("degree") >= 2)
-        .join(node_tri, "node", "left")
+        per_node.filter(F.col("degree") >= 2)
         .select(
             F.col("node").alias("supp_key"),
-            F.col("degree").cast("long"),
-            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
-                "n_triangles"
-            ),
-            F.round(
-                2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
-                / (F.col("degree") * (F.col("degree") - 1)),
-                6,
-            )
-            .cast("double")
-            .alias("clustering"),
+            "degree",
+            "n_triangles",
+            "clustering",
         )
         .orderBy(F.col("n_triangles").desc(), "supp_key")
         .limit(20)
+    )
+
+
+@query(
+    "khop_reach",
+    oracle=f"""
+WITH {_TRI_EDGES_CTE},
+sym AS (
+  SELECT s1 AS a, s2 AS b FROM edges
+  UNION ALL
+  SELECT s2 AS a, s1 AS b FROM edges
+),
+two_hop AS (
+  SELECT DISTINCT n1.a AS node, n2.b AS reach
+  FROM sym n1 JOIN sym n2 ON n1.b = n2.a
+  WHERE n2.b <> n1.a
+),
+indirect AS (
+  SELECT t.node, t.reach FROM two_hop t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym s WHERE s.a = t.node AND s.b = t.reach
+  )
+),
+direct AS (
+  SELECT a AS node, count(*) AS n_direct FROM sym GROUP BY a
+)
+SELECT d.node AS supp_key,
+       CAST(d.n_direct AS BIGINT) AS n_direct,
+       CAST(COALESCE(i.n_indirect, 0) AS BIGINT) AS n_two_hop_new
+FROM direct d
+LEFT JOIN (SELECT node, count(*) AS n_indirect FROM indirect GROUP BY node) i
+  ON d.node = i.node
+ORDER BY supp_key
+""",
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability per supplier on the co-occurrence graph: how
+    many NEW nodes become reachable at exactly distance 2 (friends-of-
+    friends minus direct neighbors minus self) — the neighborhood-growth
+    signal behind influence scoring and graph-expansion diagnostics.
+
+    Scale shape: one self-equi-join of the symmetrized edge list on the
+    middle node generates the 2-hop candidates (Σ d(v)² wedges — the
+    same quantity the triangle operator's degree orientation bounds;
+    here the DISTINCT collapse is the point, so the join shuffles on
+    the wedge midpoint and AQE splits hot hubs), then one anti-join
+    removes direct neighbors.  The thresholded edge list is the SAME
+    persisted frame the triangle query roots (``_supplier_edges``'s
+    sameSemantics-deduped LRU slot) — one materialization serves both.
+    Counts are exact integers; no floats anywhere."""
+    edges = _supplier_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("s1").alias("a"), F.col("s2").alias("b")
+    ).unionByName(edges.select(F.col("s2").alias("a"), F.col("s1").alias("b")))
+    n1, n2 = sym.alias("n1"), sym.alias("n2")
+    two_hop = (
+        n1.join(n2, F.col("n1.b") == F.col("n2.a"))
+        .filter(F.col("n2.b") != F.col("n1.a"))
+        .select(F.col("n1.a").alias("node"), F.col("n2.b").alias("reach"))
+        .distinct()
+    )
+    indirect = two_hop.join(
+        sym.select(F.col("a").alias("node"), F.col("b").alias("reach")),
+        ["node", "reach"],
+        "left_anti",
+    )
+    direct = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_direct")
+    )
+    ind_counts = indirect.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_indirect")
+    )
+    return (
+        direct.join(ind_counts, "node", "left")
+        .select(
+            F.col("node").alias("supp_key"),
+            F.col("n_direct").cast("long"),
+            F.coalesce(F.col("n_indirect"), F.lit(0))
+            .cast("long")
+            .alias("n_two_hop_new"),
+        )
+        .orderBy("supp_key")
     )

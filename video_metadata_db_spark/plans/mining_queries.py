@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count as token_count_col
+from ..operators.analytics import pareto_frontier_2d
 from ..operators.dedup import tokens_of
 from ..sources.tables import load_table
 from .registry import query
@@ -1160,54 +1161,21 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frontier is beaten on BOTH axes by any other part).  Price is
     compared in integer cents so dominance is exact cross-engine.
 
-    Scale shape — the textbook single-pass skyline is a GLOBAL window
-    (sort by price asc, size desc; a point is dominated iff the
-    running max size over strictly-preceding rows ≥ its size), which
-    is a one-reducer sort at corpus scale.  This implementation is the
-    lossless two-level version: (1) distinct (price, size) pairs are
-    range-bucketed on price (32 equi-width integer buckets from one
-    tiny min/max aggregate, broadcast back); (2) the window rule runs
-    PER BUCKET — full parallelism — pruning everything dominated
-    within its bucket (lossless: a same-bucket dominator is still a
-    dominator); (3) the same rule runs once more over the survivors,
-    a frame bounded by Σ per-bucket frontier sizes, not the corpus.
-    Transitivity makes the survivor pass exact: any pruned dominator
-    is itself dominated by a surviving frontier point.  The oracle is
-    the independent NOT-EXISTS dominance definition, so the window
-    algebra is verified against the spec, not against itself."""
+    The frontier is :func:`..operators.analytics.pareto_frontier_2d` —
+    the lossless two-level skyline (per-price-bucket window prune in
+    parallel, then one survivor-sized pass; scale analysis there,
+    brute-force-dominance property tests on crafted point sets in
+    tests/test_new_analytics.py).  The oracle is the independent
+    NOT-EXISTS dominance definition, so the window algebra is verified
+    against the spec, not against itself."""
     parts = load_table(spark, sf_dir, "part")
     k = parts.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
         "p_size",
     )
-    pts = k.select("cents", "p_size").distinct()
-    bounds = pts.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
-    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
-        "cents",
-        "p_size",
-        F.least(
-            F.expr("((cents - lo) * 32) div (hi - lo + 1)"), F.lit(31)
-        ).alias("bucket"),
-    )
-    local_prev = (
-        Window.partitionBy("bucket")
-        .orderBy(F.col("cents").asc(), F.col("p_size").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    survivors = (
-        bucketed.withColumn("lmax", F.max("p_size").over(local_prev))
-        .filter(F.col("lmax").isNull() | (F.col("lmax") < F.col("p_size")))
-        .select("cents", "p_size")
-    )
-    global_prev = (
-        Window.orderBy(F.col("cents").asc(), F.col("p_size").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    frontier = (
-        survivors.withColumn("gmax", F.max("p_size").over(global_prev))
-        .filter(F.col("gmax").isNull() | (F.col("gmax") < F.col("p_size")))
-        .select("cents", "p_size")
+    frontier = pareto_frontier_2d(
+        k.select("cents", "p_size"), "cents", "p_size"
     )
     return (
         frontier.join(k, ["cents", "p_size"])
@@ -1299,7 +1267,7 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("s").alias("ns"),
         F.countDistinct("p").alias("np"),
         F.sum(
-            F.expr("CAST(round((obs * obs) / (1.0 * r * c), 12) AS DECIMAL(24,12))")
+            F.expr("CAST(round((obs * obs) / (1.0D * r * c), 12) AS DECIMAL(24,12))")
         ).alias("st"),
     )
     return t.select(
@@ -1312,4 +1280,157 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(round(sqrt(CAST(round(n * (st - 1), 6) AS DOUBLE)"
             " / CAST(n * LEAST(ns - 1, np - 1) AS DOUBLE)), 6) AS DOUBLE)"
         ).alias("cramers_v"),
+    )
+
+
+# -------------------------------------------- concentration / entropy ---
+
+
+@query(
+    "gini_revenue",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey,
+         COALESCE(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+           AS rev_cents
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+),
+ranked AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents, c_custkey) AS i
+  FROM rev
+),
+agg AS (
+  SELECT count(*) AS n,
+         SUM(CAST(rev_cents AS HUGEINT)) AS sx,
+         SUM(CAST(i AS HUGEINT) * CAST(rev_cents AS HUGEINT)) AS sixi
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS BIGINT) AS total_revenue_cents,
+       CAST(round((2.0 * CAST(sixi AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                  - (n + 1.0) / n, 6) AS DOUBLE) AS gini
+FROM agg
+""",
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality/skew summary a mixture designer checks before weighting
+    sources (G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted
+    revenues).
+
+    The rank is the SCALE-CRITICAL part: the textbook row_number() is
+    a one-reducer global window, so the Spark side uses
+    :func:`..operators.packing.global_row_number` — the two-pass
+    distributed prefix sum (sample range boundaries, rank within
+    ranges, add broadcast range offsets) — while the DuckDB oracle
+    keeps the naive window, proving the distributed rank equivalent.
+    Zero-order customers enter at rank bottom with revenue 0 (a LEFT
+    join — dropping them understates inequality).  Σ i·xᵢ is summed in
+    DECIMAL(38,0)/HUGEINT (i·x reaches n²·x̄, past int64 at corpus
+    scale); the final G is two IEEE divisions on exactly-agreed
+    integers, rounded to 6 dp."""
+    from ..operators.packing import global_row_number
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")),
+                F.lit(0),
+            ).alias("rev_cents")
+        )
+    )
+    ranked = global_row_number(rev, "rev_cents", "c_custkey", out_col="pos")
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.expr(
+                "CAST(pos + 1 AS DECIMAL(38,0)) * CAST(rev_cents AS DECIMAL(38,0))"
+            )
+        ).alias("sixi"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("sx").cast("long").alias("total_revenue_cents"),
+        F.expr(
+            "CAST(round((2.0D * CAST(sixi AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
+            " - (n + 1.0D) / n, 6) AS DOUBLE)"
+        ).alias("gini"),
+    )
+
+
+@query(
+    "entropy_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(round(
+         CAST(CAST(round(ln(SUM(cnt)), 6) AS DECIMAL(18,6)) * SUM(cnt)
+              - SUM(CAST(round(cnt * round(ln(cnt), 6), 6) AS DECIMAL(24,6)))
+           AS DOUBLE)
+         / SUM(cnt) / 0.6931471805599453, 6) AS DOUBLE) AS entropy_bits
+FROM counts
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's term distribution — the
+    diversity/degeneracy signal mixture design reads next to the KL
+    divergence (`source_divergence`): low entropy flags template spam
+    or boilerplate-heavy sources before they're over-weighted.
+
+    Uses H = ln N − (Σ c·ln c)/N so the transcendentals appear only as
+    per-count ``ln`` values: each is rounded to 6 dp, the c·ln c
+    products re-rounded and summed as DECIMAL(24,6) (order-free exact),
+    and the whole numerator assembled in decimal before ONE double
+    division per source — 1-ulp libm drift can never reach the 6-dp
+    output.  The ln 2 divisor is a shared literal, not an engine call.
+    One (source, term) aggregate then one source aggregate: both
+    partial-aggregatable, no windows, no corpus-sized state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_of(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.expr(
+                    "CAST(round(cnt * round(ln(cnt), 6), 6) AS DECIMAL(24,6))"
+                )
+            ).alias("s_clnc"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.expr(
+                "CAST(round("
+                " CAST(CAST(round(ln(n_tokens), 6) AS DECIMAL(18,6)) * n_tokens"
+                "      - s_clnc AS DOUBLE)"
+                " / n_tokens / 0.6931471805599453D, 6) AS DOUBLE)"
+            ).alias("entropy_bits"),
+        )
+        .orderBy("source")
     )

@@ -10,6 +10,7 @@ independent aggregate, proving the fused pass loses nothing.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.expectations import (
     column_profile,
@@ -291,4 +292,80 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "ab_test_proportions",
+    oracle="""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   > SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS x_a,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS x_b
+  FROM users
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       CAST(round(x_a / (1.0 * n_a), 6) AS DOUBLE) AS p_a,
+       CAST(round(x_b / (1.0 * n_b), 6) AS DOUBLE) AS p_b,
+       CAST(round(
+         (x_a / (1.0 * n_a) - x_b / (1.0 * n_b))
+         / NULLIF(sqrt(((x_a + x_b) / (1.0 * (n_a + n_b)))
+                * (1.0 - (x_a + x_b) / (1.0 * (n_a + n_b)))
+                * (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS DOUBLE) AS z_score
+FROM arms
+""",
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between a deterministic 50/50 user split
+    (arm = user_id parity): does the 'purchase' conversion rate differ
+    between arms? — the experiment-readout primitive a data platform
+    runs constantly, and a null-case fixture here (the synthetic arms
+    SHOULD tie, so |z| must come out small).
+
+    Determinism: per-user conversion is an exact MAX aggregate, arm
+    totals are exact integer sums collapsed into ONE row by conditional
+    aggregation (no pivot shuffle), and the z statistic is a fixed
+    expression tree of IEEE ops on those integers — both engines parse
+    the identical tree, so every intermediate double is bit-equal and
+    the 6-dp round is decorative rather than load-bearing.  One corpus
+    scan, one user_id shuffle, one scalar row out."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            > F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    even = F.col("user_id") % 2 == 0
+    arms = users.agg(
+        F.sum(F.when(even, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(even, F.col("conv")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(~even, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~even, F.col("conv")).otherwise(0)).alias("x_b"),
+    )
+    return arms.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.expr("CAST(round(x_a / (1.0D * n_a), 6) AS DOUBLE)").alias("p_a"),
+        F.expr("CAST(round(x_b / (1.0D * n_b), 6) AS DOUBLE)").alias("p_b"),
+        F.expr(
+            "CAST(round("
+            " (x_a / (1.0D * n_a) - x_b / (1.0D * n_b))"
+            " / NULLIF(sqrt(((x_a + x_b) / (1.0D * (n_a + n_b)))"
+            "        * (1.0D - (x_a + x_b) / (1.0D * (n_a + n_b)))"
+            "        * (1.0D / n_a + 1.0D / n_b)), 0.0D), 6) AS DOUBLE)"
+        ).alias("z_score"),
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.analytics import peak_concurrency
 from ..sources.tables import load_table
 from .registry import query
 
@@ -732,21 +733,10 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     column by pure integer arithmetic (abs(cents) % 120 + 1 minutes),
     so both engines build bit-identical intervals.
 
-    The sweep is the +1/−1 endpoint trick: interval starts emit +1,
-    ends emit −1; net deltas are PRE-AGGREGATED per (type, instant) —
-    a partial-aggregatable shuffle that collapses the 2×|events|
-    endpoint stream to distinct instants BEFORE any window — then one
-    running sum per event type yields the concurrency step function,
-    whose max is the peak (ends sort before the starts they abut by
-    the half-open convention: an interval ending at t does not overlap
-    one starting at t, which the per-instant net already encodes).
-    The window partitions on event_type: bounded cardinality, so each
-    partition is one executor's sequential scan.  At 100 TB you would
-    sub-partition the sweep by (event_type, day) and carry each day's
-    closing concurrency into the next as an offset — the same
-    two-pass distributed prefix-sum used by ``shuffle_global_order``
-    (operators/packing.py); the single-key window here keeps the
-    diagnostic one exchange at test scale."""
+    The sweep itself is :func:`..operators.analytics.peak_concurrency`
+    (+1/−1 endpoint deltas pre-aggregated per instant, one per-type
+    running sum — scale notes there); property tests pin the half-open
+    abutment and nesting semantics on crafted intervals."""
     events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     iv = events.select(
         "event_type",
@@ -757,30 +747,6 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ts)"
         ).alias("end_ts"),
     )
-    pts = iv.select(
-        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
-    ).unionByName(
-        iv.select("event_type", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
-    )
-    net = pts.groupBy("event_type", "t").agg(F.sum("delta").alias("net"))
-    w_run = (
-        Window.partitionBy("event_type")
-        .orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    run = net.select("event_type", "t", F.sum("net").over(w_run).alias("conc"))
-    w_peak = Window.partitionBy("event_type")
-    pk = run.select(
-        "event_type", "t", "conc", F.max("conc").over(w_peak).alias("peak")
-    )
-    return (
-        pk.filter(F.col("conc") == F.col("peak"))
-        .groupBy("event_type", "peak")
-        .agg(F.min("t").alias("first_peak_ts"))
-        .select(
-            "event_type",
-            F.col("peak").cast("long").alias("peak_concurrent"),
-            "first_peak_ts",
-        )
-        .orderBy("event_type")
+    return peak_concurrency(iv, "event_type", "ts", "end_ts").orderBy(
+        "event_type"
     )
