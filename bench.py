@@ -132,6 +132,10 @@ HEADLINE = [
     "gini_revenue",
     "entropy_by_source",
     "ab_test_proportions",
+    "funnel_time_to_convert",
+    "seasonal_dow_profile",
+    "session_paths_top",
+    "heavy_hitters_cms",
 ]
 
 REPEATS = 2

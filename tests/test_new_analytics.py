@@ -191,3 +191,107 @@ def test_chi_square_zero_on_product_table(spark, tmp_path):
     )
     assert r["chi2"] == 0.0
     assert r["cramers_v"] == 0.0
+
+
+# ------------------------------- CMS / funnel / seasonal / paths ----
+
+
+def test_cms_overestimate_is_one_sided(spark):
+    """Count-min can only OVER-estimate: every audited heavy hitter's
+    sketch estimate must be ≥ its exact count (the defining CMS
+    invariant; a single negative overestimate means a hash/bucket/min
+    bug, not noise)."""
+    rows = QUERIES["heavy_hitters_cms"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no heavy hitters returned"
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+        assert r["cms_estimate"] >= r["exact_count"], r
+
+
+def _events(spark, tmp_path, rows):
+    """Write a crafted events.parquet (full schema) and return its dir."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, ts, uid, et, v, "{}") for i, (ts, uid, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+def test_funnel_latency_boundaries(spark, tmp_path):
+    """Pre-signup purchases must NOT convert; a purchase at exactly the
+    signup instant converts with latency 0; latencies are floor-minute
+    integers."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    sf = _events(
+        spark,
+        tmp_path,
+        [
+            (t0, 1, "signup", 1.0),
+            (t0 + 10 * m, 1, "purchase", 1.0),       # 10 min
+            (t0, 2, "signup", 1.0),
+            (t0, 2, "purchase", 1.0),                # same instant → 0 min
+            (t0, 3, "signup", 1.0),                  # never converts
+            (t0 - 5 * m, 4, "purchase", 1.0),        # purchase BEFORE signup
+            (t0, 4, "signup", 1.0),                  # → not converted
+        ],
+    )
+    r = QUERIES["funnel_time_to_convert"](spark, sf).collect()[0]
+    assert (r["n_signup_users"], r["n_converted"]) == (4, 2)
+    assert r["conv_rate"] == 0.5
+    assert r["p50_min"] == 5.0  # interpolated between 0 and 10
+    assert r["p90_min"] == 9.0
+
+
+def test_seasonal_dow_is_iso(spark, tmp_path):
+    """2024-01-01 is a Monday: its profile row must carry ISO dow=1
+    (Spark weekday()+1 parity with DuckDB isodow), and a Sunday event
+    must land on dow=7."""
+    import datetime as dt
+
+    sf = _events(
+        spark,
+        tmp_path,
+        [
+            (dt.datetime(2024, 1, 1, 9), 1, "view", 2.0),   # Monday
+            (dt.datetime(2024, 1, 7, 9), 1, "view", 4.0),   # Sunday
+        ],
+    )
+    rows = {r["dow"]: r for r in QUERIES["seasonal_dow_profile"](spark, sf).collect()}
+    assert set(rows) == {1, 7}
+    assert rows[1]["mean_value"] == 2.0 and rows[7]["mean_value"] == 4.0
+    assert rows[1]["dow_share"] == 0.5
+
+
+def test_session_paths_are_per_user_and_ordered(spark, tmp_path):
+    """Triples never span users, and ordering follows (ts, event_id):
+    one user with a 4-event chain yields exactly its two consecutive
+    triples; a second 2-event user contributes none."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    sf = _events(
+        spark,
+        tmp_path,
+        [
+            (t0 + 0 * s, 1, "view", 1.0),
+            (t0 + 1 * s, 1, "click", 1.0),
+            (t0 + 2 * s, 1, "signup", 1.0),
+            (t0 + 3 * s, 1, "purchase", 1.0),
+            (t0 + 0 * s, 2, "view", 1.0),
+            (t0 + 1 * s, 2, "error", 1.0),
+        ],
+    )
+    got = {
+        (r["e1"], r["e2"], r["e3"]): r["n_paths"]
+        for r in QUERIES["session_paths_top"](spark, sf).collect()
+    }
+    assert got == {
+        ("view", "click", "signup"): 1,
+        ("click", "signup", "purchase"): 1,
+    }

@@ -1434,3 +1434,104 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------- count-min heavy hitters ----
+
+#: Count-min sketch geometry: 4 independent md5-salted rows × 1024
+#: buckets = 4 KiB of counters regardless of vocabulary size.  With
+#: corpus token mass N, the classic bound gives estimate ≤ exact +
+#: e·N/1024 with probability 1 − e⁻⁴ per query.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+
+
+@query(
+    "heavy_hitters_cms",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS i),
+cells AS (
+  SELECT i,
+         CAST(concat('0x', substr(md5(term || '#' || i), 1, 8)) AS BIGINT)
+           % {_CMS_WIDTH} AS bucket,
+         SUM(cnt) AS cell
+  FROM freq CROSS JOIN rows_
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT term, cnt FROM freq
+  ORDER BY cnt DESC, term LIMIT 20
+),
+est AS (
+  SELECT t.term, t.cnt, MIN(c.cell) AS cms
+  FROM top t CROSS JOIN rows_ r
+  JOIN cells c
+    ON c.i = r.i
+   AND c.bucket = CAST(concat('0x', substr(md5(t.term || '#' || r.i), 1, 8))
+                       AS BIGINT) % {_CMS_WIDTH}
+  GROUP BY t.term, t.cnt
+)
+SELECT term,
+       CAST(cnt AS BIGINT) AS exact_count,
+       CAST(cms AS BIGINT) AS cms_estimate,
+       CAST(cms - cnt AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_count DESC, term
+""",
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection through a count-min sketch, audited
+    against exact counts: the top-20 corpus terms with both their true
+    frequency and the CMS point estimate (whose overestimate must be
+    ≥ 0 — the sketch's one-sided error, pinned by a property test).
+
+    This is the bounded-memory pattern a 100 TB pipeline actually
+    ships: the sketch is {_CMS_DEPTH}×{_CMS_WIDTH} integer cells built
+    with ONE partial-aggregatable shuffle on (row, bucket) — term
+    counts pre-aggregate map-side, the bucket hash (md5-salted per
+    row, the same 32-bit hex recipe as the MinHash family, replayable
+    in DuckDB) collapses any vocabulary into 4 KiB of counters — and
+    point queries are a {_CMS_DEPTH}-row min per candidate.  The
+    oracle replays sketch construction bit-for-bit, so the value hash
+    verifies hashing, bucketing, and the min-reduce, not just the
+    exact twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = F.expr(f"explode(sequence(0, {_CMS_DEPTH - 1}))")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("i"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+    cells = (
+        freq.select("term", "cnt", rows.alias("i"))
+        .select("cnt", "i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = freq.orderBy(F.col("cnt").desc(), "term").limit(20)
+    probes = top.select("term", "cnt", rows.alias("i")).select(
+        "term", "cnt", "i", bucket.alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").alias("cms"))
+    )
+    return est.select(
+        "term",
+        F.col("cnt").cast("long").alias("exact_count"),
+        F.col("cms").cast("long").alias("cms_estimate"),
+        (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "term")

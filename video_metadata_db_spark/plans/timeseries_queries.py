@@ -750,3 +750,193 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(iv, "event_type", "ts", "end_ts").orderBy(
         "event_type"
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+WITH su AS (
+  SELECT user_id, MIN(ts) AS s_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT su.user_id,
+         MIN(e.ts) AS p_ts
+  FROM su JOIN events e
+    ON e.user_id = su.user_id
+   AND e.event_type = 'purchase' AND e.ts >= su.s_ts
+  GROUP BY su.user_id
+),
+lat AS (
+  SELECT (epoch_us(c.p_ts) - epoch_us(su.s_ts)) // 60000000 AS lat_min
+  FROM su JOIN conv c ON su.user_id = c.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS n_signup_users,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(round(COUNT(*) / (1.0 * (SELECT COUNT(*) FROM su)), 6) AS DOUBLE)
+         AS conv_rate,
+       CAST(round(quantile_cont(lat_min, 0.5), 6) AS DOUBLE) AS p50_min,
+       CAST(round(quantile_cont(lat_min, 0.9), 6) AS DOUBLE) AS p90_min
+FROM lat
+""",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the signup→purchase funnel:
+    conversion rate plus median/p90 latency from each user's FIRST
+    signup to their first purchase AT OR AFTER it — the companion
+    statistic to `funnel_conversion` (which counts stage survivors but
+    not how long they took).
+
+    Latencies are exact integer minutes from BIGINT microsecond
+    arithmetic (`unix_micros`/`epoch_us` then integer division — never
+    engine-specific calendar diffs whose boundary conventions differ),
+    so the interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, same precedent as `agg_percentiles`) interpolate
+    identical integer samples.  Scale shape: two filtered aggregates on
+    user_id + one co-keyed join — every shuffle on the same key, AQE
+    reuses the exchange; percentile over converters only (a bounded
+    fraction of users), swap `approx_percentile` at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    su = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    conv = (
+        su.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("p_ts_raw")
+            ),
+            "user_id",
+        )
+        .filter(F.col("p_ts_raw") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts_raw").alias("p_ts"))
+    )
+    lat = su.join(conv, "user_id").select(
+        F.expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 60000000").alias(
+            "lat_min"
+        )
+    )
+    n_su = su.agg(F.count(F.lit(1)).alias("n_signup_users"))
+    return (
+        lat.agg(
+            F.count(F.lit(1)).alias("n_converted"),
+            F.expr("percentile(lat_min, array(0.5D, 0.9D))").alias("p"),
+        )
+        .crossJoin(F.broadcast(n_su))
+        .select(
+            F.col("n_signup_users").cast("long"),
+            F.col("n_converted").cast("long"),
+            F.expr(
+                "CAST(round(n_converted / (1.0D * n_signup_users), 6) AS DOUBLE)"
+            ).alias("conv_rate"),
+            F.round(F.col("p")[0], 6).cast("double").alias("p50_min"),
+            F.round(F.col("p")[1], 6).cast("double").alias("p90_min"),
+        )
+    )
+
+
+@query(
+    "seasonal_dow_profile",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         isodow(ts) AS dow,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT event_type, dow,
+         count(*) AS n_events,
+         SUM(cents) AS sum_cents
+  FROM base GROUP BY 1, 2
+)
+SELECT event_type, CAST(dow AS INTEGER) AS dow,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(round(sum_cents / (100.0 * n_events), 6) AS DOUBLE) AS mean_value,
+       CAST(round(n_events / (1.0 * SUM(n_events) OVER (PARTITION BY event_type)),
+                  6) AS DOUBLE) AS dow_share
+FROM cells
+ORDER BY event_type, dow
+""",
+)
+def q_seasonal_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type — mean value and
+    volume share by ISO weekday, the periodic fingerprint a forecaster
+    or anomaly baseline consumes.
+
+    Weekday parity across engines is the trap: Spark ``dayofweek`` is
+    1=Sunday while DuckDB ``isodow`` is 1=Monday — this query uses
+    Spark ``weekday()+1`` ≡ ISO to pin one convention.  Means divide
+    exact cent sums by exact counts (one double division, D-suffixed
+    literals on the Spark side); the share window runs on the
+    |event_types|×7 cell matrix, never the corpus.  One scan, one
+    partial-aggregatable groupBy."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = events.select(
+        "event_type",
+        (F.weekday("ts") + 1).alias("dow"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents")
+    )
+    w = Window.partitionBy("event_type")
+    return cells.select(
+        "event_type",
+        F.col("dow").cast("int").alias("dow"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("CAST(round(sum_cents / (100.0D * n_events), 6) AS DOUBLE)").alias(
+            "mean_value"
+        ),
+        F.round(
+            F.col("n_events") / (F.lit(1.0) * F.sum("n_events").over(w)), 6
+        )
+        .cast("double")
+        .alias("dow_share"),
+    ).orderBy("event_type", "dow")
+
+
+@query(
+    "session_paths_top",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 15
+""",
+)
+def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 three-step event paths across user histories — the
+    order-2 sequence profile on top of `markov_transitions`' order-1
+    matrix (which path shapes dominate, the input to session-flow
+    dashboards and n-gram behavior models).
+
+    One window (two lead() offsets share the same per-user sort and
+    ONE user_id exchange), one partial-aggregatable triple count, and
+    a total-order sort key (count desc, then the full path) ahead of
+    the LIMIT so boundary ties are deterministic.  The aggregate's
+    cardinality is |event_types|³ — bounded — so the top-k is
+    TakeOrderedAndProject over a tiny frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )
