@@ -136,6 +136,13 @@ HEADLINE = [
     "seasonal_dow_profile",
     "session_paths_top",
     "heavy_hitters_cms",
+    "correlation_matrix",
+    "rolling_median_values",
+    "outlier_iqr_events",
+    "degree_distribution",
+    "text_ngram_novelty",
+    "dedup_lsh_recall",
+    "stream_cms_heavy_hitters",
 ]
 
 REPEATS = 2

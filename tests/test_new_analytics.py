@@ -295,3 +295,21 @@ def test_session_paths_are_per_user_and_ordered(spark, tmp_path):
         ("view", "click", "signup"): 1,
         ("click", "signup", "purchase"): 1,
     }
+
+
+# ------------------------------------------- shared graph edge cache ---
+
+
+def test_graph_queries_share_one_edge_materialization(spark):
+    """triangle_count, khop_reach, and degree_distribution all root the
+    same thresholded supplier edge list: building it twice must hit the
+    sameSemantics LRU slot (ONE cached frame), not add a second copy."""
+    from video_metadata_db_spark.operators import dedup as D
+    from video_metadata_db_spark.plans.graph_queries import _supplier_edges
+
+    D.release_dedup_caches()
+    _supplier_edges(spark, "/root/testdata/sf0.001")
+    n_after_first = len(D._SCOPED_CACHES)
+    _supplier_edges(spark, "/root/testdata/sf0.001")
+    assert len(D._SCOPED_CACHES) == n_after_first == 1
+    D.release_dedup_caches()

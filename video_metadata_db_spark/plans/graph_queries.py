@@ -11,7 +11,7 @@ shape).  SURVEY.md §6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import pagerank, pagerank_oracle_sql, triangle_counts
@@ -403,4 +403,67 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_two_hop_new"),
         )
         .orderBy("supp_key")
+    )
+
+
+@query(
+    "degree_distribution",
+    oracle=f"""
+WITH {_TRI_EDGES_CTE},
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT s1 AS node FROM edges UNION ALL SELECT s2 FROM edges
+  ) GROUP BY node
+),
+hist AS (
+  SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+),
+tot AS (SELECT SUM(n_nodes) AS n FROM hist)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(round(n_nodes / (1.0 * n), 6) AS DOUBLE) AS share,
+       CAST(round(SUM(n_nodes) OVER (ORDER BY degree
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / (1.0 * n), 6) AS DOUBLE) AS cum_share
+FROM hist CROSS JOIN tot
+ORDER BY degree
+""",
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the supplier co-occurrence graph —
+    the shape diagnostic (heavy tail? hubs?) read before choosing the
+    skew mitigations the triangle/k-hop operators rely on.
+
+    Derived entirely from the SAME persisted edge list as
+    `triangle_count`/`khop_reach` (sameSemantics cache dedupe): one
+    degree aggregate, one |distinct degrees|-row histogram, and a
+    cumulative window on that bounded histogram.  Shares divide exact
+    integers once, 6-dp rounded."""
+    edges = _supplier_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionByName(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").alias("n"))
+    w = Window.orderBy("degree").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("degree").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.expr("CAST(round(n_nodes / (1.0D * n), 6) AS DOUBLE)").alias(
+                "share"
+            ),
+            F.round(
+                F.sum("n_nodes").over(w) / (F.lit(1.0) * F.col("n")), 6
+            )
+            .cast("double")
+            .alias("cum_share"),
+        )
+        .orderBy("degree")
     )

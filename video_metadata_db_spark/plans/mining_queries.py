@@ -1438,17 +1438,16 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- count-min heavy hitters ----
 
-#: Count-min sketch geometry: 4 independent md5-salted rows × 1024
-#: buckets = 4 KiB of counters regardless of vocabulary size.  With
-#: corpus token mass N, the classic bound gives estimate ≤ exact +
-#: e·N/1024 with probability 1 − e⁻⁴ per query.
-_CMS_DEPTH = 4
-_CMS_WIDTH = 1024
+#: Count-min sketch geometry (operators/sketches.py): 4 md5-salted
+#: rows × 1024 buckets = 4 KiB of counters regardless of vocabulary
+#: size; estimate ≤ exact + e·N/1024 w.p. 1 − e⁻⁴ per query.  The
+#: oracle below is shared VERBATIM by `stream_cms_heavy_hitters` —
+#: sketch cells are sums, so the streamed cell-wise merge must land on
+#: the identical report.
+from ..operators.sketches import CMS_DEPTH as _CMS_DEPTH
+from ..operators.sketches import CMS_WIDTH as _CMS_WIDTH
 
-
-@query(
-    "heavy_hitters_cms",
-    oracle=f"""
+_CMS_ORACLE = f"""
 WITH toks AS (
   SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
   FROM documents
@@ -1484,8 +1483,10 @@ SELECT term,
        CAST(cms - cnt AS BIGINT) AS overestimate
 FROM est
 ORDER BY exact_count DESC, term
-""",
-)
+"""
+
+
+@query("heavy_hitters_cms", oracle=_CMS_ORACLE)
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter detection through a count-min sketch, audited
     against exact counts: the top-20 corpus terms with both their true
@@ -1502,33 +1503,55 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays sketch construction bit-for-bit, so the value hash
     verifies hashing, bucketing, and the min-reduce, not just the
     exact twin."""
+    from ..operators.sketches import cms_cells, cms_probe
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
     freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    rows = F.expr(f"explode(sequence(0, {_CMS_DEPTH - 1}))")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("i"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_WIDTH
-    )
-    cells = (
-        freq.select("term", "cnt", rows.alias("i"))
-        .select("cnt", "i", bucket.alias("bucket"))
-        .groupBy("i", "bucket")
-        .agg(F.sum("cnt").alias("cell"))
-    )
+    cells = cms_cells(freq)
     top = freq.orderBy(F.col("cnt").desc(), "term").limit(20)
-    probes = top.select("term", "cnt", rows.alias("i")).select(
-        "term", "cnt", "i", bucket.alias("bucket")
+    est = cms_probe(top, cells)
+    return est.select(
+        "term",
+        F.col("cnt").cast("long").alias("exact_count"),
+        F.col("cms").cast("long").alias("cms_estimate"),
+        (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "term")
+
+
+@query("stream_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS under a REAL stream: documents staged as two files,
+    drained with ``maxFilesPerTrigger=1`` so each half arrives in its
+    own micro-batch; ``foreachBatch`` sketches ONLY the batch and
+    cell-wise-merges it into the stored snapshot
+    (streaming/sketches.py, versioned commits with replay-idempotent
+    reads).  The final report probes the MERGED cells with the exact
+    top-20 — and shares `heavy_hitters_cms`' oracle VERBATIM: equality
+    is the sketch's mergeability property verified end to end (batch
+    build ≡ streamed cell-sum), the same invariant discipline as
+    `stream_incremental_dedup` vs the full-corpus closure."""
+    import tempfile
+
+    from ..operators.sketches import cms_probe
+    from ..streaming.runner import file_stream, run_foreach_batch
+    from ..streaming.sketches import cms_state_maintainer, read_cms_cells
+
+    work = tempfile.mkdtemp(prefix="vmdb_cms_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(
+        f"{work}/src"
     )
-    est = (
-        probes.join(F.broadcast(cells), ["i", "bucket"])
-        .groupBy("term", "cnt")
-        .agg(F.min("cell").alias("cms"))
-    )
+    stream = file_stream(spark, f"{work}/src", docs.schema, max_files_per_trigger=1)
+    run_foreach_batch(stream, f"{work}/cp", cms_state_maintainer(f"{work}/state"))
+    cells = read_cms_cells(spark, f"{work}/state")
+    toks = docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.col("cnt").desc(), "term").limit(20)
+    est = cms_probe(top, cells)
     return est.select(
         "term",
         F.col("cnt").cast("long").alias("exact_count"),

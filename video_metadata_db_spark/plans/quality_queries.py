@@ -369,3 +369,85 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * (1.0D / n_a + 1.0D / n_b)), 0.0D), 6) AS DOUBLE)"
         ).alias("z_score"),
     )
+
+
+@query(
+    "outlier_iqr_events",
+    oracle="""
+WITH fences AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q1,
+         round(quantile_cont(value, 0.75), 6) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+         round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+         round(q3 + 1.5 * (q3 - q1), 6) AS hi
+  FROM fences
+)
+SELECT e.event_type AS event_type,
+       CAST(f.q1 AS DOUBLE) AS q1, CAST(f.q3 AS DOUBLE) AS q3,
+       CAST(f.lo AS DOUBLE) AS fence_lo, CAST(f.hi AS DOUBLE) AS fence_hi,
+       CAST(SUM(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low,
+       CAST(SUM(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY e.event_type
+""",
+)
+def q_outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier counts per event type — the boxplot
+    rule, the parametric-free sibling of the MAD detector
+    (`outlier_mad_events`): values beyond Q1−1.5·IQR / Q3+1.5·IQR.
+
+    Quartiles interpolate identical samples cross-engine (percentile ≡
+    quantile_cont, `agg_percentiles` precedent) and are 6-dp-rounded
+    BEFORE the fence arithmetic and the boundary comparison, so a raw
+    value sits on the same side of the fence in both engines unless it
+    is within float-epsilon of a rounded fence (measure-zero on this
+    corpus).  Two passes by necessity (fences are order statistics):
+    one groupBy for quartiles — broadcast back (|event_types| rows) —
+    one conditional re-aggregation; both shuffles on event_type."""
+    events = load_table(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.25D, 0.75D))")
+    fences = (
+        events.groupBy("event_type")
+        .agg(q.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 6).alias("q1"),
+            F.round(F.col("q")[1], 6).alias("q3"),
+        )
+        .select(
+            "event_type",
+            "q1",
+            "q3",
+            F.expr("round(q1 - 1.5D * (q3 - q1), 6)").alias("lo"),
+            F.expr("round(q3 + 1.5D * (q3 - q1), 6)").alias("hi"),
+        )
+    )
+    return (
+        events.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+        .select(
+            "event_type",
+            F.col("q1").cast("double"),
+            F.col("q3").cast("double"),
+            F.col("lo").cast("double").alias("fence_lo"),
+            F.col("hi").cast("double").alias("fence_hi"),
+            "n_low",
+            "n_high",
+        )
+        .orderBy("event_type")
+    )

@@ -940,3 +940,183 @@ def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
         .limit(15)
     )
+
+
+#: The corpus's five canonical event types — fixed literals on BOTH
+#: engine sides (same convention as the 'purchase'/'view' funnel
+#: stages), so the correlation pair set is static and the wide pivot
+#: needs no driver-side discovery pass.
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    """DuckDB corr text for one type pair from the wide hourly frame —
+    exact HUGEINT moments, one double division + sqrt, 6-dp round."""
+    return (
+        f"CAST(round((n * sxy_{a}_{b} - sx_{a} * sx_{b})"
+        f" / NULLIF(sqrt((1.0 * (n * sq_{a} - sx_{a} * sx_{a}))"
+        f"               * (n * sq_{b} - sx_{b} * sx_{b})), 0.0),"
+        f" 6) AS DOUBLE)"
+    )
+
+
+@query(
+    "correlation_matrix",
+    oracle=f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+wide AS (
+  SELECT g.h,
+{",".join(f"         COALESCE(MAX(CASE WHEN event_type = '{t}' THEN c END), 0) AS c_{t}" for t in _EVENT_TYPES)}
+  FROM grid g LEFT JOIN hourly ON hourly.h = g.h
+  GROUP BY g.h
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+{",".join(f"         CAST(SUM(c_{t}) AS HUGEINT) AS sx_{t}, CAST(SUM(c_{t} * c_{t}) AS HUGEINT) AS sq_{t}" for t in _EVENT_TYPES)},
+{",".join(f"         CAST(SUM(c_{a} * c_{b}) AS HUGEINT) AS sxy_{a}_{b}" for i, a in enumerate(_EVENT_TYPES) for b in _EVENT_TYPES[i + 1:])}
+  FROM wide
+)
+{chr(10).join(("SELECT" if i == 0 else "UNION ALL SELECT") + f" '{a}' AS type_a, '{b}' AS type_b, {_corr_pair_sql(a, b)} AS corr FROM m" for i, (a, b) in enumerate((a, b) for i, a in enumerate(_EVENT_TYPES) for b in _EVENT_TYPES[i + 1:]))}
+ORDER BY type_a, type_b
+""",
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between the five event types' hourly
+    volumes — the cross-signal structure an anomaly model or capacity
+    planner reads (do errors spike with clicks?).
+
+    Hour buckets with NO events of a type count as 0 (a dense hour grid
+    from one min/max aggregate — skipping empty buckets would bias
+    every correlation upward), the same grid technique as
+    `resample_forward_fill`.  All 5 + 5 + 10 moments (Σx, Σx², Σxy) are
+    EXACT integer sums in one aggregate over the wide frame, ridden in
+    DECIMAL(38,0)/HUGEINT (the OLS discipline); each of the 10
+    correlations is then one IEEE division + sqrt on exactly-agreed
+    operands, 6-dp rounded, NULLIF-guarded against zero variance.
+    Scale shape: one corpus scan → one (hour, type) aggregate → a
+    |hours|-row wide frame → ONE moment aggregate; the pair expansion
+    happens on a single 26-column row, never on data."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    wide = (
+        grid.join(hourly, "h", "left")
+        .groupBy("h")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("event_type") == t, F.col("c"))), F.lit(0)
+                ).alias(f"c_{t}")
+                for t in _EVENT_TYPES
+            ]
+        )
+    )
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_EVENT_TYPES)
+        for b in _EVENT_TYPES[i + 1 :]
+    ]
+    m = wide.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        *[
+            F.sum(f"c_{t}").cast("decimal(38,0)").alias(f"sx_{t}")
+            for t in _EVENT_TYPES
+        ],
+        *[
+            F.sum(F.expr(f"CAST(c_{t} AS DECIMAL(38,0)) * c_{t}")).alias(f"sq_{t}")
+            for t in _EVENT_TYPES
+        ],
+        *[
+            F.sum(F.expr(f"CAST(c_{a} AS DECIMAL(38,0)) * c_{b}")).alias(
+                f"sxy_{a}_{b}"
+            )
+            for a, b in pairs
+        ],
+    )
+    stacked = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("type_a"),
+                        F.lit(b).alias("type_b"),
+                        F.expr(
+                            f"CAST(round((n * sxy_{a}_{b} - sx_{a} * sx_{b})"
+                            f" / NULLIF(sqrt((1.0D * (n * sq_{a} - sx_{a} * sx_{a}))"
+                            f"               * (n * sq_{b} - sx_{b} * sx_{b})), 0.0D),"
+                            f" 6) AS DOUBLE)"
+                        ).alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.type_a", "p.type_b", "p.corr").orderBy(
+        "type_a", "type_b"
+    )
+
+
+@query(
+    "rolling_median_values",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       CAST(round(quantile_cont(cents, 0.5) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0, 6)
+            AS DOUBLE) AS rolling_median
+FROM iv
+ORDER BY user_id, event_id
+""",
+)
+def q_rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling median of the last 5 event values — the robust
+    smoother a monitoring pipeline prefers over the EWMA
+    (`ewma_event_values`) when spikes must not drag the baseline.
+
+    The median runs AS A FRAME AGGREGATE (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont`` over ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) on
+    integer cents, so both engines interpolate identical 5-element
+    integer samples — results are exact multiples of 0.005.  One
+    user_id exchange serves the sort and the frame; the frame is O(1)
+    per row, so cost is one window pass regardless of history length
+    (contrast a self-join formulation: 5× row blowup)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return iv.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST(round(percentile(cents, 0.5D) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0D, 6) AS DOUBLE)"
+        ).alias("rolling_median"),
+    ).orderBy("user_id", "event_id")
