@@ -143,6 +143,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_lsh_recall",
     "stream_cms_heavy_hitters",
+    "distinctive_terms_logodds",
 ]
 
 REPEATS = 2

@@ -313,3 +313,112 @@ def test_graph_queries_share_one_edge_materialization(spark):
     _supplier_edges(spark, "/root/testdata/sf0.001")
     assert len(D._SCOPED_CACHES) == n_after_first == 1
     D.release_dedup_caches()
+
+
+# --------------------------- correlation / IQR / novelty / CMS merge ---
+
+
+def test_correlation_perfect_and_anti(spark, tmp_path):
+    """Two types firing in lockstep every hour must correlate at 1.0;
+    a type firing exactly when another is silent (2-hour alternation)
+    at -1.0 — signs and magnitudes, not just hash equality."""
+    import datetime as dt
+
+    rows = []
+    for h in range(6):
+        ts = dt.datetime(2024, 1, 1, h)
+        n = 1 + (h % 3)
+        for _ in range(n):
+            rows.append((ts, 1, "click", 1.0))
+            rows.append((ts, 1, "view", 1.0))
+        # error fires only on even hours, opposite of signup on odd
+        if h % 2 == 0:
+            rows.append((ts, 1, "error", 1.0))
+        else:
+            rows.append((ts, 1, "signup", 1.0))
+    sf = _events(spark, tmp_path, rows)
+    got = {
+        (r["type_a"], r["type_b"]): r["corr"]
+        for r in QUERIES["correlation_matrix"](spark, sf).collect()
+    }
+    assert got[("click", "view")] == 1.0
+    assert got[("error", "signup")] == -1.0
+
+
+def test_iqr_fences_and_counts(spark, tmp_path):
+    """On 0..100 plus two planted extremes, the Tukey fences must catch
+    exactly the planted points (quartile interpolation on a known
+    ladder is hand-checkable)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0, 1, "view", float(v)) for v in range(101)]
+    rows += [(t0, 1, "view", 1000.0), (t0, 1, "view", -1000.0)]
+    sf = _events(spark, tmp_path, rows)
+    r = {
+        x["event_type"]: x
+        for x in QUERIES["outlier_iqr_events"](spark, sf).collect()
+    }["view"]
+    assert (r["n_low"], r["n_high"]) == (1, 1)
+    assert r["fence_lo"] < 0 < r["fence_hi"] < 1000
+
+
+def test_novelty_extremes(spark, tmp_path):
+    """A doc sharing every shingle with a twin scores 0 novelty; a doc
+    with a fully unique vocabulary scores 1.0."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: r["novelty"]
+        for r in QUERIES["text_ngram_novelty"](spark, sf).collect()
+    }
+    assert got == {0: 0.0, 1: 0.0, 2: 1.0}
+
+
+def test_cms_merge_equals_oneshot(spark):
+    """Sketch mergeability as algebra: cells(A ∪ B) == merge(cells(A),
+    cells(B)) cell by cell — the invariant the streaming maintainer
+    rides (its oracle equality is the end-to-end form; this is the
+    unit form on crafted frames)."""
+    from video_metadata_db_spark.operators.sketches import cms_cells, cms_merge
+
+    a = spark.createDataFrame(
+        [("x", 3), ("y", 2), ("z", 5)], "term string, cnt long"
+    )
+    b = spark.createDataFrame(
+        [("x", 1), ("w", 7)], "term string, cnt long"
+    )
+    both = spark.createDataFrame(
+        [("x", 4), ("y", 2), ("z", 5), ("w", 7)], "term string, cnt long"
+    )
+    merged = {
+        (r["i"], r["bucket"]): r["cell"]
+        for r in cms_merge(cms_cells(a), cms_cells(b)).collect()
+    }
+    oneshot = {
+        (r["i"], r["bucket"]): r["cell"] for r in cms_cells(both).collect()
+    }
+    assert merged == oneshot
+
+
+def test_rolling_median_small_series(spark, tmp_path):
+    """Hand-checkable 5-frame medians: values 10,20,30,40,50 per user →
+    medians 10,15,20,25,30 (growing frame then the full window)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [(t0 + i * s, 1, "view", float(10 * (i + 1))) for i in range(5)]
+    sf = _events(spark, tmp_path, rows)
+    got = [
+        r["rolling_median"]
+        for r in QUERIES["rolling_median_values"](spark, sf).collect()
+    ]
+    assert got == [10.0, 15.0, 20.0, 25.0, 30.0]

@@ -34,6 +34,18 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: json_extract_props, array_functions, sample_stratified,
 #: text_fingerprint, filter_length_percentile, resample_forward_fill,
 #: funnel_conversion.
+#:
+#: Round-6 rotation candidates (never driver-checked, all green in
+#: every test-run oracle sweep and verified at sf0.001/0.01/0.1 via
+#: tools/drive_entry.py in r5): the late-r5 analytics batch —
+#: triangle_count, khop_reach, heavy_hitters_cms, dedup_lsh_recall,
+#: gini_revenue, chi_square_independence, ab_test_proportions,
+#: correlation_matrix, entropy_by_source, markov_transitions,
+#: peak_concurrency, skyline_pareto, funnel_time_to_convert,
+#: rolling_median_values, stream_cms_heavy_hitters,
+#: distinctive_terms_logodds.  Rotate ~12 in next round once the r5
+#: window members have their CORRECTNESS row, keeping ≥1 green
+#: representative per family as usual.
 CHECKED_FIRST = [
     # reference parity (the three modes of the original tool)
     "variant_report",

@@ -1558,3 +1558,107 @@ def q_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms").cast("long").alias("cms_estimate"),
         (F.col("cms") - F.col("cnt")).cast("long").alias("overestimate"),
     ).orderBy(F.col("exact_count").desc(), "term")
+
+
+@query(
+    "distinctive_terms_logodds",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, count(*) AS y FROM toks GROUP BY 1, 2
+),
+totals AS (SELECT source, SUM(y) AS n_s FROM counts GROUP BY source),
+vocab AS (SELECT COUNT(DISTINCT term) AS v, SUM(y) AS n_all FROM counts),
+gl AS (SELECT term, SUM(y) AS y_all FROM counts GROUP BY term),
+scored AS (
+  SELECT c.source, c.term, c.y,
+         round(ln((c.y + 1) / (1.0 * (t.n_s + vb.v - c.y - 1))), 6)
+         - round(ln((g.y_all - c.y + 1)
+                    / (1.0 * (vb.n_all - t.n_s + vb.v - (g.y_all - c.y) - 1))), 6)
+           AS delta,
+         1.0 / (c.y + 1) + 1.0 / (g.y_all - c.y + 1) AS var
+  FROM counts c
+  JOIN totals t ON c.source = t.source
+  JOIN gl g ON c.term = g.term
+  CROSS JOIN vocab vb
+),
+z AS (
+  SELECT source, term, y,
+         CAST(round(delta / sqrt(var), 6) AS DOUBLE) AS z_score
+  FROM scored
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY z_score DESC, term) AS rk
+  FROM z
+)
+SELECT source, term, CAST(y AS BIGINT) AS n_in_source, z_score
+FROM ranked WHERE rk <= 5
+ORDER BY source, z_score DESC, term
+""",
+)
+def q_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary via log-odds with a Dirichlet
+    prior (Monroe et al.'s "Fightin' Words"): the top-5 terms whose
+    usage in a source most exceeds the rest of the corpus, z-scored —
+    the principled version of "top TF-IDF per source" (it corrects for
+    both source size and term rarity, which raw ratios get wrong).
+
+    Prior α = 1 keeps every log argument a ratio of EXACT integers
+    (counts + vocabulary size), so the two ln() calls are the only
+    transcendentals — each 6-dp rounded before the subtraction, the
+    variance term is one fixed IEEE expression on exact integers, and
+    the final z is rounded before the rank, with term as tiebreak.
+    Scale shape: one (source, term) aggregate, one vocabulary-sized
+    global-count join, one per-source window on the vocabulary frame —
+    the corpus is scanned once and never windowed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_of(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y"))
+    totals = counts.groupBy("source").agg(F.sum("y").alias("n_s"))
+    vocab = counts.agg(
+        F.countDistinct("term").alias("v"), F.sum("y").alias("n_all")
+    )
+    glob = counts.groupBy("term").agg(F.sum("y").alias("y_all"))
+    scored = (
+        counts.join(totals, "source")
+        .join(glob, "term")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "term",
+            "y",
+            (
+                F.expr("round(ln((y + 1) / (1.0D * (n_s + v - y - 1))), 6)")
+                - F.expr(
+                    "round(ln((y_all - y + 1)"
+                    " / (1.0D * (n_all - n_s + v - (y_all - y) - 1))), 6)"
+                )
+            ).alias("delta"),
+            F.expr("1.0D / (y + 1) + 1.0D / (y_all - y + 1)").alias("var"),
+        )
+    )
+    z = scored.select(
+        "source",
+        "term",
+        "y",
+        F.expr("CAST(round(delta / sqrt(var), 6) AS DOUBLE)").alias("z_score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("z_score").desc(), "term")
+    return (
+        z.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            F.col("y").cast("long").alias("n_in_source"),
+            "z_score",
+        )
+        .orderBy("source", F.col("z_score").desc(), "term")
+    )
