@@ -144,6 +144,8 @@ HEADLINE = [
     "dedup_lsh_recall",
     "stream_cms_heavy_hitters",
     "distinctive_terms_logodds",
+    "skew_key_report",
+    "ma_crossover_signal",
 ]
 
 REPEATS = 2

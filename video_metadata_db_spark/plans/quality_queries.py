@@ -451,3 +451,76 @@ def q_outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _skew_cte(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS key_name,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(round(MAX(cnt) / (1.0 * SUM(cnt)), 6) AS DOUBLE) AS max_share,
+         CAST(round((SELECT SUM(cnt) FROM (
+                 SELECT cnt FROM (SELECT count(*) AS cnt FROM lineitem
+                                  GROUP BY {col})
+                 ORDER BY cnt DESC LIMIT 10))
+               / (1.0 * SUM(cnt)), 6) AS DOUBLE) AS top10_share
+  FROM (SELECT count(*) AS cnt FROM lineitem GROUP BY {col})"""
+
+
+@query(
+    "skew_key_report",
+    oracle=f"""
+{_skew_cte("l_orderkey")}
+UNION ALL
+{_skew_cte("l_partkey")}
+UNION ALL
+{_skew_cte("l_suppkey")}
+ORDER BY key_name
+""",
+)
+def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over the fact table's three join keys —
+    the measurement that decides between a plain shuffle join, AQE
+    skew splitting, and explicit salting (`join_salted_skew`): max and
+    top-10 key shares of row volume per key.
+
+    Each key costs one partial-aggregatable count + one bounded
+    top-10 (TakeOrdered over the key-count frame, never the fact
+    rows); shares are single divisions of exact integers.  The
+    top-10 SUM is tie-insensitive (any 10 largest counts sum the
+    same), so no tiebreak is needed for determinism.  At 100 TB this
+    is the profiling pass you run BEFORE choosing a join strategy —
+    three scans here for clarity; fuse into one scan with
+    three conditional aggregates if the profile itself becomes the
+    bottleneck."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        cnts = li.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        top10 = cnts.orderBy(F.col("cnt").desc()).limit(10).agg(
+            F.sum("cnt").alias("top10")
+        )
+        agg = cnts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        parts.append(
+            agg.crossJoin(F.broadcast(top10)).select(
+                F.lit(col).alias("key_name"),
+                F.col("n_keys").cast("long"),
+                F.col("n_rows").cast("long"),
+                F.col("max_cnt").cast("long"),
+                F.expr(
+                    "CAST(round(max_cnt / (1.0D * n_rows), 6) AS DOUBLE)"
+                ).alias("max_share"),
+                F.expr(
+                    "CAST(round(top10 / (1.0D * n_rows), 6) AS DOUBLE)"
+                ).alias("top10_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_name")

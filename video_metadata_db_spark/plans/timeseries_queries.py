@@ -1120,3 +1120,81 @@ def q_rolling_median_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 100.0D, 6) AS DOUBLE)"
         ).alias("rolling_median"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "ma_crossover_signal",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1
+),
+ma AS (
+  SELECT day, cents,
+         SUM(cents) OVER w3 AS s3, COUNT(*) OVER w3 AS c3,
+         SUM(cents) OVER w7 AS s7, COUNT(*) OVER w7 AS c7
+  FROM daily
+  WINDOW w3 AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+         w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+sig AS (
+  SELECT day, cents,
+         (s3 * c7 > s7 * c3) AS short_above,
+         lag(s3 * c7 > s7 * c3) OVER (ORDER BY day) AS prev_above
+  FROM ma
+)
+SELECT day, CAST(cents AS BIGINT) AS cents,
+       CAST(short_above AND NOT COALESCE(prev_above, TRUE) AS BOOLEAN)
+         AS golden_cross,
+       CAST(NOT short_above AND COALESCE(prev_above, FALSE) AS BOOLEAN)
+         AS death_cross
+FROM sig
+ORDER BY day
+""",
+)
+def q_ma_crossover_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection on daily event value volume
+    (3-day vs 7-day MA): golden-cross days (short MA crosses above
+    long) and death-cross days — the classic trend-change signal.
+
+    ZERO floats: instead of comparing two averages (whose divisions
+    would each round), the comparison is cross-multiplied into exact
+    integer arithmetic — s3/c3 > s7/c7 ⟺ s3·c7 > s7·c3 with positive
+    counts — so the signal can never flip on a 1-ulp division
+    disagreement, even in warm-up rows where the frames are short.
+    One day-grain pre-aggregation shrinks the corpus to |days| rows
+    BEFORE the single ordered window serving both frames and the lag
+    (bounded partition: days, not events)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w3 = Window.orderBy("day").rowsBetween(-2, Window.currentRow)
+    w7 = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w3).alias("s3"),
+        F.count(F.lit(1)).over(w3).alias("c3"),
+        F.sum("cents").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    above = F.col("s3") * F.col("c7") > F.col("s7") * F.col("c3")
+    sig = ma.select(
+        "day",
+        "cents",
+        above.alias("short_above"),
+        F.lag(above).over(Window.orderBy("day")).alias("prev_above"),
+    )
+    return sig.select(
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        (F.col("short_above") & ~F.coalesce(F.col("prev_above"), F.lit(True)))
+        .cast("boolean")
+        .alias("golden_cross"),
+        (~F.col("short_above") & F.coalesce(F.col("prev_above"), F.lit(False)))
+        .cast("boolean")
+        .alias("death_cross"),
+    ).orderBy("day")
