@@ -146,6 +146,8 @@ HEADLINE = [
     "distinctive_terms_logodds",
     "skew_key_report",
     "ma_crossover_signal",
+    "customer_ltv_deciles",
+    "supplier_hhi_by_brand",
 ]
 
 REPEATS = 2

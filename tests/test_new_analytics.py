@@ -422,3 +422,56 @@ def test_rolling_median_small_series(spark, tmp_path):
         for r in QUERIES["rolling_median_values"](spark, sf).collect()
     ]
     assert got == [10.0, 15.0, 20.0, 25.0, 30.0]
+
+
+# ------------------------------------------------ gini / ltv deciles ---
+
+
+def _rev_tables(spark, tmp_path, orders):
+    """Crafted customer/orders parquet: customers 1..n, given
+    (custkey, totalprice) order rows."""
+    sf = str(tmp_path)
+    custs = sorted({c for c, _ in orders})
+    spark.createDataFrame(
+        [(c,) for c in custs], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(i, c, float(v)) for i, (c, v) in enumerate(orders)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    return sf
+
+
+def test_gini_zero_on_equal_revenue(spark, tmp_path):
+    """Perfect equality is the Gini fixed point: every customer with
+    identical revenue → exactly 0.0."""
+    sf = _rev_tables(spark, tmp_path, [(c, 100.0) for c in range(1, 9)])
+    r = QUERIES["gini_revenue"](spark, sf).collect()[0]
+    assert (r["n_customers"], r["gini"]) == (8, 0.0)
+
+
+def test_gini_full_concentration(spark, tmp_path):
+    """One customer holding ALL revenue among n gives the closed form
+    (n−1)/n — here 9/10 with ten customers (the nine others enter at
+    rank bottom through the LEFT join, revenue 0)."""
+    orders = [(10, 1000.0)]
+    sf = _rev_tables(spark, tmp_path, orders)
+    # add the nine order-less customers
+    spark.createDataFrame(
+        [(c,) for c in range(1, 11)], "c_custkey long"
+    ).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    r = QUERIES["gini_revenue"](spark, sf).collect()[0]
+    assert r["n_customers"] == 10
+    assert r["gini"] == 0.9
+
+
+def test_ltv_deciles_partition_and_order(spark, tmp_path):
+    """Ten customers with strictly decreasing revenue → one customer
+    per decile, decile 0 = the top spender, shares sum to 1."""
+    orders = [(c, float(1000 - 100 * (c - 1))) for c in range(1, 11)]
+    sf = _rev_tables(spark, tmp_path, orders)
+    rows = QUERIES["customer_ltv_deciles"](spark, sf).collect()
+    assert [r["decile"] for r in rows] == list(range(10))
+    assert all(r["n_customers"] == 1 for r in rows)
+    assert rows[0]["total_cents"] == 100000  # the 1000.00 top spender
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-9

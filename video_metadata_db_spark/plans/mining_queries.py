@@ -1662,3 +1662,160 @@ def q_distinctive_terms_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", F.col("z_score").desc(), "term")
     )
+
+
+@query(
+    "customer_ltv_deciles",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey,
+         COALESCE(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+           AS rev_cents
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+),
+ranked AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents DESC, c_custkey) - 1 AS pos,
+         COUNT(*) OVER () AS n
+  FROM rev
+),
+dec AS (
+  SELECT (pos * 10) // n AS decile, rev_cents, n FROM ranked
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+       CAST(round(SUM(rev_cents)
+                  / (1.0 * (SELECT SUM(rev_cents) FROM rev)), 6) AS DOUBLE)
+         AS revenue_share
+FROM dec
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile table (decile 0 = top spenders):
+    headcount, revenue, and revenue share per decile — the
+    concentration view a monetization dashboard leads with ("the top
+    10% drive X% of revenue").
+
+    The decile assignment is ``(pos · 10) div n`` from the 0-based
+    DISTRIBUTED rank (`global_row_number`, two-pass prefix sum — the
+    same no-single-reducer machinery as `gini_revenue`), NOT a window
+    ``ntile``: the floor formula is pure integer arithmetic, identical
+    in both engines, and parallelizes (the oracle uses the naive
+    row_number window over the same formula, proving the distributed
+    rank equivalent).  Zero-order customers land in the bottom decile
+    at 0 cents via the LEFT join.  Shares divide exact integer cent
+    sums once."""
+    from ..operators.packing import global_row_number
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")),
+                F.lit(0),
+            ).alias("rev_cents")
+        )
+        # global_row_number ranks ascending; rank on the NEGATED value
+        # so decile 0 is the top-revenue bucket, custkey breaks ties
+        .withColumn("neg_rev", -F.col("rev_cents"))
+    )
+    ranked = global_row_number(rev, "neg_rev", "c_custkey", out_col="pos")
+    tot = rev.agg(F.sum("rev_cents").alias("grand"))
+    n = rev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            F.expr("(pos * 10) div n").alias("decile"),
+            "rev_cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev_cents").cast("long").alias("total_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "total_cents",
+            F.expr(
+                "CAST(round(total_cents / (1.0D * grand), 6) AS DOUBLE)"
+            ).alias("revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "supplier_hhi_by_brand",
+    oracle="""
+WITH vol AS (
+  SELECT p_brand, l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+brand AS (
+  SELECT p_brand,
+         COUNT(*) AS n_suppliers,
+         SUM(cents) AS total_cents,
+         SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sum_sq
+  FROM vol GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(round(sum_sq / (1.0 * CAST(total_cents AS HUGEINT)
+                                * CAST(total_cents AS HUGEINT)), 6)
+            AS DOUBLE) AS hhi
+FROM brand
+ORDER BY p_brand
+""",
+)
+def q_supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per brand as a Herfindahl–Hirschman index
+    — HHI = Σ (supplier share)² ∈ (0, 1], the antitrust-style
+    single-supplier-risk metric a supply-chain dashboard tracks (1.0 =
+    sole supplier).
+
+    The squared-share sum is computed WITHOUT materializing any share:
+    Σ(cᵢ/T)² = (Σcᵢ²)/T², so the whole statistic is exact integer
+    cent arithmetic — Σcᵢ² rides DECIMAL(38,0)/HUGEINT (cᵢ² alone can
+    pass int64 at corpus scale) — and ONE double division at the end.
+    Scale shape: one fact-scan aggregate on (brand, supplier) with a
+    broadcast part-dim join, then a brand-level re-aggregate; both
+    partial-aggregatable, no windows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    vol = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    brand = vol.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(
+            F.expr("CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))")
+        ).alias("sum_sq"),
+    )
+    return brand.select(
+        "p_brand",
+        F.col("n_suppliers").cast("long"),
+        F.col("total_cents").cast("long"),
+        F.expr(
+            "CAST(round(sum_sq / (1.0D * CAST(total_cents AS DECIMAL(38,0))"
+            " * CAST(total_cents AS DECIMAL(38,0))), 6) AS DOUBLE)"
+        ).alias("hhi"),
+    ).orderBy("p_brand")
