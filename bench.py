@@ -148,6 +148,7 @@ HEADLINE = [
     "ma_crossover_signal",
     "customer_ltv_deciles",
     "supplier_hhi_by_brand",
+    "window_rank_functions",
 ]
 
 REPEATS = 2

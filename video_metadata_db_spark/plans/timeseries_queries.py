@@ -1198,3 +1198,63 @@ def q_ma_crossover_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("boolean")
         .alias("death_cross"),
     ).orderBy("day")
+
+
+@query(
+    "window_rank_functions",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+       CAST(round(cume_dist() OVER (PARTITION BY event_type
+                                    ORDER BY cents, day), 6) AS DOUBLE)
+         AS cume,
+       nth_value(day, 3) OVER (PARTITION BY event_type
+                               ORDER BY cents DESC, day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+         AS third_best_day,
+       first_value(day) OVER (PARTITION BY event_type
+                              ORDER BY cents DESC, day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING)
+         AS best_day
+FROM daily
+ORDER BY event_type, day
+""",
+)
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining §2.8 analytic-window surface in one query:
+    ``cume_dist`` (each day's revenue percentile within its type),
+    ``nth_value`` and ``first_value`` over an explicit
+    unbounded-both-ways frame (the type's 3rd-best and best revenue
+    days, broadcast to every row of the partition).
+
+    Every window orders by a TOTAL key (cents, then day) so ties are
+    deterministic; cume_dist is an exact rational k/N — one double
+    division, same in both engines.  The day-grain pre-aggregation
+    bounds each partition at |days| rows, so the windows never touch
+    corpus-sized data."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    w_asc = Window.partitionBy("event_type").orderBy("cents", "day")
+    w_full = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("cents").desc(), "day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("cents").cast("long").alias("cents"),
+        F.round(F.cume_dist().over(w_asc), 6).cast("double").alias("cume"),
+        F.nth_value("day", 3).over(w_full).alias("third_best_day"),
+        F.first_value("day").over(w_full).alias("best_day"),
+    ).orderBy("event_type", "day")
