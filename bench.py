@@ -149,6 +149,8 @@ HEADLINE = [
     "customer_ltv_deciles",
     "supplier_hhi_by_brand",
     "window_rank_functions",
+    "phrase_search_positional",
+    "sample_weighted_aes",
 ]
 
 REPEATS = 2

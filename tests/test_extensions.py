@@ -544,3 +544,52 @@ def test_ivf_adc_composition_and_recall(spark):
     got = {(r["query_id"], r["cand_id"]) for r in ivf}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.1, f"IVFADC recall {recall:.2f}"
+
+
+def test_phrase_search_adjacency_golden(spark, tmp_path):
+    """Phrase match requires ADJACENCY over non-empty tokens: 'hash
+    join' must match across a double space (positions index filtered
+    tokens), must NOT match 'hash X join', and overlapping occurrences
+    count independently."""
+    from video_metadata_db_spark.plans import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash  join"),  # double space: still adjacent after filter
+            (2, "hash scan join"),  # gap: no match
+            (3, "hash join hash join"),  # two matches
+            (4, "join hash"),  # wrong order: no match
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "sf")
+    docs.write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in QUERIES["phrase_search_positional"](spark, d).collect()
+    }
+    assert got == {1: (1, 0), 3: (2, 0)}
+
+
+def test_sample_weighted_aes_is_weighted_and_fixed_size(spark, sf_dir):
+    """A-ES invariants on the real fixture: exactly k distinct docs,
+    deterministic across runs, and the selected set is length-biased —
+    mean token count of the sample exceeds the corpus mean (weights
+    span a wide range, k ≪ n, so this holds by a large margin)."""
+    from video_metadata_db_spark.plans import QUERIES
+
+    a = QUERIES["sample_weighted_aes"](spark, sf_dir).collect()
+    b = QUERIES["sample_weighted_aes"](spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    ids = {r["doc_id"] for r in a}
+    assert len(ids) == len(a) == 25
+
+    from video_metadata_db_spark.functions.text import token_count
+    from video_metadata_db_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg(token_count(F.col("text")))).first()[0]
+    sample_mean = sum(r["n_tokens"] for r in a) / len(a)
+    assert sample_mean > corpus_mean

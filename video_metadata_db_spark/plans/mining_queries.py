@@ -1819,3 +1819,62 @@ def q_supplier_hhi_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(total_cents AS DECIMAL(38,0))), 6) AS DOUBLE)"
         ).alias("hhi"),
     ).orderBy("p_brand")
+
+
+_PHRASE = ("hash", "join")
+
+
+@query(
+    "phrase_search_positional",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.x AS term, t.i - 1 AS pos
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 list_filter(string_split(text, ' '), x -> x <> ''),
+                 (x, i) -> struct_pack(x := x, i := i))) AS t
+        FROM documents)
+),
+a AS (SELECT doc_id, pos FROM toks WHERE term = '{_PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = '{_PHRASE[1]}')
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(a.pos) AS INT) AS first_pos
+FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id
+ORDER BY a.doc_id
+""",
+)
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search ("hash join") via a POSITIONAL inverted
+    index — the retrieval primitive BM25's bag-of-words scoring cannot
+    express: adjacency.  Postings are (doc_id, position) lists per
+    term; a phrase of n terms is an n-way equi-join of its terms'
+    postings on (doc_id, pos + offset), here n=2.
+
+    Scale shape: the posting stream is filtered to the phrase's terms
+    BEFORE its only shuffle, so the join moves |postings(t1)| +
+    |postings(t2)| narrow rows keyed by (doc_id, pos) — the corpus
+    text never shuffles.  For a selective phrase the rarest term's
+    postings would broadcast (AQE decides here); counts and first
+    positions are partial-aggregatable.  Positions index NON-EMPTY
+    tokens (same `tokens_of` filter as every text operator), pinned
+    against the 1-based DuckDB `list_transform` ordinal by the value
+    oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_of(F.col("text"))).alias("pos", "term")
+    )
+    a = toks.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    b = toks.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").cast("int").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -712,3 +712,80 @@ def q_sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_picks") > 0)
         .orderBy("doc_id")
     )
+
+
+_AES_K = 25
+_AES_SEED = "aes1:"
+_AES_DENOM = float(2**60)  # hk is 15 hex digits = 60 bits, so u = (hk+1)/2^60 ∈ (0,1]
+
+
+@query(
+    "sample_weighted_aes",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST(concat('0x',
+              substr(md5(concat('{_AES_SEED}', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS hk
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(round(round(ln((hk + 1) / {2**60}.0), 6) / n_tokens, 9) AS DOUBLE)
+         AS aes_key
+FROM keyed
+WHERE n_tokens > 0
+ORDER BY aes_key DESC, doc_id
+LIMIT {_AES_K}
+""",
+)
+def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fixed size k — the
+    Efraimidis–Spirakis exponential-key (A-ES) design: each doc gets
+    key ln(u)/w for a seeded-hash uniform u and weight w (token
+    count); the k largest keys are exactly a w-weighted draw without
+    replacement.  Complements `sample_pps_systematic` (fixed expected
+    rate, WITH multiplicity): this is the form a curation pipeline
+    uses to cut a fixed-budget subset biased toward long docs but
+    never repeating one.
+
+    Float discipline (the proven recipe): u = (hk+1)/2^60 is an exact
+    power-of-two scaling of the same 60-bit integer in both engines;
+    the one transcendental ln is rounded to 6 dp before reuse; the one
+    double division by the integer weight happens on bit-identical
+    operands and is rounded to 9 dp; the final order is TOTAL
+    (key desc, doc_id).  Scale shape: keys are embarrassingly parallel
+    per row; top-k is TakeOrderedAndProject (per-partition heaps + one
+    k-row merge at the driver) — no global sort, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_AES_SEED), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hk"),
+    ).filter(F.col("n_tokens") > 0)
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.round(F.log((F.col("hk") + 1) / F.lit(_AES_DENOM)), 6)
+                / F.col("n_tokens"),
+                9,
+            )
+            .cast("double")
+            .alias("aes_key"),
+        )
+        .orderBy(F.col("aes_key").desc(), "doc_id")
+        .limit(_AES_K)
+    )
