@@ -151,6 +151,8 @@ HEADLINE = [
     "window_rank_functions",
     "phrase_search_positional",
     "sample_weighted_aes",
+    "scd2_point_snapshot",
+    "rolling_active_users",
 ]
 
 REPEATS = 2

@@ -1258,3 +1258,174 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("day", 3).over(w_full).alias("third_best_day"),
         F.first_value("day").over(w_full).alias("best_day"),
     ).orderBy("event_type", "day")
+
+
+_SCD2_PROBES = ("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-27 00:00:00")
+
+
+@query(
+    "scd2_point_snapshot",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM ordered
+),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM changes
+),
+intervals AS (
+  SELECT user_id, event_type, run_id, MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, event_type, run_id
+),
+scd2 AS (
+  SELECT user_id, event_type, CAST(run_id AS BIGINT) AS version, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+  FROM intervals
+),
+probes AS (
+  SELECT CAST(p AS TIMESTAMP) AS probe_ts
+  FROM (VALUES {", ".join(f"('{p}')" for p in _SCD2_PROBES)}) v(p)
+)
+SELECT p.probe_ts, s.user_id, s.event_type, s.version
+FROM scd2 s JOIN probes p
+  ON s.valid_from <= p.probe_ts
+ AND (s.valid_to IS NULL OR p.probe_ts < s.valid_to)
+ORDER BY p.probe_ts, s.user_id
+""",
+)
+def q_scd2_point_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension snapshots from the SCD2 build: for each
+    probe timestamp, reconstruct every user's then-current state —
+    the time-travel read that versioned dimensions exist for (the
+    batch twin of the materialized-view `snapshot_diff`).
+
+    The probe set rides an EXPLODED LITERAL ARRAY on the interval
+    rows — no join operator at all (the no-cartesian gate covers this
+    query like every other), each interval emits only the probes its
+    [valid_from, valid_to) span contains, and current versions
+    (NULL valid_to) stay open-ended.  Scale shape: intervals per user
+    are run-count-bounded; cost is O(|intervals| · |probes|) before
+    the containment filter, with the same single user_id exchange as
+    the SCD2 build itself."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    scd2 = intervals.select(
+        "user_id",
+        "event_type",
+        F.col("run_id").cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    )
+    probe_arr = F.array(
+        *[F.lit(p).cast("timestamp") for p in _SCD2_PROBES]
+    )
+    return (
+        scd2.select(
+            F.explode(probe_arr).alias("probe_ts"),
+            "user_id",
+            "event_type",
+            "version",
+            "valid_from",
+            "valid_to",
+        )
+        .filter(
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+        )
+        .select("probe_ts", "user_id", "event_type", "version")
+        .orderBy("probe_ts", "user_id")
+    )
+
+
+@query(
+    "rolling_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+contrib AS (
+  SELECT user_id, day,
+         unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+           AS report_day
+  FROM ud
+),
+actual AS (SELECT DISTINCT day FROM ud)
+SELECT CAST(c.report_day AS DATE) AS day,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau7,
+       CAST(COUNT(DISTINCT CASE WHEN CAST(c.report_day AS DATE) = c.day
+                                THEN c.user_id END) AS BIGINT) AS dau
+FROM contrib c JOIN actual a ON CAST(c.report_day AS DATE) = a.day
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and EXACT trailing-7-day distinct active users (WAU) per
+    day — the engagement metric a sliding `COUNT(DISTINCT)` window
+    cannot express (distinct sets don't partial-aggregate across
+    frames).
+
+    The classic scale design: dedup to (user, day) once, then each
+    user-day CONTRIBUTES itself to the 7 report days whose trailing
+    window covers it (an exploded literal date sequence — no join,
+    no per-day rescan), so one distinct-aggregate over the contribution
+    stream yields every day's window at once.  Shuffle volume is
+    7·|user-days| narrow rows — linear, corpus-independent of window
+    length only in the constant.  Report days are semi-joined to days
+    that actually occur (broadcast-tiny calendar), so leading partial
+    windows report honestly and trailing phantom days never appear."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "report_day"
+        ),
+    )
+    actual = ud.select(F.col("day").alias("report_day")).distinct()
+    return (
+        contrib.join(F.broadcast(actual), "report_day", "left_semi")
+        .groupBy(F.col("report_day").alias("day"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("wau7"),
+            F.countDistinct(
+                F.when(F.col("report_day") == F.col("active_day"), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("dau"),
+        )
+        .orderBy("day")
+    )
