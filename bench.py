@@ -153,6 +153,7 @@ HEADLINE = [
     "sample_weighted_aes",
     "scd2_point_snapshot",
     "rolling_active_users",
+    "referential_integrity_audit",
 ]
 
 REPEATS = 2

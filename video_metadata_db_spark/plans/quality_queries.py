@@ -524,3 +524,168 @@ def q_skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("key_name")
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem),
+li_stats AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_quantity <= 0 OR l_extendedprice <= 0
+                  THEN 1 ELSE 0 END) AS bad_vals
+  FROM li
+),
+li_dup AS (
+  SELECT COALESCE(SUM(c - 1), 0) AS dups FROM (
+    SELECT COUNT(*) AS c FROM li GROUP BY l_orderkey, l_linenumber
+  ) WHERE c > 1
+),
+ord AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+o_n AS (SELECT COUNT(*) AS n FROM ord),
+orphan_li AS (
+  SELECT COUNT(*) AS n FROM li
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ord)
+),
+orphan_o AS (
+  SELECT COUNT(*) AS n FROM ord
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+),
+childless AS (
+  SELECT COUNT(*) AS n FROM ord
+  WHERE o_orderkey NOT IN (SELECT l_orderkey FROM li)
+),
+recon AS (
+  SELECT COUNT(*) AS n FROM ord o
+  JOIN (SELECT l_orderkey,
+               SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+        FROM li GROUP BY l_orderkey) s
+    ON o.o_orderkey = s.l_orderkey
+  WHERE CAST(round(o.o_totalprice * 100, 0) AS BIGINT) <> s.cents
+),
+ev AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls
+  FROM events
+)
+SELECT * FROM (
+  SELECT 'events_null_value' AS check_name,
+         CAST(nulls AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_total
+  FROM ev
+  UNION ALL
+  SELECT 'lineitem_dup_pk', CAST(dups AS BIGINT),
+         (SELECT CAST(n AS BIGINT) FROM li_stats) FROM li_dup
+  UNION ALL
+  SELECT 'lineitem_nonpositive_values', CAST(bad_vals AS BIGINT),
+         CAST(n AS BIGINT) FROM li_stats
+  UNION ALL
+  SELECT 'lineitem_orphan_orderkey', CAST(n AS BIGINT),
+         (SELECT CAST(n AS BIGINT) FROM li_stats) FROM orphan_li
+  UNION ALL
+  SELECT 'orders_childless', CAST(n AS BIGINT),
+         (SELECT CAST(n AS BIGINT) FROM o_n) FROM childless
+  UNION ALL
+  SELECT 'orders_orphan_custkey', CAST(n AS BIGINT),
+         (SELECT CAST(n AS BIGINT) FROM o_n) FROM orphan_o
+  UNION ALL
+  SELECT 'orders_price_reconciled', CAST(n AS BIGINT),
+         (SELECT CAST(n AS BIGINT) FROM o_n) FROM recon
+)
+ORDER BY check_name
+""",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-quality panel — the warehouse-level complement
+    of the single-table `quality_expectations` gate: FK orphan checks
+    in both directions (lineitem→orders, orders→customer), childless
+    parents, duplicate primary keys, domain checks (non-positive
+    quantity/price, NULL measure rate), and header/detail money
+    reconciliation (o_totalprice vs Σ line cents — EXACT integer cents
+    on both sides, so the mismatch count cannot drift on a float ulp).
+
+    Scale shape: every check is either a single-scan aggregate (fused
+    per table: the lineitem scan serves the domain check, the dup-PK
+    rollup, and the reconciliation pre-agg) or a key-only anti-join
+    (null-safe NOT IN compiles to the same NullAwareAntiJoin the
+    `update_anti_join` parity path uses); the panel itself is a union
+    of 7 one-row frames — driver traffic is 7 scalars."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    events = load_table(spark, sf_dir, "events").select("value")
+
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= 0) | (F.col("l_extendedprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("bad_vals"),
+    )
+    n_li = li_stats.select("n")
+    li_dup = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("dups"))
+    )
+    o_n = ord_.agg(F.count(F.lit(1)).alias("n"))
+    orphan_li = (
+        li.join(ord_, li["l_orderkey"] == ord_["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_o = (
+        ord_.join(F.broadcast(cust), ord_["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    childless = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    li_sums = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("cents")
+    )
+    recon = (
+        ord_.join(li_sums, ord_["o_orderkey"] == li_sums["l_orderkey"])
+        .filter(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long") != F.col("cents")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ev = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("nulls"),
+    )
+
+    def row(name: str, viol: DataFrame, viol_col: str, total: DataFrame) -> DataFrame:
+        return viol.crossJoin(F.broadcast(total.select(F.col("n").alias("_t")))).select(
+            F.lit(name).alias("check_name"),
+            F.col(viol_col).cast("long").alias("n_violations"),
+            F.col("_t").cast("long").alias("n_total"),
+        )
+
+    panel = (
+        ev.select(
+            F.lit("events_null_value").alias("check_name"),
+            F.col("nulls").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_total"),
+        )
+        .unionByName(row("lineitem_dup_pk", li_dup, "dups", n_li))
+        .unionByName(
+            li_stats.select(
+                F.lit("lineitem_nonpositive_values").alias("check_name"),
+                F.col("bad_vals").cast("long").alias("n_violations"),
+                F.col("n").cast("long").alias("n_total"),
+            )
+        )
+        .unionByName(row("lineitem_orphan_orderkey", orphan_li, "n", n_li))
+        .unionByName(row("orders_childless", childless, "n", o_n))
+        .unionByName(row("orders_orphan_custkey", orphan_o, "n", o_n))
+        .unionByName(row("orders_price_reconciled", recon, "n", o_n))
+    )
+    return panel.orderBy("check_name")
