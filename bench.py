@@ -154,6 +154,8 @@ HEADLINE = [
     "scd2_point_snapshot",
     "rolling_active_users",
     "referential_integrity_audit",
+    "frequent_brand_triples",
+    "audience_overlap",
 ]
 
 REPEATS = 2

@@ -593,3 +593,35 @@ def test_sample_weighted_aes_is_weighted_and_fixed_size(spark, sf_dir):
     corpus_mean = docs.agg(F.avg(token_count(F.col("text")))).first()[0]
     sample_mean = sum(r["n_tokens"] for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_frequent_triples_prune_matches_naive(spark, tmp_path):
+    """On a basket set where the item/pair prune ENGAGES (a rare brand
+    below min-support rides along in two baskets), the A-Priori plan
+    must still return exactly the naive 3-way-join answer — downward
+    closure in action, on data the uniform main fixture can't produce."""
+    import pyspark.sql.functions as F
+
+    from video_metadata_db_spark.plans import QUERIES
+
+    # 6 baskets with {A,B,C}; the rare brand R only in 2 of them
+    rows, pid = [], 0
+    parts = []
+    for okey in range(1, 7):
+        for brand in ("A", "B", "C") + (("R",) if okey <= 2 else ()):
+            pid += 1
+            parts.append((pid, f"Brand#{brand}"))
+            rows.append((okey, pid))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    part = spark.createDataFrame(parts, "p_partkey long, p_brand string")
+    d = str(tmp_path / "sf")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    part.write.parquet(f"{d}/part.parquet")
+
+    got = [
+        (r["brand_a"], r["brand_b"], r["brand_c"], r["n_orders"])
+        for r in QUERIES["frequent_brand_triples"](spark, d).collect()
+    ]
+    # naive: only {A,B,C} reaches support 5 (6 baskets); every
+    # R-containing triple has an infrequent sub-pair (2 baskets)
+    assert got == [("Brand#A", "Brand#B", "Brand#C", 6)]

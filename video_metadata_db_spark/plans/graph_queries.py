@@ -467,3 +467,204 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree")
     )
+
+
+@query(
+    "frequent_brand_triples",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS order_id, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+triples AS (
+  SELECT a.item AS brand_a, b.item AS brand_b, c.item AS brand_c,
+         count(*) AS n_orders
+  FROM baskets a
+  JOIN baskets b ON a.order_id = b.order_id AND a.item < b.item
+  JOIN baskets c ON b.order_id = c.order_id AND b.item < c.item
+  GROUP BY 1, 2, 3
+),
+total AS (SELECT count(DISTINCT order_id) AS n_baskets FROM baskets)
+SELECT brand_a, brand_b, brand_c, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(round(n_orders / (1.0 * n_baskets), 6) AS DOUBLE) AS support
+FROM triples CROSS JOIN total
+WHERE n_orders >= {_PAIR_MIN_SUPPORT}
+ORDER BY n_orders DESC, brand_a, brand_b, brand_c
+LIMIT 30
+""",
+)
+def q_frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori LEVEL-3 mining — the step where downward closure does
+    real work: candidate triples are generated only from baskets'
+    FREQUENT PAIRS joined with a third frequent item, and every
+    candidate's three sub-pairs must themselves be frequent before the
+    triple is ever counted.  The oracle is deliberately the naive
+    3-way self-join: A-Priori's guarantee (no frequent triple has an
+    infrequent sub-pair) means the pruned plan must return EXACTLY the
+    naive answer — the value match is the closure-property proof.
+
+    Scale shape: expansion stays per-basket-quadratic-then-cubic only
+    on PRUNED items/pairs (heavy-tailed domains collapse here); the
+    frequent-pair list is vocabulary²-bounded and broadcast twice for
+    the two sub-pair membership checks; the only corpus-sized shuffles
+    are the basket build and the triple count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    freq_items = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
+        .select("item")
+    )
+    fb = baskets.join(F.broadcast(freq_items), "item").select("order_id", "item")
+    a, b = fb.alias("a"), fb.alias("b")
+    basket_pairs = a.join(
+        b,
+        (F.col("a.order_id") == F.col("b.order_id"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).select(
+        F.col("a.order_id").alias("order_id"),
+        F.col("a.item").alias("item_a"),
+        F.col("b.item").alias("item_b"),
+    )
+    freq_pairs = (
+        basket_pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _PAIR_MIN_SUPPORT)
+        .select("item_a", "item_b")
+    )
+    # keep only within-basket pairs that are globally frequent, then
+    # extend each by a third frequent item c > b from the same basket
+    fp = basket_pairs.join(F.broadcast(freq_pairs), ["item_a", "item_b"]).alias("fp")
+    c = fb.alias("c")
+    cand = fp.join(
+        c,
+        (F.col("fp.order_id") == F.col("c.order_id"))
+        & (F.col("item_b") < F.col("c.item")),
+    ).select(
+        F.col("fp.order_id").alias("order_id"),
+        "item_a",
+        "item_b",
+        F.col("c.item").alias("item_c"),
+    )
+    # downward closure: (a,c) and (b,c) must also be frequent pairs
+    cand = cand.join(
+        F.broadcast(
+            freq_pairs.select(
+                F.col("item_a").alias("item_a"), F.col("item_b").alias("item_c")
+            )
+        ),
+        ["item_a", "item_c"],
+        "left_semi",
+    ).join(
+        F.broadcast(
+            freq_pairs.select(
+                F.col("item_a").alias("item_b"), F.col("item_b").alias("item_c")
+            )
+        ),
+        ["item_b", "item_c"],
+        "left_semi",
+    )
+    triples = (
+        cand.groupBy(
+            F.col("item_a").alias("brand_a"),
+            F.col("item_b").alias("brand_b"),
+            F.col("item_c").alias("brand_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _PAIR_MIN_SUPPORT)
+    )
+    total = baskets.agg(F.count_distinct(F.col("order_id")).alias("n_baskets"))
+    return (
+        triples.crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("n_orders") / (F.lit(1.0) * F.col("n_baskets")), 6)
+            .cast("double")
+            .alias("support"),
+        )
+        .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b", "brand_c")
+        .limit(30)
+    )
+
+
+@query(
+    "audience_overlap",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(na.n_users AS BIGINT) AS n_a,
+       CAST(nb.n_users AS BIGINT) AS n_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(round(i.n_both / (1.0 * (na.n_users + nb.n_users - i.n_both)), 6)
+            AS DOUBLE) AS jaccard
+FROM inter i
+JOIN n na ON na.event_type = i.type_a
+JOIN n nb ON nb.event_type = i.type_b
+ORDER BY type_a, type_b
+""",
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix between event types: |A∩B|, set
+    sizes, and Jaccard for every type pair — the segmentation overlap
+    report marketing/experimentation stacks compute, and the EXACT twin
+    the HLL-sketch intersection estimate would be audited against.
+
+    Scale shape: dedup to (user, type) once; the pair expansion is
+    per-USER quadratic (bounded by |types| per user, never corpus
+    size) — the same bounded-fanout self-join discipline as the basket
+    miner; per-type sizes are a vocabulary-sized aggregate broadcast
+    onto the |types|²-bounded result.  Union sizes come from
+    inclusion–exclusion on exact integers; one rounded division per
+    output row."""
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("user_id", "event_type").distinct()
+    n = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = n.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    nb = n.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(
+                F.col("n_both")
+                / (F.lit(1.0) * (F.col("n_a") + F.col("n_b") - F.col("n_both"))),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
