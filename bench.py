@@ -156,6 +156,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "frequent_brand_triples",
     "audience_overlap",
+    "wau_hll_rollup",
 ]
 
 REPEATS = 2

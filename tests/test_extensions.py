@@ -625,3 +625,22 @@ def test_frequent_triples_prune_matches_naive(spark, tmp_path):
     # naive: only {A,B,C} reaches support 5 (6 baskets); every
     # R-containing triple has an infrequent sub-pair (2 baskets)
     assert got == [("Brand#A", "Brand#B", "Brand#C", 6)]
+
+
+def test_wau_hll_tracks_exact(spark, sf_dir):
+    """The sketch-merge WAU must track the exact rolling distinct count
+    within HLL's error envelope (lgK=12 default → ~1.6% std error; 5%
+    is a generous pin) on every report day."""
+    from video_metadata_db_spark.plans import QUERIES
+
+    exact = {
+        r["day"]: r["wau7"]
+        for r in QUERIES["rolling_active_users"](spark, sf_dir).collect()
+    }
+    est = {
+        r["day"]: r["wau7_estimate"]
+        for r in QUERIES["wau_hll_rollup"](spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    worst = max(abs(est[d] - exact[d]) / exact[d] for d in exact)
+    assert worst < 0.05, f"HLL WAU off by {worst:.3%}"

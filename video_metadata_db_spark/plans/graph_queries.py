@@ -521,16 +521,29 @@ def q_frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
         .select("item")
     )
-    fb = baskets.join(F.broadcast(freq_items), "item").select("order_id", "item")
+    # fb fans out to three self-join legs and basket_pairs to two
+    # consumers (pair support + candidate extension) — materialize each
+    # ONCE (localCheckpoint keeps AQE in the downstream plan; a plain
+    # scoped persist would strip runtime coalescing, see
+    # _supplier_edges) instead of re-running the basket self-join.
+    fb = (
+        baskets.join(F.broadcast(freq_items), "item")
+        .select("order_id", "item")
+        .localCheckpoint(eager=True)
+    )
     a, b = fb.alias("a"), fb.alias("b")
-    basket_pairs = a.join(
-        b,
-        (F.col("a.order_id") == F.col("b.order_id"))
-        & (F.col("a.item") < F.col("b.item")),
-    ).select(
-        F.col("a.order_id").alias("order_id"),
-        F.col("a.item").alias("item_a"),
-        F.col("b.item").alias("item_b"),
+    basket_pairs = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .select(
+            F.col("a.order_id").alias("order_id"),
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .localCheckpoint(eager=True)
     )
     freq_pairs = (
         basket_pairs.groupBy("item_a", "item_b")

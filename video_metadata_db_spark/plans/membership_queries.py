@@ -64,3 +64,43 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query("wau_hll_rollup", oracle=None)
+def q_wau_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users from MERGED per-day HLL sketches —
+    the 100 TB architecture for `rolling_active_users`: the corpus is
+    touched ONCE to build one mergeable sketch per day (at scale these
+    persist as the incremental rollup state), then every report day is
+    a union of 7 day-sketches — re-windowing (7→28 days, month ends)
+    never rescans raw events, only re-merges day sketches.
+
+    Same exploded-contribution shape as the exact twin, but the shuffle
+    payload is |days|·7 fixed-size sketches instead of 7·|user-days|
+    user rows.  Rows-only check (estimates are implementation-defined);
+    accuracy vs the exact query is pinned by
+    ``test_wau_hll_tracks_exact``."""
+    ev = load_table(spark, sf_dir, "events")
+    day_sk = (
+        ev.select(F.date_trunc("day", "ts").cast("date").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    contrib = day_sk.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "report_day"
+        ),
+        "sk",
+    )
+    actual = day_sk.select(F.col("day").alias("report_day"))
+    return (
+        contrib.join(F.broadcast(actual), "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("long")
+            .alias("wau7_estimate")
+        )
+        .select(F.col("report_day").alias("day"), "wau7_estimate")
+        .orderBy("day")
+    )
