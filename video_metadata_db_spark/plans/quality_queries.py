@@ -604,11 +604,13 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     reconciliation (o_totalprice vs Σ line cents — EXACT integer cents
     on both sides, so the mismatch count cannot drift on a float ulp).
 
-    Scale shape: every check is either a single-scan aggregate (fused
-    per table: the lineitem scan serves the domain check, the dup-PK
-    rollup, and the reconciliation pre-agg) or a key-only anti-join
-    (null-safe NOT IN compiles to the same NullAwareAntiJoin the
-    `update_anti_join` parity path uses); the panel itself is a union
+    Scale shape: every check is a column-pruned aggregate or key-only
+    anti-join over a 2-4-column projection — the plan re-scans each
+    table per check (5 pruned lineitem scans; Catalyst does not dedupe
+    scans across a union), which is the right default since pruned
+    parquet scans are cheap and independent checks parallelize; if
+    scans ever dominate, persist the shared projection once and the
+    checks run off the cache unchanged.  The panel itself is a union
     of 7 one-row frames — driver traffic is 7 scalars."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
