@@ -157,6 +157,8 @@ HEADLINE = [
     "frequent_brand_triples",
     "audience_overlap",
     "wau_hll_rollup",
+    "twap_event_values",
+    "rfm_segments",
 ]
 
 REPEATS = 2

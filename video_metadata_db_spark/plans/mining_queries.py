@@ -1878,3 +1878,92 @@ def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: 2024-01-31T00:00:00 UTC in µs — fixed "as of" anchor for recency
+#: (one day after the fixture's last event; data-independent).
+_RFM_END_US = 1_706_659_200 * 1_000_000
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         ({_RFM_END_US} - max(epoch_us(ts))) // 86400000000 AS recency_days,
+         count(*) AS freq,
+         COALESCE(SUM(CAST(round(value * 100, 0) AS BIGINT)), 0) AS cents
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY recency_days, user_id) - 1 AS r_pos,
+         row_number() OVER (ORDER BY freq DESC, user_id) - 1 AS f_pos,
+         row_number() OVER (ORDER BY cents DESC, user_id) - 1 AS m_pos,
+         COUNT(*) OVER () AS n
+  FROM per_user
+)
+SELECT CAST((r_pos * 5) // n AS INTEGER) AS r_score,
+       CAST((f_pos * 5) // n AS INTEGER) AS f_score,
+       CAST((m_pos * 5) // n AS INTEGER) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM ranked
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — every user scored 0-4 on Recency (days from
+    last event to a fixed anchor; 0 = most recent), Frequency (0 =
+    most active), and Monetary (0 = top spender), then rolled up to
+    segment headcounts and revenue: the classic churn/value grid a
+    lifecycle-marketing stack keys campaigns on.
+
+    All three quintile assignments are ``(pos · 5) div n`` over the
+    DISTRIBUTED two-pass prefix-sum rank (`global_row_number`) — same
+    no-single-reducer machinery as `customer_ltv_deciles`, applied
+    three times on total-order keys (metric, user_id); the oracle runs
+    the naive row_number windows over the same integer formula, so the
+    value match proves all three distributed ranks.  Recency anchors
+    to a FIXED timestamp (not max(ts)) so scores are reproducible
+    as-of; every metric is an exact integer."""
+    from ..operators.packing import global_row_number
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.expr(
+            f"({_RFM_END_US}L - max(unix_micros(ts))) div 86400000000L"
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("freq"),
+        F.coalesce(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
+        ).alias("cents"),
+    )
+    r = global_row_number(per_user, "recency_days", "user_id", out_col="r_pos")
+    f_ranked = global_row_number(
+        per_user.withColumn("neg_f", -F.col("freq")), "neg_f", "user_id",
+        out_col="f_pos",
+    ).select("user_id", "f_pos")
+    m_ranked = global_row_number(
+        per_user.withColumn("neg_m", -F.col("cents")), "neg_m", "user_id",
+        out_col="m_pos",
+    ).select("user_id", "m_pos")
+    n = per_user.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        r.join(f_ranked, "user_id")
+        .join(m_ranked, "user_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.expr("CAST((r_pos * 5) div n AS INT)").alias("r_score"),
+            F.expr("CAST((f_pos * 5) div n AS INT)").alias("f_score"),
+            F.expr("CAST((m_pos * 5) div n AS INT)").alias("m_score"),
+            "cents",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1429,3 +1429,90 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "twap_event_values",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+seg AS (
+  SELECT event_type, cents,
+         epoch_us(ts) AS t_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                  ORDER BY ts, cents) AS t_next_us
+  FROM iv
+),
+held AS (
+  SELECT event_type,
+         CAST(cents AS HUGEINT) * CAST(t_next_us - t_us AS HUGEINT)
+           AS weighted,
+         t_next_us - t_us AS dur_us
+  FROM seg WHERE t_next_us IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       CAST(round(CAST(SUM(weighted) AS DOUBLE)
+                  / CAST(SUM(dur_us) AS DOUBLE), 4) AS DOUBLE)
+         AS twap_cents
+FROM held
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_twap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per event type over
+    IRREGULARLY sampled observations — each value is held until the
+    next observation, so the mean weights by holding DURATION, not by
+    sample count (the estimator finance desks and metrics pipelines
+    use when sampling is bursty; a plain AVG over-weights busy
+    periods).
+
+    Exactness: weights are cents × microseconds — both exact integers
+    — accumulated in 128-bit (HUGEINT / DECIMAL(38,0)) so magnitude
+    (~1e17 per segment) never saturates; ONE double division per
+    output row.  The lead() that forms holding segments rides a
+    per-type window ordered by a TOTAL key (ts, cents); shuffle is one
+    hash exchange on event_type."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = events.select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "cents")
+    seg = iv.select(
+        "event_type",
+        "cents",
+        F.unix_micros("ts").alias("t_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next_us"),
+    ).filter(F.col("t_next_us").isNotNull())
+    d38 = "decimal(38,0)"
+    return (
+        seg.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum(F.col("t_next_us") - F.col("t_us")).cast("long").alias("total_us"),
+            F.sum(
+                F.col("cents").cast(d38)
+                * (F.col("t_next_us") - F.col("t_us")).cast(d38)
+            ).alias("_weighted"),
+        )
+        .select(
+            "event_type",
+            "n_segments",
+            "total_us",
+            F.round(
+                F.col("_weighted").cast("double")
+                / F.col("total_us").cast("double"),
+                4,
+            )
+            .cast("double")
+            .alias("twap_cents"),
+        )
+        .orderBy("event_type")
+    )
