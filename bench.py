@@ -159,6 +159,9 @@ HEADLINE = [
     "wau_hll_rollup",
     "twap_event_values",
     "rfm_segments",
+    "psi_value_drift",
+    "benford_first_digit",
+    "sequence_gap_audit",
 ]
 
 REPEATS = 2

@@ -644,3 +644,25 @@ def test_wau_hll_tracks_exact(spark, sf_dir):
     assert set(est) == set(exact)
     worst = max(abs(est[d] - exact[d]) / exact[d] for d in exact)
     assert worst < 0.05, f"HLL WAU off by {worst:.3%}"
+
+
+def test_sequence_gap_audit_bridges_empty_buckets(spark, tmp_path):
+    """The distributed gap decomposition must bridge ENTIRELY EMPTY
+    buckets (rank-adjacency join, not bucket-id adjacency): keys 5, 7,
+    2500 span buckets 0 and 2 with bucket 1 missing — one within-bucket
+    gap (6..6) and one boundary gap crossing the empty bucket
+    (8..2499)."""
+    from video_metadata_db_spark.plans import QUERIES
+
+    orders = spark.createDataFrame(
+        [(5, "O"), (7, "O"), (2500, "O"), (6, "F")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    d = str(tmp_path / "sf")
+    orders.write.parquet(f"{d}/orders.parquet")
+
+    got = [
+        (r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in QUERIES["sequence_gap_audit"](spark, d).collect()
+    ]
+    assert got == [(8, 2499, 2492), (6, 6, 1)]

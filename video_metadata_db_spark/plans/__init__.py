@@ -43,9 +43,14 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: correlation_matrix, entropy_by_source, markov_transitions,
 #: peak_concurrency, skyline_pareto, funnel_time_to_convert,
 #: rolling_median_values, stream_cms_heavy_hitters,
-#: distinctive_terms_logodds.  Rotate ~12 in next round once the r5
-#: window members have their CORRECTNESS row, keeping ≥1 green
-#: representative per family as usual.
+#: distinctive_terms_logodds; plus the end-of-r5 batch (each verified
+#: at sf0.001/0.01/0.1 in fresh processes): window_rank_functions,
+#: phrase_search_positional, sample_weighted_aes, scd2_point_snapshot,
+#: rolling_active_users, referential_integrity_audit,
+#: frequent_brand_triples, audience_overlap, twap_event_values,
+#: rfm_segments.  Rotate ~12 in next round once the r5 window members
+#: have their CORRECTNESS row, keeping ≥1 green representative per
+#: family as usual.
 CHECKED_FIRST = [
     # reference parity (the three modes of the original tool)
     "variant_report",

@@ -9,7 +9,7 @@ independent aggregate, proving the fused pass loses nothing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.expectations import (
@@ -691,3 +691,263 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .unionByName(row("orders_price_reconciled", recon, "n", o_n))
     )
     return panel.orderBy("check_name")
+
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+
+
+@query(
+    "psi_value_drift",
+    oracle=f"""
+WITH iv AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         ts < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM events WHERE value IS NOT NULL
+),
+edges AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM iv WHERE is_ref
+),
+binned AS (
+  SELECT LEAST(GREATEST(((cents - lo) * 10) // (hi - lo + 1), 0), 9) AS bin,
+         is_ref
+  FROM iv CROSS JOIN edges
+),
+counts AS (
+  SELECT g.bin,
+         COALESCE(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END), 0) AS ref_n,
+         COALESCE(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END), 0) AS cur_n
+  FROM (SELECT unnest(generate_series(0, 9)) AS bin) g
+  LEFT JOIN binned b ON b.bin = g.bin
+  GROUP BY g.bin
+),
+tot AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM counts),
+terms AS (
+  SELECT bin, ref_n, cur_n,
+         CAST(round(((ref_n + 1) / (1.0 * (rt + 10))
+                     - (cur_n + 1) / (1.0 * (ct + 10)))
+                    * ln(((ref_n + 1) / (1.0 * (rt + 10)))
+                         / ((cur_n + 1) / (1.0 * (ct + 10)))), 9)
+              AS DECIMAL(18,9)) AS psi_term
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+       CAST(ref_n AS BIGINT) AS ref_n,
+       CAST(cur_n AS BIGINT) AS cur_n,
+       CAST(psi_term AS DOUBLE) AS psi_term,
+       CAST(SUM(psi_term) OVER () AS DOUBLE) AS psi_total
+FROM terms
+ORDER BY bin
+""",
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-value distribution,
+    first half of the month (reference) vs the rest (current) — THE
+    drift metric model-monitoring stacks alarm on (PSI > 0.2 =
+    retrain).  Ten equi-width bins on integer cents with edges from
+    the REFERENCE side only (integer multiply/div binning, clamped, so
+    current-period outliers land in the edge bins); add-one smoothing
+    keeps empty bins finite.
+
+    Determinism: the same discipline as the KL oracle — probabilities
+    are exact count ratios, each (p−q)·ln(p/q) term is quantized to
+    DECIMAL(18,9) BEFORE summation, so the total is associative-exact
+    at any parallelism; the bin grid is generated (0..9), never
+    inferred, so both engines see identical empty bins.  Scale shape:
+    one corpus scan into a 10-row matrix; everything after is
+    bin-cardinality work."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    iv = events.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_ref"),
+    )
+    edges = iv.filter("is_ref").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    binned = iv.crossJoin(F.broadcast(edges)).select(
+        F.expr(
+            "LEAST(GREATEST(((cents - lo) * 10) div (hi - lo + 1), 0L), 9L)"
+        ).alias("bin"),
+        "is_ref",
+    )
+    counts = (
+        spark.range(10)
+        .select(F.col("id").alias("bin"))
+        .join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0)), F.lit(0)
+            ).alias("ref_n"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)), F.lit(0)
+            ).alias("cur_n"),
+        )
+    )
+    tot = counts.agg(F.sum("ref_n").alias("rt"), F.sum("cur_n").alias("ct"))
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "ref_n",
+        "cur_n",
+        F.expr(
+            "CAST(round(((ref_n + 1) / (1.0D * (rt + 10))"
+            " - (cur_n + 1) / (1.0D * (ct + 10)))"
+            " * ln(((ref_n + 1) / (1.0D * (rt + 10)))"
+            " / ((cur_n + 1) / (1.0D * (ct + 10)))), 9)"
+            " AS DECIMAL(18,9))"
+        ).alias("psi_term"),
+    )
+    w_all = Window.partitionBy()  # 10 rows — bin-cardinality, never corpus
+    return terms.select(
+        F.col("bin").cast("int").alias("bin"),
+        F.col("ref_n").cast("long").alias("ref_n"),
+        F.col("cur_n").cast("long").alias("cur_n"),
+        F.col("psi_term").cast("double").alias("psi_term"),
+        F.sum("psi_term").over(w_all).cast("double").alias("psi_total"),
+    ).orderBy("bin")
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT g.digit,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders,
+       CAST(round(COALESCE(o.n, 0) / (1.0 * t), 6) AS DOUBLE) AS obs_share,
+       CAST(round(ln(1.0 + 1.0 / g.digit) / ln(10.0), 6) AS DOUBLE)
+         AS benford_share,
+       CAST(CAST(round(round(ln(1.0 + 1.0 / g.digit) / ln(10.0), 6) * t, 0)
+                 AS BIGINT) AS BIGINT) AS expected_n
+FROM (SELECT unnest(generate_series(1, 9)) AS digit) g
+LEFT JOIN obs o ON o.digit = g.digit
+CROSS JOIN tot
+ORDER BY g.digit
+""",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the
+    fraud/forensics screen: natural multi-scale amounts follow
+    P(d) = log10(1 + 1/d); fabricated or clipped data shows up as a
+    flat or spiked digit histogram (the synthetic fixture's uniform
+    pricing deliberately FAILS Benford — the audit's point is the
+    comparison columns, not conformity).
+
+    Exactness: digits come from the integer-cents string (no float
+    leading-digit extraction); observed counts are exact; the nine
+    Benford constants are each ONE ln-quotient rounded to 6 dp before
+    the expected-count multiply (then rounded once to a count) — the
+    proven transcendental discipline.  Digit grid is generated 1..9 so
+    absent digits report 0.  One scan into a 9-row matrix."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+            F.expr("CAST(round(COALESCE(n, 0) / (1.0D * t), 6) AS DOUBLE)").alias(
+                "obs_share"
+            ),
+            F.expr(
+                "CAST(round(ln(1.0D + 1.0D / digit) / ln(10.0D), 6) AS DOUBLE)"
+            ).alias("benford_share"),
+            F.expr(
+                "CAST(round(round(ln(1.0D + 1.0D / digit) / ln(10.0D), 6) * t, 0)"
+                " AS BIGINT)"
+            ).alias("expected_n"),
+        )
+        .orderBy("digit")
+    )
+
+
+_GAP_BUCKET = 1000
+_GAP_TOPK = 50
+
+
+@query(
+    "sequence_gap_audit",
+    oracle=f"""
+WITH k AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
+),
+g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+       CAST(nk - 1 AS BIGINT) AS gap_end,
+       CAST(nk - k - 1 AS BIGINT) AS n_missing
+FROM g WHERE nk - k > 1
+ORDER BY n_missing DESC, gap_start
+LIMIT {_GAP_TOPK}
+""",
+)
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id-range detector over the open-order key stream (the
+    ingest-completeness audit: every gap is a range of records some
+    upstream failed to deliver), reporting the {_GAP_TOPK} widest
+    gaps.
+
+    The oracle is the textbook single-window lead() — which is a
+    SINGLE-REDUCER global sort.  The Spark plan is the distributed
+    form: keys bucket by ``k div {_GAP_BUCKET}``; within-bucket gaps
+    come from a PARTITIONED lead; cross-bucket gaps come from
+    adjacent bucket summaries — adjacency via the two-pass prefix-sum
+    rank (`global_row_number`) self-equi-joined on rank+1, which
+    correctly bridges entirely-empty buckets.  The value match proves
+    the decomposition exact.  Top-k is TakeOrderedAndProject on the
+    total key (n_missing desc, gap_start)."""
+    from ..operators.packing import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") / _GAP_BUCKET).cast("long").alias("b"),
+    )
+    wb = Window.partitionBy("b").orderBy("k")
+    within = (
+        keys.withColumn("nk", F.lead("k").over(wb))
+        .filter(F.col("nk") - F.col("k") > 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nk") - 1).alias("gap_end"),
+        )
+    )
+    summ = keys.groupBy("b").agg(F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    ranked = global_row_number(summ, "b", "min_k", out_col="pos")
+    lo = ranked.select(F.col("pos").alias("pos"), F.col("max_k").alias("prev_max"))
+    hi = ranked.select(
+        (F.col("pos") - 1).alias("pos"), F.col("min_k").alias("next_min")
+    )
+    boundary = (
+        lo.join(hi, "pos")
+        .filter(F.col("next_min") - F.col("prev_max") > 1)
+        .select(
+            (F.col("prev_max") + 1).alias("gap_start"),
+            (F.col("next_min") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        within.unionByName(boundary)
+        .select(
+            F.col("gap_start").cast("long").alias("gap_start"),
+            F.col("gap_end").cast("long").alias("gap_end"),
+            (F.col("gap_end") - F.col("gap_start") + 1)
+            .cast("long")
+            .alias("n_missing"),
+        )
+        .orderBy(F.col("n_missing").desc(), "gap_start")
+        .limit(_GAP_TOPK)
+    )
