@@ -162,6 +162,8 @@ HEADLINE = [
     "psi_value_drift",
     "benford_first_digit",
     "sequence_gap_audit",
+    "weighted_median_price",
+    "attribution_multi_touch",
 ]
 
 REPEATS = 2

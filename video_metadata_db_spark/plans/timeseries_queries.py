@@ -1516,3 +1516,170 @@ def q_twap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "weighted_median_price",
+    oracle="""
+WITH iv AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem WHERE l_quantity > 0
+),
+grp AS (
+  SELECT flag, cents, SUM(w) AS w FROM iv GROUP BY flag, cents
+),
+cum AS (
+  SELECT flag, cents, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM grp
+)
+SELECT flag,
+       CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+       CAST(ANY_VALUE(tw) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY flag
+ORDER BY flag
+""",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the
+    "median unit actually shipped" statistic an unweighted
+    percentile gets wrong when cheap items ship in bulk: the smallest
+    price whose cumulative quantity reaches half the group's total.
+
+    The crossing test is ``2·cw ≥ tw`` — PURE INTEGER arithmetic, no
+    half-total float and no interpolation ambiguity between engines.
+    Scale shape: weights pre-aggregate per (flag, cents) — the
+    cumulative window runs over DISTINCT price points, not line items
+    (map-side combine does the volume work); the per-flag window is
+    value-domain-bounded.  The median extraction is a min over the
+    crossed suffix, partial-aggregatable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    grp = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = grp.select(
+        "flag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+            F.any_value("tw").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "attribution_multi_touch",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts AS pts FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id AS tid, user_id, ts AS tts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'signup')
+),
+touched AS (
+  SELECT p.pid, t.event_type,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY t.tts DESC, t.tid) AS rn
+  FROM p JOIN t ON t.user_id = p.user_id
+   AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 3 DAY
+),
+credit AS (
+  SELECT event_type, COUNT(*) AS n_touches,
+         SUM(CAST(2 AS BIGINT) ** (8 - rn)) AS credit_units
+  FROM touched WHERE rn <= 8
+  GROUP BY event_type
+),
+tot AS (SELECT SUM(credit_units) AS cu FROM credit)
+SELECT event_type,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(credit_units AS BIGINT) AS credit_units,
+       CAST(round(credit_units / (1.0 * cu), 6) AS DOUBLE) AS credit_share
+FROM credit CROSS JOIN tot
+ORDER BY event_type
+""",
+)
+def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-decay multi-touch attribution: each purchase credits
+    its ≤8 most recent prior touches (view/click/signup, same user,
+    3-day lookback) with geometrically decaying weight 2^(8−rank) —
+    the marketing-mix middle ground between last-touch (`join_asof_
+    attribution`) and uniform credit.
+
+    Exactness: the decay weights are exact POWERS OF TWO summed as
+    integers — no float decay product anywhere; the single share
+    division happens once per output row.  Scale shape: purchases ⋈
+    touches is a user-keyed equi-join with a time-range predicate
+    (per-user fanout is session-bounded; at 100 TB pre-bucket both
+    sides by (user, day) like `join_range_binned`), the per-purchase
+    recency rank is a purchase-partitioned window, and the rollup is a
+    |types|-row aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    t = events.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("event_id").alias("tid"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        "event_type",
+    )
+    touched = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 3 DAY")),
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("tts").desc(), "tid")
+    credit = (
+        touched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("shiftleft(1L, 8 - rn)"))
+            .cast("long")
+            .alias("credit_units"),
+        )
+    )
+    tot = credit.agg(F.sum("credit_units").alias("cu"))
+    return (
+        credit.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_touches",
+            "credit_units",
+            F.round(F.col("credit_units") / (F.lit(1.0) * F.col("cu")), 6)
+            .cast("double")
+            .alias("credit_share"),
+        )
+        .orderBy("event_type")
+    )
