@@ -164,6 +164,8 @@ HEADLINE = [
     "sequence_gap_audit",
     "weighted_median_price",
     "attribution_multi_touch",
+    "topk_diverse_docs",
+    "wow_growth_report",
 ]
 
 REPEATS = 2

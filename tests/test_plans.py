@@ -60,6 +60,14 @@ def test_window_topk_group_limit(spark):
     )
 
 
+def test_diverse_topk_prunes_then_takes(spark):
+    """The per-source cap must prune below the window sort AND the
+    global top-20 must avoid a full sort."""
+    p = plan_of(spark, "topk_diverse_docs")
+    assert "WindowGroupLimit" in p, "src_rank<=5 must push a group limit"
+    assert "TakeOrderedAndProject" in p, "global LIMIT must not fully sort"
+
+
 def test_knn_broadcasts_queries(spark):
     p = plan_of(spark, "knn_cosine_topk")
     assert "BroadcastNestedLoopJoin" in p, "the small query set must broadcast"

@@ -587,3 +587,48 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     ).orderBy("source")
+
+
+@query(
+    "topk_diverse_docs",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(src_rank AS INTEGER) AS src_rank
+FROM ranked
+WHERE src_rank <= 5
+ORDER BY n_chars DESC, doc_id
+LIMIT 20
+""",
+)
+def q_topk_diverse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-capped top-k: the 20 longest documents with AT MOST 5
+    per source — the fairness constraint a curation sampler applies so
+    one dominant source can't monopolize a global top-k (same pattern
+    serves "top ads per advertiser", "top results per domain").
+
+    Scale shape: the per-source cap runs FIRST as a partitioned
+    window (WindowGroupLimit prunes to ≤5 rows per source before any
+    global work — the same plan gate as `window_topk_per_group`), then
+    the global top-20 is TakeOrderedAndProject over the |sources|·5
+    survivors.  Keys are total orders (n_chars desc, doc_id), both
+    steps integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("src_rank").cast("int").alias("src_rank"),
+        )
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(20)
+    )

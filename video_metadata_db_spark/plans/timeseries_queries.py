@@ -1683,3 +1683,68 @@ def q_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "wow_growth_report",
+    oracle="""
+WITH weekly AS (
+  SELECT event_type,
+         CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents,
+         COUNT(*) AS n_events
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT *,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY week_start)
+           AS prev_cents
+  FROM weekly
+)
+SELECT event_type, week_start,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+       CAST(round((cents - prev_cents) / (1.0 * prev_cents), 6) AS DOUBLE)
+         AS wow_growth
+FROM lagged
+WHERE prev_cents IS NOT NULL AND prev_cents > 0
+ORDER BY event_type, week_start
+""",
+)
+def q_wow_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth per event type — the standard BI
+    trend report (ISO week grain via date_trunc, identical in both
+    engines), with the delta in exact integer cents and ONE rounded
+    division for the growth rate; warm-up weeks (no prior) are
+    excluded rather than reported as NULL-growth rows.
+
+    Scale shape: the corpus collapses to a |types|×|weeks| matrix in
+    one partial-aggregatable pass; the lag window runs on that matrix
+    only."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    weekly = events.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week_start"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week_start")
+    lagged = weekly.withColumn("prev_cents", F.lag("cents").over(w)).filter(
+        F.col("prev_cents").isNotNull() & (F.col("prev_cents") > 0)
+    )
+    return lagged.select(
+        "event_type",
+        "week_start",
+        F.col("cents").cast("long").alias("cents"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("cents") - F.col("prev_cents")).cast("long").alias("delta_cents"),
+        F.round(
+            (F.col("cents") - F.col("prev_cents")) / (F.lit(1.0) * F.col("prev_cents")),
+            6,
+        )
+        .cast("double")
+        .alias("wow_growth"),
+    ).orderBy("event_type", "week_start")
