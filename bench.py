@@ -166,6 +166,8 @@ HEADLINE = [
     "attribution_multi_touch",
     "topk_diverse_docs",
     "wow_growth_report",
+    "activity_streaks",
+    "winsorized_mean_value",
 ]
 
 REPEATS = 2

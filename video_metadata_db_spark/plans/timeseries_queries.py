@@ -1748,3 +1748,175 @@ def q_wow_growth_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("wow_growth"),
     ).orderBy("event_type", "week_start")
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+grp AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS len
+  FROM grp GROUP BY user_id, anchor
+),
+best AS (
+  SELECT user_id, streak_start, len,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, streak_start) AS rn
+  FROM streaks
+)
+SELECT user_id,
+       CAST(len AS BIGINT) AS longest_streak_days,
+       streak_start
+FROM best WHERE rn = 1
+ORDER BY longest_streak_days DESC, user_id
+LIMIT 25
+""",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (top 25) — the
+    engagement-streak metric, a gaps-and-islands problem at DAY grain:
+    consecutive days share the constant ``day − row_number`` anchor,
+    so streaks fall out of one grouped aggregate, no self-join and no
+    per-day iteration.
+
+    Scale shape: dedup to (user, day) once (the same slim relation
+    `rolling_active_users` starts from); both windows partition by
+    user (max |days| rows each — never corpus-wide); the top-25 is
+    TakeOrderedAndProject on a total key.  All arithmetic is integer
+    date math — identical in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = ud.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"), F.count(F.lit(1)).alias("len")
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").cast("long").alias("longest_streak_days"),
+            "streak_start",
+        )
+        .orderBy(F.col("longest_streak_days").desc(), "user_id")
+        .limit(25)
+    )
+
+
+@query(
+    "winsorized_mean_value",
+    oracle="""
+WITH iv AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+grp AS (
+  SELECT event_type, cents, COUNT(*) AS c FROM iv GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM grp
+),
+bounds AS (
+  SELECT event_type,
+         ANY_VALUE(n) AS n,
+         MIN(CASE WHEN cw >= (n * 5 + 99) // 100 THEN cents END) AS lo_cents,
+         MIN(CASE WHEN cw >= (n * 95 + 99) // 100 THEN cents END) AS hi_cents
+  FROM cum GROUP BY event_type
+)
+SELECT g.event_type,
+       CAST(b.n AS BIGINT) AS n,
+       CAST(b.lo_cents AS BIGINT) AS lo_cents,
+       CAST(b.hi_cents AS BIGINT) AS hi_cents,
+       CAST(round(SUM(LEAST(GREATEST(g.cents, b.lo_cents), b.hi_cents) * g.c)
+                  / (1.0 * b.n), 4) AS DOUBLE) AS winsorized_mean_cents
+FROM grp g JOIN bounds b USING (event_type)
+GROUP BY g.event_type, b.n, b.lo_cents, b.hi_cents
+ORDER BY g.event_type
+""",
+)
+def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95%) of event values per type — the robust
+    central-tendency report that survives fat tails where a plain AVG
+    is one outlier away from useless; complements the MAD/IQR outlier
+    counters with a usable location estimate.
+
+    The clamp bounds are exact ORDER STATISTICS, not interpolated
+    percentiles: positions ``ceil(0.05·n)`` / ``ceil(0.95·n)`` are
+    pure integer arithmetic ((n·k + 99) div 100, the proven integer
+    ceil), found where the cumulative count over DISTINCT cent values
+    crosses them — same value-domain-bounded window machinery as
+    `weighted_median_price`, so no float ever feeds a boundary
+    decision and no interpolation ulp can shift a clamp.  The
+    winsorized sum is clamped-integer × count, one rounded division
+    per type."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = grp.select(
+        "event_type",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).alias("cw"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    bounds = cum.groupBy("event_type").agg(
+        F.any_value("n").alias("n"),
+        F.min(
+            F.when(F.expr("cw >= (n * 5 + 99) div 100"), F.col("cents"))
+        ).alias("lo_cents"),
+        F.min(
+            F.when(F.expr("cw >= (n * 95 + 99) div 100"), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    return (
+        grp.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(
+                F.expr("LEAST(GREATEST(cents, lo_cents), hi_cents) * c")
+            ).alias("_ws")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+            F.expr("CAST(round(_ws / (1.0D * n), 4) AS DOUBLE)").alias(
+                "winsorized_mean_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
