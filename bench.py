@@ -168,6 +168,9 @@ HEADLINE = [
     "wow_growth_report",
     "activity_streaks",
     "winsorized_mean_value",
+    "feature_hashing",
+    "percentiles_approx_sketch",
+    "pca_project_2d",
 ]
 
 REPEATS = 2

@@ -666,3 +666,34 @@ def test_sequence_gap_audit_bridges_empty_buckets(spark, tmp_path):
         for r in QUERIES["sequence_gap_audit"](spark, d).collect()
     ]
     assert got == [(8, 2499, 2492), (6, 6, 1)]
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The sketch's guarantee is in RANK space (GK: |rank(est) − p·n|
+    ≤ ε·n), not value space — assert the empirical CDF position of
+    each estimate sits within 3% + 2/n of its target percentile (the
+    2/n term covers the no-interpolation discretization on small
+    groups)."""
+    import pyspark.sql.functions as F
+
+    from video_metadata_db_spark.plans import QUERIES
+    from video_metadata_db_spark.sources.tables import load_table
+
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["percentiles_approx_sketch"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(approx) == set(counts)
+    for t, ests in approx.items():
+        n = counts[t]
+        for p, a in zip((0.5, 0.9, 0.99), ests):
+            frac = (
+                ev.filter((F.col("event_type") == t) & (F.col("value") <= a)).count()
+                / n
+            )
+            assert abs(frac - p) <= 0.03 + 2 / n, (t, p, a, frac)

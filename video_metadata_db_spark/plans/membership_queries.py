@@ -104,3 +104,28 @@ def q_wau_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("report_day").alias("day"), "wau7_estimate")
         .orderBy("day")
     )
+
+
+@query("percentiles_approx_sketch", oracle=None)
+def q_percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (mergeable
+    quantile sketch, map-side combinable — no full per-group sort) for
+    the same p50/p90/p99 surface `agg_percentiles` computes exactly.
+    Registered rows-only (sketch estimates are implementation-defined);
+    accuracy vs the exact twin is pinned by
+    ``test_approx_percentile_tracks_exact``, completing the
+    exact-twin-plus-sketch pairing the distinct-count family already
+    has (`distinct_users_exact` / `hll_sketch_users`)."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)")
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -166,3 +166,24 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     force stays pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, QUERY_IDS, k=K).orderBy("query_id", "rank")
+
+
+@query("pca_project_2d", oracle=None)
+def q_pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embedding corpus (with labels) —
+    the dimensionality-reduction / corpus-map preprocessing step an
+    ANN pipeline runs before indexing (and the 2-D view every
+    embedding-quality review starts from).
+
+    Distributed moments (one Arrow pass → d²+d aggregate cells),
+    driver-side d×d eigh (same collect contract as k-means
+    centroids), JVM-side projection folds against 6-dp-quantized
+    broadcast literal components — see ``operators/decomposition.py``.
+    Rows-only: eigenvector values are LAPACK-defined; the algebraic
+    contracts (variance ordering, orthonormality, centering) are
+    pinned by ``tests/test_decomposition.py``."""
+    from ..operators.decomposition import pca_project
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2, extra_cols=("label",)).orderBy("vec_id")

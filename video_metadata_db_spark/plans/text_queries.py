@@ -632,3 +632,79 @@ def q_topk_diverse_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_chars").desc(), "doc_id")
         .limit(20)
     )
+
+
+_FH_BUCKETS = 64
+
+
+@query(
+    "feature_hashing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('fh:', term)), 1, 15)) AS BIGINT)
+           % {_FH_BUCKETS} AS bucket,
+         CASE WHEN substr(md5(concat('fs:', term)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS sign
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(SUM(sign) AS BIGINT) AS feature_value
+FROM hashed
+GROUP BY doc_id, bucket
+HAVING SUM(sign) <> 0
+ORDER BY doc_id, bucket
+""",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer (signed feature hashing à la
+    Weinberger et al.): every token maps to one of {_FH_BUCKETS}
+    buckets by hash, with a second hash choosing ±1 so collisions
+    cancel in expectation — the UNBOUNDED-VOCABULARY featurizer that
+    needs no fitted dictionary, no broadcast vocab, and no second
+    pass, which is why it's the default at 100 TB (a fitted TF-IDF
+    vocab is itself corpus-sized state; this is stateless).
+
+    Exactness: bucket and sign are md5-derived integers (the same
+    hash60 discipline as the dedup family), features are exact signed
+    counts; zero-sum cells are dropped on both sides.  Scale shape:
+    tokenize → hash → ONE partial-aggregatable (doc, bucket) shuffle;
+    output is sparse (≤{_FH_BUCKETS} cells/doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fh:"), F.col("term"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % _FH_BUCKETS
+        ).alias("bucket"),
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("fs:"), F.col("term"))), 1, 1).isin(
+                *"01234567"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("feature_value"))
+        .filter(F.col("feature_value") != 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("feature_value").cast("long").alias("feature_value"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
