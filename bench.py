@@ -171,6 +171,10 @@ HEADLINE = [
     "feature_hashing",
     "percentiles_approx_sketch",
     "pca_project_2d",
+    "nb_lang_confusion",
+    "vocab_oov_rate",
+    "item_item_recs",
+    "forecast_backtest_mae",
 ]
 
 REPEATS = 2

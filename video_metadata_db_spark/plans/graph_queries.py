@@ -681,3 +681,107 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ----------------------------------------- item-item recommender ------
+
+_RECS_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_partkey AS item
+  FROM lineitem
+),
+item_counts AS (
+  SELECT item, count(*) AS n_item FROM baskets GROUP BY item
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS co_orders
+  FROM baskets a JOIN baskets b
+    ON a.order_id = b.order_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+sym AS (
+  SELECT item_a, item_b, co_orders FROM co
+  UNION ALL
+  SELECT item_b AS item_a, item_a AS item_b, co_orders FROM co
+),
+scored AS (
+  SELECT s.item_a, s.item_b, s.co_orders,
+         CAST((s.co_orders * s.co_orders * 1000000)
+              // (ca.n_item * cb.n_item) AS BIGINT) AS cos2_ppm
+  FROM sym s
+  JOIN item_counts ca ON ca.item = s.item_a
+  JOIN item_counts cb ON cb.item = s.item_b
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY item_a
+                               ORDER BY cos2_ppm DESC, item_b) AS rec_rank
+  FROM scored
+)
+SELECT item_a, rec_rank, item_b, co_orders, cos2_ppm
+FROM ranked WHERE rec_rank <= 3
+ORDER BY item_a, rec_rank
+"""
+
+
+@query("item_item_recs", oracle=_RECS_SQL)
+def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Customers who bought X also bought Y': per-part top-3 co-purchase
+    recommendations ranked by cosine similarity over order baskets — the
+    item-item collaborative-filtering neighborhood build (Amazon-style),
+    the batch half of a recommender next to the ANN family's vector half.
+
+    Scale shape: the pair expansion is PER BASKET (bounded by basket
+    size, never corpus-quadratic) with a co-count >= 2 floor before any
+    scoring; per-item popularity joins are item-vocabulary-sized; the
+    top-3 is a per-item window that WindowGroupLimit prunes.  Cosine
+    ranking is exact integer arithmetic: within a fixed item_a,
+    ordering by cosine co/sqrt(n_a*n_b) equals ordering by the integer
+    key co^2*1e6 div (n_a*n_b) — no sqrt, no float, no cross-engine
+    drift (at counts where co^2*1e6 nears int64, widen to DECIMAL(38,0)
+    — the ordering stays exact).  Ties break on item_b: a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("order_id"), F.col("l_partkey").alias("item")
+    ).distinct()
+    counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+    )
+    sym = co.unionByName(
+        co.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "co_orders",
+        )
+    )
+    ca = counts.select(F.col("item").alias("item_a"), F.col("n_item").alias("n_a"))
+    cb = counts.select(F.col("item").alias("item_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        sym.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "co_orders",
+            F.expr(
+                "CAST((co_orders * co_orders * 1000000) div (n_a * n_b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.col("cos2_ppm").desc(), "item_b")
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 3)
+        .select("item_a", "rec_rank", "item_b", "co_orders", "cos2_ppm")
+        .orderBy("item_a", "rec_rank")
+    )

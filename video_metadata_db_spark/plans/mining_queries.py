@@ -1967,3 +1967,129 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ------------------------------------------- naive Bayes classifier ---
+
+_NB_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+cc AS (
+  SELECT lang, term, COUNT(*) AS c FROM toks GROUP BY lang, term
+),
+ct AS (
+  SELECT lang, COUNT(*) AS t FROM toks GROUP BY lang
+),
+v AS (SELECT COUNT(DISTINCT term) AS v FROM toks),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+prior AS (
+  SELECT lang,
+         CAST(round(ln(COUNT(*) / (1.0 * n.n_docs)), 6) AS DECIMAL(12,6)) AS plp
+  FROM documents CROSS JOIN n
+  GROUP BY lang, n.n_docs
+),
+contrib AS (
+  SELECT tf.doc_id, ct.lang,
+         tf.tf * CAST(round(ln((COALESCE(cc.c, 0) + 1) / (1.0 * (ct.t + v.v))), 6)
+                      AS DECIMAL(12,6)) AS x
+  FROM tf
+  CROSS JOIN ct
+  CROSS JOIN v
+  LEFT JOIN cc ON cc.lang = ct.lang AND cc.term = tf.term
+),
+score AS (
+  SELECT s.doc_id, s.lang, s.s + p.plp AS score
+  FROM (SELECT doc_id, lang, SUM(x) AS s FROM contrib GROUP BY doc_id, lang) s
+  JOIN prior p USING (lang)
+),
+pred AS (
+  SELECT doc_id, lang AS predicted_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM score
+)
+SELECT d.lang AS actual_lang, p.predicted_lang, COUNT(*) AS n_docs
+FROM pred p JOIN documents d USING (doc_id)
+WHERE p.rn = 1
+GROUP BY d.lang, p.predicted_lang
+ORDER BY actual_lang, predicted_lang
+"""
+
+
+@query("nb_lang_confusion", oracle=_NB_SQL)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes classifier trained and self-scored on the
+    corpus (labels = ``lang``, features = token counts, Laplace +1
+    smoothing), reported as the actual x predicted confusion matrix —
+    the distributed train-then-score loop every bag-of-words classifier
+    (spam/quality/topic gates in a data pipeline) runs.
+
+    Plan at scale: training is two keyed aggregates — per-(class,term)
+    counts and per-class totals — plus one COUNT(DISTINCT term) for the
+    vocabulary size; all three are map-side-combining shuffles on slim
+    keys.  Scoring expands each (doc, term, tf) row by the k class
+    labels (a k-row broadcast join, never a cartesian against data) and
+    LEFT-joins the class-term counts on (term, class) — the single
+    vocab-keyed shuffle, AQE-skew-splittable on stopword-ish terms.
+    Per-(doc,class) scores are one aggregate; the per-doc argmax is a
+    window partitioned by doc_id over exactly k rows.  The confusion
+    matrix is a k x k final aggregate — aggregate-sized output only.
+
+    Float discipline: each smoothed log-prob ln((c+1)/(T+V)) is rounded
+    to 6 dp and cast DECIMAL(12,6) BEFORE the tf multiply, and scores
+    accumulate as exact decimals, so cross-engine sum order cannot
+    reorder the argmax; the argmax tie-breaks on (score DESC, lang) — a
+    total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_of(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cc = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    ct = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
+    v = toks.agg(F.count_distinct("term").alias("v"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    prior = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            F.round(F.log(F.col("n_l") / (F.lit(1.0) * F.col("n_docs"))), 6)
+            .cast("decimal(12,6)")
+            .alias("plp"),
+        )
+    )
+    lp = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
+              / (F.lit(1.0) * (F.col("t") + F.col("v")))),
+        6,
+    ).cast("decimal(12,6)")
+    contrib = (
+        tf.crossJoin(F.broadcast(ct))          # k class rows per tf row
+        .crossJoin(F.broadcast(v))
+        .join(cc, ["lang", "term"], "left")
+        .select("doc_id", "lang", (F.col("tf") * lp).alias("x"))
+    )
+    score = (
+        contrib.groupBy("doc_id", "lang")
+        .agg(F.sum("x").alias("s"))
+        .join(F.broadcast(prior), "lang")
+        .select("doc_id", "lang", (F.col("s") + F.col("plp")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    pred = (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted_lang"))
+    )
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("actual_lang"), "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )

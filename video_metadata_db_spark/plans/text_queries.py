@@ -708,3 +708,79 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+# ------------------------------------------ vocabulary coverage audit ---
+
+_OOV_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT 500
+  )
+),
+flagged AS (
+  SELECT t.source,
+         CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS is_oov
+  FROM toks t LEFT JOIN vocab v USING (term)
+)
+SELECT source,
+       COUNT(*) AS n_tokens,
+       SUM(is_oov) AS n_oov,
+       CAST((SUM(is_oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_per_million
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("vocab_oov_rate", oracle=_OOV_SQL)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: fix the vocabulary at the
+    top-500 corpus terms (count DESC, term — a total order) and report
+    each source's out-of-vocabulary token rate — the go/no-go check run
+    before committing a tokenizer to a training mix (a high-OOV source
+    wastes context on fragment tokens).
+
+    Plan at scale: term frequencies are one map-side-combining
+    aggregate; the top-500 cut runs as TakeOrderedAndProject (never a
+    global sort); the fixed vocab is then BROADCAST back and the corpus
+    token stream left-joins it locally — zero shuffle on the scoring
+    pass beyond the final per-source aggregate.  Rates are reported as
+    exact integer parts-per-million (floor division), never a float
+    ratio, so any parallelism produces identical bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_of(F.col("text"))).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(500)
+        .select("term")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left"
+    ).select(
+        "source",
+        F.when(F.col("in_v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_oov"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("is_oov").alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST((n_oov * 1000000) div n_tokens AS BIGINT)")
+            .alias("oov_per_million"),
+        )
+        .orderBy("source")
+    )

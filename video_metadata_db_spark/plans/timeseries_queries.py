@@ -1920,3 +1920,78 @@ def q_winsorized_mean_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------------------------- seasonal-naive forecast backtest ---
+
+_FORECAST_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+paired AS (
+  SELECT cur.event_type, cur.d, cur.n AS actual, prev.n AS forecast
+  FROM daily cur
+  JOIN daily prev
+    ON prev.event_type = cur.event_type AND prev.d = cur.d - INTERVAL 7 DAY
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       SUM(ABS(actual - forecast)) AS total_abs_err,
+       CAST((SUM(ABS(actual - forecast)) * 1000000) // COUNT(*) AS BIGINT)
+         AS mae_micro,
+       CAST((SUM(ABS(actual - forecast)) * 1000000) // SUM(actual) AS BIGINT)
+         AS wape_ppm
+FROM paired
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("forecast_backtest_mae", oracle=_FORECAST_SQL)
+def q_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event count
+    with the same weekday last week (the baseline every real forecaster
+    must beat) and score MAE + WAPE per event type over the whole
+    history — the accuracy-evaluation loop of a forecasting pipeline.
+
+    Scale shape: the corpus collapses to a |types| x |days| daily grid
+    in one map-side-combining aggregate; the lag-7 pairing is a
+    self-equi-join ON THE GRID (never the raw events), so its cost is
+    calendar-sized; errors are exact integer count differences and both
+    metrics are reported as exact integer micro-units (floor division)
+    — no float step anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cur = daily.alias("cur")
+    prev = daily.alias("prev")
+    paired = cur.join(
+        prev,
+        (F.col("prev.event_type") == F.col("cur.event_type"))
+        & (F.col("prev.d") == F.date_sub(F.col("cur.d"), 7)),
+    ).select(
+        F.col("cur.event_type").alias("event_type"),
+        F.col("cur.n").alias("actual"),
+        F.col("prev.n").alias("forecast"),
+    )
+    return (
+        paired.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.abs(F.col("actual") - F.col("forecast"))).alias("total_abs_err"),
+            F.sum("actual").alias("sum_actual"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total_abs_err",
+            F.expr("CAST((total_abs_err * 1000000) div n_days AS BIGINT)")
+            .alias("mae_micro"),
+            F.expr("CAST((total_abs_err * 1000000) div sum_actual AS BIGINT)")
+            .alias("wape_ppm"),
+        )
+        .orderBy("event_type")
+    )
