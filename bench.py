@@ -175,6 +175,7 @@ HEADLINE = [
     "vocab_oov_rate",
     "item_item_recs",
     "forecast_backtest_mae",
+    "label_propagation",
 ]
 
 REPEATS = 2

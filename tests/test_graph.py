@@ -168,3 +168,52 @@ def test_bm25_rewards_term_frequency(spark):
             for r in QUERIES["bm25_search"](spark, td).collect()
         }
     assert rows[1] > rows[2]
+
+
+def test_label_propagation_toy_graph(spark):
+    """Path graph 1-2-3-4-5 with seeds at the ends — checks the exact
+    synchronous recurrence round by round: labels flood one hop per
+    round, equal-count ties break to the SMALLEST label (which lets the
+    smaller label invade past the midpoint in later rounds — the
+    documented deterministic behavior), and seeds stay clamped."""
+    from video_metadata_db_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "s1 long, s2 long"
+    )
+    seeds = spark.createDataFrame([(1, 10), (5, 20)], "node long, label int")
+
+    def run(rounds):
+        return {
+            r["node"]: (r["label"], r["is_seed"])
+            for r in label_propagation(edges, seeds, rounds=rounds).collect()
+        }
+
+    r1 = run(1)
+    assert r1[1] == (10, True) and r1[5] == (20, True)  # clamped
+    assert r1[2] == (10, False) and r1[4] == (20, False)  # one hop
+    assert r1[3] == (None, False)  # no labeled neighbor yet
+
+    r2 = run(2)
+    # node 3 hears 10 (from 2) and 20 (from 4) with equal counts -> min
+    assert r2[3] == (10, False)
+
+    r3 = run(3)
+    assert r3[1] == (10, True) and r3[5] == (20, True)  # still clamped
+    # round 3: node 4 now ties between 3's label 10 and seed 5's 20 ->
+    # the min rule lets 10 take node 4; node 2 stays 10
+    assert r3[2] == (10, False) and r3[3] == (10, False)
+    assert r3[4] == (10, False)
+
+
+def test_label_propagation_unreachable_stays_null(spark):
+    """A component with no seed keeps NULL labels at every round."""
+    from video_metadata_db_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (8, 9)], "s1 long, s2 long"
+    )
+    seeds = spark.createDataFrame([(1, 7)], "node long, label int")
+    got = {r["node"]: r["label"] for r in label_propagation(edges, seeds).collect()}
+    assert got[2] == 7
+    assert got[8] is None and got[9] is None

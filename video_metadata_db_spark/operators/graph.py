@@ -35,7 +35,7 @@ and k-means oracles).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Per-iteration quantization of contributions and ranks: fine enough
@@ -227,4 +227,71 @@ def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame
         )
         .cast("double")
         .alias("clustering"),
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    a: str = "s1",
+    b: str = "s2",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous semi-supervised label propagation: ``rounds`` sweeps
+    where every NON-seed node adopts the mode label of its currently
+    labeled neighbors (ties -> smallest label); seed labels are clamped.
+    Returns (node, label, is_seed) — label NULL if no labeled node is
+    reachable within ``rounds`` hops.
+
+    Entirely integer/exact (mode = a count argmax with a total-order
+    tie-break), so it replays bit-for-bit in any engine — no float
+    weights, unlike label *spreading*.  Per round the work is one
+    edges-x-labels equi-join and one (node, label) counting aggregate:
+    the same scatter/gather shape as :func:`pagerank`, linear in edges,
+    shuffling only (node, label, count) triples.  The fixed unrolled
+    round count keeps lineage bounded; for high round counts at cluster
+    scale, checkpoint per round exactly as `connected_components` does.
+    """
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    seed = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.col(seeds.columns[1]).cast("int").alias("seed_label"),
+    )
+    cur = nodes.join(seed, "node", "left").select(
+        "node", F.col("seed_label").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(
+                cur.filter(F.col("label").isNotNull()),
+                sym["b"] == cur["node"],
+            )
+            .groupBy(sym["a"].alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        mode = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("label").alias("mode_label"))
+        )
+        cur = (
+            nodes.join(seed, "node", "left")
+            .join(mode, "node", "left")
+            .select(
+                "node",
+                F.coalesce("seed_label", "mode_label").alias("label"),
+            )
+        )
+    return (
+        nodes.join(seed, "node", "left")
+        .join(cur, "node")
+        .select(
+            "node",
+            "label",
+            F.col("seed_label").isNotNull().alias("is_seed"),
+        )
     )

@@ -785,3 +785,74 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item_a", "rec_rank", "item_b", "co_orders", "cos2_ppm")
         .orderBy("item_a", "rec_rank")
     )
+
+
+# ------------------------------------------- label propagation --------
+
+
+def _lp_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label-propagation recurrence (see
+    operators/graph.py::label_propagation) — pure integer mode-argmax
+    per round, so the replay is exact with no quantization at all."""
+    parts = [
+        f"WITH {_TRI_EDGES_CTE},",
+        "sym AS (SELECT s1 AS a, s2 AS b FROM edges"
+        " UNION ALL SELECT s2 AS a, s1 AS b FROM edges),",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym),",
+        "seed AS (SELECT s_suppkey AS node, CAST(s_nationkey AS INT) AS seed_label"
+        " FROM supplier WHERE s_suppkey % 4 = 0),",
+        "l0 AS (SELECT n.node, s.seed_label AS label"
+        " FROM nodes n LEFT JOIN seed s USING (node)),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"v{r} AS (SELECT e.a AS node, l.label, COUNT(*) AS c"
+            f" FROM sym e JOIN l{p} l ON l.node = e.b"
+            f" WHERE l.label IS NOT NULL GROUP BY e.a, l.label),"
+        )
+        parts.append(
+            f"m{r} AS (SELECT node, label AS mode_label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label) AS rn FROM v{r}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"l{r} AS (SELECT n.node,"
+            f" COALESCE(s.seed_label, m.mode_label) AS label"
+            f" FROM nodes n LEFT JOIN seed s USING (node)"
+            f" LEFT JOIN m{r} m USING (node)),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT n.node, l.label, s.seed_label IS NOT NULL AS is_seed"
+        f" FROM nodes n JOIN l{rounds} l USING (node)"
+        f" LEFT JOIN seed s USING (node) ORDER BY n.node"
+    )
+    return "\n".join(parts)
+
+
+@query("label_propagation", oracle=_lp_oracle_sql(3))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised node classification on the supplier co-occurrence
+    graph: clamp known labels (nation of every 4th supplier) and run 3
+    synchronous label-propagation sweeps — unlabeled nodes adopt the
+    MODE label of their labeled neighbors (ties -> smallest label).
+    The graph-native classifier next to `nb_lang_confusion`'s
+    feature-native one, and the community/label machinery GraphX users
+    reach for.
+
+    Scale shape: per round one edges-x-labels equi-join plus one
+    (node, label) counting aggregate — linear in edges, identical
+    scatter/gather to `pagerank_copurchase`, riding the SAME persisted
+    `_supplier_edges` materialization.  The mode is an exact integer
+    count argmax over a total order, so the unrolled SQL recurrence
+    replays bit-for-bit with no quantization anywhere."""
+    from ..operators.graph import label_propagation
+
+    edges = _supplier_edges(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    seeds = supp.filter(F.col("s_suppkey") % 4 == 0).select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("int").alias("seed_label"),
+    )
+    return label_propagation(edges, seeds, rounds=3).orderBy("node")
