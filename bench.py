@@ -176,6 +176,8 @@ HEADLINE = [
     "item_item_recs",
     "forecast_backtest_mae",
     "label_propagation",
+    "abc_classification",
+    "max_drawdown_value",
 ]
 
 REPEATS = 2

@@ -2093,3 +2093,96 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+# --------------------------------------------- ABC / Pareto classes ---
+
+_ABC_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS part_id,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+           AS cents
+  FROM lineitem
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(cents) AS total FROM per_part),
+cum AS (
+  SELECT part_id, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, part_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM per_part
+),
+classed AS (
+  SELECT part_id, cents,
+         CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+              WHEN cum_cents * 20 <= total * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum CROSS JOIN tot
+)
+SELECT abc_class,
+       COUNT(*) AS n_parts,
+       SUM(cents) AS class_cents,
+       CAST((SUM(cents) * 1000000) // (SELECT total FROM tot) AS BIGINT)
+         AS share_ppm
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@query("abc_classification", oracle=_ABC_SQL)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the cumulative share stays <= 80%, B to 95%, C after —
+    the classic warehouse segmentation driving stocking policy.
+
+    Scale shape: revenue per part is one map-side-combining aggregate in
+    exact integer cents; the global cumulative sum uses the distributed
+    two-pass prefix-sum machinery (`operators/packing.sequence_offsets`
+    on the negated-revenue order) — NEVER the single-reducer global
+    window the oracle is allowed to use; boundaries are exact integer
+    cross-multiplications (cum*5 <= total*4), so no float share ever
+    decides a class.  Output is the 3-row class rollup."""
+    from ..operators.packing import sequence_offsets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("part_id"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("cents")
+        )
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    cum = sequence_offsets(
+        per_part, "neg_cents", "cents", tiebreak_col="part_id"
+    ).withColumn("cum_cents", F.col("start_offset") + F.col("cents"))
+    tot = per_part.agg(F.sum("cents").alias("total"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "part_id",
+        "cents",
+        "total",
+        F.when(F.col("cum_cents") * 5 <= F.col("total") * 4, F.lit("A"))
+        .when(F.col("cum_cents") * 20 <= F.col("total") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.any_value(F.col("total")).alias("_total"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_cents",
+            F.expr("CAST((class_cents * 1000000) div _total AS BIGINT)")
+            .alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )

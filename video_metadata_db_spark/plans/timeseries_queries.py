@@ -1995,3 +1995,64 @@ def q_forecast_backtest_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------- max drawdown -----
+
+_DRAWDOWN_SQL = """
+WITH vals AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         ts
+  FROM events
+),
+runs AS (
+  SELECT user_id, cents,
+         MAX(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM vals
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(peak) AS peak_cents,
+       MAX(peak - cents) AS max_drawdown_cents
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("max_drawdown_value", oracle=_DRAWDOWN_SQL)
+def q_max_drawdown_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown: the largest drop of the event value
+    below its running peak over the user's time-ordered stream — the
+    running-extreme differential behind SLO burn monitoring and
+    financial drawdown metrics.
+
+    Scale shape: one per-user window (full parallelism across users)
+    computing the running max, then one grouped aggregate — no global
+    window, no self-join.  Values are exact integer cents and the
+    window order (ts, event_id) is total, so tied timestamps cannot
+    reorder the running peak across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = vals.withColumn("peak", F.max("cents").over(w))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("peak").alias("peak_cents"),
+            F.max(F.col("peak") - F.col("cents")).alias("max_drawdown_cents"),
+        )
+        .orderBy("user_id")
+    )
