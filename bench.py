@@ -178,6 +178,8 @@ HEADLINE = [
     "label_propagation",
     "abc_classification",
     "max_drawdown_value",
+    "rebalance_classes",
+    "mixture_interleave",
 ]
 
 REPEATS = 2

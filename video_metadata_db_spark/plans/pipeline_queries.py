@@ -789,3 +789,116 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aes_key").desc(), "doc_id")
         .limit(_AES_K)
     )
+
+
+# ---------------------------------------------- class rebalancing -----
+
+_REBALANCE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT), doc_id
+         ) AS rk
+  FROM documents
+),
+floor_n AS (
+  SELECT MIN(cnt) AS min_n
+  FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT r.lang,
+       COUNT(*) AS n_kept,
+       SUM(r.doc_id) AS kept_id_sum
+FROM ranked r CROSS JOIN floor_n
+WHERE r.rk <= floor_n.min_n
+GROUP BY r.lang
+ORDER BY r.lang
+"""
+
+
+@query("rebalance_classes", oracle=_REBALANCE_SQL)
+def q_rebalance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class rebalancing: downsample every language to the
+    rarest class's count by keeping each class's lowest md5-hash-ranked
+    docs — the label-balancing step before training a classifier, made
+    replayable (a PRNG sample never matches across runs or engines).
+
+    Scale shape: per-class ranking is a window PARTITIONED BY the class
+    (full parallelism across classes; within a hot class the rank is the
+    classic case for the distributed prefix-sum rank — swap in
+    `global_row_number` per class if one class dominates the corpus);
+    the floor is a class-count aggregate broadcast back; the kept set is
+    a filter, here rolled up per class with an id-sum witness so the
+    oracle checks EXACTLY which docs were kept, not just how many."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import hash60
+
+    w = Window.partitionBy("lang").orderBy(
+        hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    floor_n = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("min_n"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------------- mixture interleave -------
+
+_INTERLEAVE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT), doc_id
+         ) - 1 AS rk
+  FROM documents
+)
+SELECT doc_id, source, rk
+FROM ranked
+ORDER BY rk, source, doc_id
+LIMIT 200
+"""
+
+
+@query("mixture_interleave", oracle=_INTERLEAVE_SQL)
+def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin mixture interleave: shuffle each source internally by
+    deterministic hash, then emit one doc per source per round — the
+    training-order scheduler that keeps every batch source-diverse
+    (a plain global shuffle leaves source runs; this bounds the gap
+    between two docs of the same source to ~|sources| positions).
+
+    Scale shape: the per-source rank is a source-partitioned window
+    (swap in the distributed prefix-sum rank for a dominant source);
+    the interleaved ORDER is just the sort key (rk, source) — at scale
+    the stream is written range-partitioned on that key, never
+    collected; here the first 200 positions run as
+    TakeOrderedAndProject.  Everything is integer/md5-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import hash60
+
+    w = Window.partitionBy("source").orderBy(
+        hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w) - 1)
+        .orderBy("rk", "source", "doc_id")
+        .limit(200)
+    )
