@@ -180,6 +180,7 @@ HEADLINE = [
     "max_drawdown_value",
     "rebalance_classes",
     "mixture_interleave",
+    "ann_ndcg_eval",
 ]
 
 REPEATS = 2

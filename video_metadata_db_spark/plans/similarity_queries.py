@@ -187,3 +187,146 @@ def q_pca_project_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, k=2, extra_cols=("label",)).orderBy("vec_id")
+
+
+# ------------------------------------------------ NDCG ranking eval ---
+
+#: Micro-scaled NDCG position discounts 1/log2(i+1), i = 1..K — computed
+#: ONCE driver-side and embedded as the SAME integer literals in both
+#: engines, so the whole metric is exact integer arithmetic (the only
+#: transcendental never runs inside either engine).
+import math as _math
+
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, K + 1)]
+_IDCG_MICRO = sum((K + 1 - j) * w for j, w in enumerate(_NDCG_W, start=1))
+
+
+def _ndcg_oracle() -> str:
+    """NDCG@K of the hyperplane-LSH ranking against the exact brute
+    ranking: both pipelines replay verbatim (same generated plane
+    literals as `_lsh_oracle`), relevance = K+1-true_rank, discounts =
+    the `_NDCG_W` literals."""
+    from ..operators.similarity import N_PLANES, hyperplane
+
+    planes = ", ".join(
+        "[" + ", ".join(repr(hyperplane(p, d)) for d in range(64)) + "]"
+        + f"::DOUBLE[] AS p{p}"
+        for p in range(N_PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * p{p}[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << p})" for p in range(N_PLANES)])
+    w_list = ", ".join(str(w) for w in _NDCG_W)
+    return f"""
+WITH planes AS (SELECT {planes}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v, {bucket} AS bucket
+  FROM e CROSS JOIN planes
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb
+  FROM b WHERE vec_id IN ({_IDS})
+),
+probes AS (
+  SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q
+),
+c AS (
+  SELECT vec_id AS cand_id, v AS cv, bucket
+  FROM b WHERE vec_id NOT IN ({_IDS})
+),
+lsh_scored AS (
+  SELECT DISTINCT query_id, cand_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM probes JOIN c USING (bucket)
+),
+lsh_ranked AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, cand_id) AS pos
+  FROM lsh_scored
+),
+truth AS (
+  SELECT query_id, cand_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(list_cosine_similarity(qv, cv), 6)
+                                     DESC, cand_id) AS true_rank
+  FROM (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_IDS}))
+  CROSS JOIN (SELECT vec_id AS cand_id, v AS cv FROM e
+              WHERE vec_id NOT IN ({_IDS}))
+),
+weights AS (
+  SELECT unnest(range(1, {K} + 1)) AS pos, unnest([{w_list}]) AS w
+),
+dcg AS (
+  SELECT l.query_id,
+         SUM(CASE WHEN t.true_rank <= {K}
+                  THEN ({K} + 1 - t.true_rank) * w.w ELSE 0 END) AS dcg_micro
+  FROM lsh_ranked l
+  JOIN weights w USING (pos)
+  LEFT JOIN truth t ON t.query_id = l.query_id AND t.cand_id = l.cand_id
+  WHERE l.pos <= {K}
+  GROUP BY l.query_id
+)
+SELECT query_id, dcg_micro,
+       CAST((dcg_micro * 1000000) // {_IDCG_MICRO} AS BIGINT) AS ndcg_ppm
+FROM dcg
+ORDER BY query_id
+"""
+
+
+@query("ann_ndcg_eval", oracle=_ndcg_oracle())
+def q_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the approximate index: NDCG@10 of
+    the hyperplane-LSH top-k against the exact brute-force ranking
+    (graded relevance = K+1-true_rank) — the standard IR metric that
+    complements `dedup_lsh_recall`'s set-level recall with
+    position-sensitive credit.
+
+    Exactness: the log2 position discounts are computed ONCE on the
+    driver and embedded as the SAME micro-scaled integer literals in
+    both engines (`_NDCG_W`), relevance grades are integers, and IDCG
+    is a compile-time constant — the whole metric is exact integer
+    arithmetic on top of two already-deterministic rankings (6-dp
+    cosines, id tie-breaks).  Scale shape: both rankings are
+    per-query-bounded (k rows each), the eval join is k-row keyed, and
+    the brute ground-truth pass is the audit cost — sample queries at
+    100 TB exactly as `dedup_lsh_recall` samples pairs."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = brute_force_topk(emb, QUERY_IDS, k=K).select(
+        "query_id", "cand_id", F.col("rank").alias("true_rank")
+    )
+    cand = lsh_topk(emb, QUERY_IDS, k=K).select(
+        "query_id", "cand_id", F.col("rank").alias("pos")
+    )
+    w_arr = F.lit(_NDCG_W)
+    scored = (
+        cand.filter(F.col("pos") <= K)
+        .join(truth, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            (
+                F.when(
+                    F.col("true_rank") <= K,
+                    (K + 1 - F.col("true_rank"))
+                    * F.element_at(w_arr, F.col("pos").cast("int")),
+                ).otherwise(F.lit(0))
+            ).alias("gain_micro"),
+        )
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(F.sum("gain_micro").alias("dcg_micro"))
+        .select(
+            "query_id",
+            "dcg_micro",
+            F.expr(f"CAST((dcg_micro * 1000000) div {_IDCG_MICRO} AS BIGINT)")
+            .alias("ndcg_ppm"),
+        )
+        .orderBy("query_id")
+    )
