@@ -181,6 +181,7 @@ HEADLINE = [
     "rebalance_classes",
     "mixture_interleave",
     "ann_ndcg_eval",
+    "quantile_normalize",
 ]
 
 REPEATS = 2

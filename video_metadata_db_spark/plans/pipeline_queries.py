@@ -902,3 +902,85 @@ def q_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk", "source", "doc_id")
         .limit(200)
     )
+
+
+# -------------------------------------------- quantile normalization --
+
+_QNORM_SQL = """
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+gstats AS (
+  SELECT n_chars AS g_val,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+mapped AS (
+  SELECT s.source,
+         g.g_val AS norm_chars
+  FROM src s
+  CROSS JOIN tot
+  JOIN gstats g ON g.pos = (s.r * tot.n + s.n_s - 1) // s.n_s
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(norm_chars) AS norm_sum,
+       MIN(norm_chars) AS norm_min,
+       MAX(norm_chars) AS norm_max
+FROM mapped
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("quantile_normalize", oracle=_QNORM_SQL)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    GLOBAL length distribution: a doc at within-source rank r (of n_s)
+    takes the global order statistic at position ceil(r*N/n_s) — the
+    cross-source distribution alignment used to de-bias length-skewed
+    mixtures (and the microarray-normalization classic).
+
+    Scale shape: within-source ranks are source-partitioned windows;
+    the GLOBAL rank uses the distributed two-pass prefix-sum rank
+    (`global_row_number` — never the single-reducer window the oracle
+    is allowed); the mapping is then a plain equi-join on the integer
+    position.  Positions use integer-ceil ((r*N + n_s - 1) div n_s) and
+    values are integers, so every engine maps every row identically."""
+    from ..operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = docs.select(
+        "source",
+        F.row_number().over(w_src).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    glob = global_row_number(docs, "n_chars", "doc_id", out_col="pos0").select(
+        (F.col("pos0") + 1).alias("pos"), F.col("n_chars").alias("norm_chars")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    mapped = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "pos", F.expr("CAST((r * n + n_s - 1) div n_s AS BIGINT)")
+        )
+        .join(glob, "pos")
+    )
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("norm_chars").alias("norm_sum"),
+            F.min("norm_chars").alias("norm_min"),
+            F.max("norm_chars").alias("norm_max"),
+        )
+        .orderBy("source")
+    )
