@@ -182,6 +182,7 @@ HEADLINE = [
     "mixture_interleave",
     "ann_ndcg_eval",
     "quantile_normalize",
+    "nb_margin_calibration",
 ]
 
 REPEATS = 2

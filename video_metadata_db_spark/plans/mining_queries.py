@@ -1971,7 +1971,9 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- naive Bayes classifier ---
 
-_NB_SQL = """
+#: Shared NB train-and-score CTE chain (through `score`) — the SQL twin
+#: of `_nb_scores`; both NB queries' oracles append their own tail.
+_NB_CORE = """
 WITH toks AS (
   SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
   FROM documents
@@ -2006,7 +2008,9 @@ score AS (
   SELECT s.doc_id, s.lang, s.s + p.plp AS score
   FROM (SELECT doc_id, lang, SUM(x) AS s FROM contrib GROUP BY doc_id, lang) s
   JOIN prior p USING (lang)
-),
+)"""
+
+_NB_SQL = _NB_CORE + """,
 pred AS (
   SELECT doc_id, lang AS predicted_lang,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
@@ -2019,32 +2023,48 @@ GROUP BY d.lang, p.predicted_lang
 ORDER BY actual_lang, predicted_lang
 """
 
+_NB_CAL_SQL = _NB_CORE + """,
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+  FROM score
+),
+top2 AS (
+  SELECT r1.doc_id, r1.lang AS predicted_lang,
+         CAST(CAST(r1.score - r2.score AS DECIMAL(20,6)) * 1000000 AS BIGINT)
+           AS margin_micro
+  FROM ranked r1 JOIN ranked r2
+    ON r1.doc_id = r2.doc_id AND r1.rn = 1 AND r2.rn = 2
+),
+labeled AS (
+  SELECT t.doc_id, t.margin_micro,
+         CASE WHEN t.predicted_lang = d.lang THEN 1 ELSE 0 END AS correct
+  FROM top2 t JOIN documents d USING (doc_id)
+),
+tot2 AS (SELECT COUNT(*) AS n FROM labeled),
+pos AS (
+  SELECT margin_micro, correct,
+         row_number() OVER (ORDER BY margin_micro, doc_id) - 1 AS p
+  FROM labeled
+)
+SELECT CAST((pos.p * 10) // tot2.n AS INT) AS margin_decile,
+       COUNT(*) AS n_docs,
+       SUM(correct) AS n_correct,
+       CAST((SUM(correct) * 1000000) // COUNT(*) AS BIGINT) AS acc_ppm,
+       MIN(margin_micro) AS margin_min_micro,
+       MAX(margin_micro) AS margin_max_micro
+FROM pos CROSS JOIN tot2
+GROUP BY 1
+ORDER BY 1
+"""
 
-@query("nb_lang_confusion", oracle=_NB_SQL)
-def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial naive-Bayes classifier trained and self-scored on the
-    corpus (labels = ``lang``, features = token counts, Laplace +1
-    smoothing), reported as the actual x predicted confusion matrix —
-    the distributed train-then-score loop every bag-of-words classifier
-    (spam/quality/topic gates in a data pipeline) runs.
 
-    Plan at scale: training is two keyed aggregates — per-(class,term)
-    counts and per-class totals — plus one COUNT(DISTINCT term) for the
-    vocabulary size; all three are map-side-combining shuffles on slim
-    keys.  Scoring expands each (doc, term, tf) row by the k class
-    labels (a k-row broadcast join, never a cartesian against data) and
-    LEFT-joins the class-term counts on (term, class) — the single
-    vocab-keyed shuffle, AQE-skew-splittable on stopword-ish terms.
-    Per-(doc,class) scores are one aggregate; the per-doc argmax is a
-    window partitioned by doc_id over exactly k rows.  The confusion
-    matrix is a k x k final aggregate — aggregate-sized output only.
-
-    Float discipline: each smoothed log-prob ln((c+1)/(T+V)) is rounded
-    to 6 dp and cast DECIMAL(12,6) BEFORE the tf multiply, and scores
-    accumulate as exact decimals, so cross-engine sum order cannot
-    reorder the argmax; the argmax tie-breaks on (score DESC, lang) — a
-    total order."""
-    docs = load_table(spark, sf_dir, "documents")
+def _nb_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, score) for the multinomial NB classifier — the
+    shared train-and-score core of `nb_lang_confusion` (argmax →
+    confusion matrix) and `nb_margin_calibration` (top-2 margin →
+    calibration).  Scores are exact DECIMAL sums of 6-dp-quantized
+    log-probs; see `q_nb_lang_confusion` for the plan-shape notes."""
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens_of(F.col("text"))).alias("term")
     )
@@ -2075,12 +2095,40 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cc, ["lang", "term"], "left")
         .select("doc_id", "lang", (F.col("tf") * lp).alias("x"))
     )
-    score = (
+    return (
         contrib.groupBy("doc_id", "lang")
         .agg(F.sum("x").alias("s"))
         .join(F.broadcast(prior), "lang")
         .select("doc_id", "lang", (F.col("s") + F.col("plp")).alias("score"))
     )
+
+
+@query("nb_lang_confusion", oracle=_NB_SQL)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes classifier trained and self-scored on the
+    corpus (labels = ``lang``, features = token counts, Laplace +1
+    smoothing), reported as the actual x predicted confusion matrix —
+    the distributed train-then-score loop every bag-of-words classifier
+    (spam/quality/topic gates in a data pipeline) runs.
+
+    Plan at scale: training is two keyed aggregates — per-(class,term)
+    counts and per-class totals — plus one COUNT(DISTINCT term) for the
+    vocabulary size; all three are map-side-combining shuffles on slim
+    keys.  Scoring expands each (doc, term, tf) row by the k class
+    labels (a k-row broadcast join, never a cartesian against data) and
+    LEFT-joins the class-term counts on (term, class) — the single
+    vocab-keyed shuffle, AQE-skew-splittable on stopword-ish terms.
+    Per-(doc,class) scores are one aggregate; the per-doc argmax is a
+    window partitioned by doc_id over exactly k rows.  The confusion
+    matrix is a k x k final aggregate — aggregate-sized output only.
+
+    Float discipline: each smoothed log-prob ln((c+1)/(T+V)) is rounded
+    to 6 dp and cast DECIMAL(12,6) BEFORE the tf multiply, and scores
+    accumulate as exact decimals, so cross-engine sum order cannot
+    reorder the argmax; the argmax tie-breaks on (score DESC, lang) — a
+    total order."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = _nb_scores(docs)
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
     pred = (
         score.withColumn("rn", F.row_number().over(w))
@@ -2185,4 +2233,65 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
         .orderBy("abc_class")
+    )
+
+
+@query("nb_margin_calibration", oracle=_NB_CAL_SQL)
+def q_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the NB classifier: bucket documents into
+    DECILES of the top-1 vs top-2 score margin and report accuracy per
+    decile — the is-confidence-meaningful check (a well-behaved
+    classifier is right more often where its margin is wide) that
+    decides whether margin thresholds can gate auto-labeling.
+
+    Exactness: scores are exact decimals (see `_nb_scores`), so the
+    margin is an exact DECIMAL difference scaled to integer micro-units;
+    decile boundaries come from the DISTRIBUTED prefix-sum global rank
+    over (margin_micro, doc_id) — a total integer order, never a float
+    quantile; accuracy is integer parts-per-million.  Scale shape: one
+    per-doc k-row window for the top-2, one global-rank pass, one
+    10-row rollup."""
+    from ..operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = _nb_scores(docs)
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
+    ranked = score.withColumn("rn", F.row_number().over(w))
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("lang").alias("predicted_lang"), F.col("score").alias("s1")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select("doc_id", F.col("score").alias("s2"))
+    top2 = r1.join(r2, "doc_id").select(
+        "doc_id",
+        "predicted_lang",
+        (
+            (F.col("s1") - F.col("s2")).cast("decimal(20,6)") * 1_000_000
+        ).cast("long").alias("margin_micro"),
+    )
+    labeled = top2.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "margin_micro",
+        F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+        .alias("correct"),
+    )
+    pos = global_row_number(labeled, "margin_micro", "doc_id", out_col="p")
+    tot = labeled.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pos.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST((p * 10) div n AS INT)").alias("margin_decile"),
+            "correct",
+            "margin_micro",
+        )
+        .groupBy("margin_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("correct").alias("n_correct"),
+            F.expr(
+                "CAST((SUM(correct) * 1000000) div COUNT(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+            F.min("margin_micro").alias("margin_min_micro"),
+            F.max("margin_micro").alias("margin_max_micro"),
+        )
+        .orderBy("margin_decile")
     )
