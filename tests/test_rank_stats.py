@@ -1,0 +1,106 @@
+"""Unit tests for the exact two-sample rank statistics: the shared
+rank-count substrate vs a brute-force model, the KS max-gap identity,
+and the Mann–Whitney doubled-rank identities (2Ua + 2Ub = 2·na·nb,
+AUC symmetry).  Full value oracles run in test_registry_queries.py.
+"""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+from video_metadata_db_spark.operators.analytics import two_sample_rank_counts
+
+
+def _sample(seed: int, n_a: int, n_b: int, lo: int = -5, hi: int = 12):
+    rng = random.Random(seed)
+    a = [rng.randint(lo, hi) for _ in range(n_a)]
+    b = [rng.randint(lo, hi) for _ in range(n_b)]
+    return a, b
+
+
+def _counts_df(spark, a, b, num_ranges=4):
+    rows = [(v, "a") for v in a] + [(v, "b") for v in b]
+    df = spark.createDataFrame(rows, "v long, g string")
+    return two_sample_rank_counts(df, "v", "g", "a", "b", num_ranges=num_ranges)
+
+
+def test_rank_counts_match_brute_force(spark):
+    """cnt/cum at every distinct value equal the direct O(n²) model —
+    with heavy ties and values straddling the range boundaries."""
+    a, b = _sample(7, 40, 25)
+    got = {
+        r["v"]: (r["cnt_a"], r["cnt_b"], r["cum_a"], r["cum_b"])
+        for r in _counts_df(spark, a, b).collect()
+    }
+    for v in sorted(set(a) | set(b)):
+        expect = (
+            a.count(v),
+            b.count(v),
+            sum(1 for x in a if x <= v),
+            sum(1 for x in b if x <= v),
+        )
+        assert got[v] == expect, f"value {v}"
+    assert set(got) == set(a) | set(b)
+
+
+def test_rank_counts_single_range_degenerate(spark):
+    """num_ranges=1 (no boundaries at all) must still be correct — the
+    two-pass collapses to one bucket."""
+    a, b = _sample(11, 9, 6, lo=0, hi=3)
+    got = {r["v"]: (r["cum_a"], r["cum_b"]) for r in _counts_df(spark, a, b, 1).collect()}
+    for v in sorted(set(a) | set(b)):
+        assert got[v] == (
+            sum(1 for x in a if x <= v),
+            sum(1 for x in b if x <= v),
+        )
+
+
+def test_ks_matches_brute_force(spark):
+    """d_numer/(na·nb) from the counts frame equals the direct ECDF
+    max-gap, computed in exact rational arithmetic."""
+    a, b = _sample(23, 60, 45)
+    rows = _counts_df(spark, a, b).collect()
+    n_a, n_b = len(a), len(b)
+    d_numer = max(abs(r["cum_a"] * n_b - r["cum_b"] * n_a) for r in rows)
+    expect = max(
+        abs(
+            Fraction(sum(1 for x in a if x <= v), n_a)
+            - Fraction(sum(1 for x in b if x <= v), n_b)
+        )
+        for v in set(a) | set(b)
+    )
+    assert Fraction(d_numer, n_a * n_b) == expect
+
+
+def test_mann_whitney_identities(spark):
+    """Doubled-rank arithmetic vs the classic average-rank model:
+    2R_a from the counts frame equals twice the tie-averaged rank sum,
+    and 2Ua + 2Ub == 2·na·nb."""
+    a, b = _sample(41, 35, 50)
+    rows = sorted(_counts_df(spark, a, b).collect(), key=lambda r: r["v"])
+    twice_r_a = sum(
+        r["cnt_a"]
+        * (
+            2 * (r["cum_a"] - r["cnt_a"] + r["cum_b"] - r["cnt_b"])
+            + r["cnt_a"]
+            + r["cnt_b"]
+            + 1
+        )
+        for r in rows
+    )
+    # direct model: average ranks over the pooled sorted sample
+    pooled = sorted([(v, "a") for v in a] + [(v, "b") for v in b])
+    by_val: dict[int, list[int]] = {}
+    for i, (v, _) in enumerate(pooled, start=1):
+        by_val.setdefault(v, []).append(i)
+    r_a = sum(
+        (Fraction(sum(by_val[v]), len(by_val[v])) for v, g in pooled if g == "a"),
+        Fraction(0),
+    )
+    assert Fraction(twice_r_a, 2) == r_a
+    n_a, n_b = len(a), len(b)
+    twice_u_a = twice_r_a - n_a * (n_a + 1)
+    twice_u_b = 2 * n_a * n_b - twice_u_a
+    assert twice_u_a + twice_u_b == 2 * n_a * n_b
+    assert 0 <= twice_u_a <= 2 * n_a * n_b

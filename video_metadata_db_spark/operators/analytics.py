@@ -128,3 +128,87 @@ def peak_concurrency(
             "first_peak_ts",
         )
     )
+
+
+def two_sample_rank_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    label_a: str,
+    label_b: str,
+    *,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Distinct-value counts and INCLUSIVE cumulative counts for two
+    samples pooled on one integer-comparable value column — the shared
+    substrate of the exact rank statistics (Kolmogorov–Smirnov D,
+    Mann–Whitney U / AUC): both need, at every distinct value ``v``,
+    how many sample-A and sample-B observations are ``≤ v``.
+
+    Output: ``(value_col, cnt_a, cnt_b, cum_a, cum_b)`` — one row per
+    distinct value present in either sample.
+
+    Scale shape: the raw stream first collapses to DISTINCT VALUE level
+    with one partial-aggregatable shuffle (map-side combine on the
+    value key), so everything after runs on ``|distinct values|`` rows,
+    not corpus rows.  The cumulative sums then use the same
+    literal-boundary two-pass prefix sum as ``operators/packing.py``
+    (never a single-reducer global window): range boundaries come from
+    one tiny driver-side ``percentile_approx`` collect over the RAW
+    value stream (approximate boundaries only affect bucket balance,
+    never correctness — the bucket test is strict-less-than, so equal
+    values always share a bucket), per-range totals get their running
+    offset on a ≤ ``num_ranges``-row window, and within-range windows
+    run fully parallel.  BOTH samples' prefixes ride ONE pass — the
+    per-range totals aggregate and the in-range window each carry two
+    sum expressions.
+    """
+    tagged = df.filter(F.col(group_col).isin([label_a, label_b])).select(
+        F.col(value_col).alias("_v"),
+        F.when(F.col(group_col) == label_a, 1).otherwise(0).alias("_fa"),
+        F.when(F.col(group_col) == label_b, 1).otherwise(0).alias("_fb"),
+    )
+    per = tagged.groupBy("_v").agg(
+        F.sum("_fa").alias("cnt_a"), F.sum("_fb").alias("cnt_b")
+    )
+
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = (
+        tagged.select(F.percentile_approx("_v", probs, 10_000).alias("b")).first()["b"]
+        if probs
+        else None
+    ) or []
+    if bounds:
+        bucket = F.size(F.filter(F.lit(list(bounds)), lambda b: b < F.col("_v")))
+    else:
+        bucket = F.lit(0)
+    with_pid = per.withColumn("_pid", bucket.cast("int"))
+
+    totals = with_pid.groupBy("_pid").agg(
+        F.sum("cnt_a").alias("_ta"), F.sum("cnt_b").alias("_tb")
+    )
+    off_w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_ta").over(off_w), F.lit(0)).cast("long").alias("_oa"),
+        F.coalesce(F.sum("_tb").over(off_w), F.lit(0)).cast("long").alias("_ob"),
+    )
+    in_w = (
+        Window.partitionBy("_pid")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .select(
+            F.col("_v").alias(value_col),
+            "cnt_a",
+            "cnt_b",
+            (F.col("_oa") + F.sum("cnt_a").over(in_w)).cast("long").alias("cum_a"),
+            (F.col("_ob") + F.sum("cnt_b").over(in_w)).cast("long").alias("cum_b"),
+        )
+    )

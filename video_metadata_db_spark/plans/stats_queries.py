@@ -1,0 +1,175 @@
+"""Exact two-sample rank statistics: Kolmogorov–Smirnov D and
+Mann–Whitney U / AUC over the events value distributions.
+
+These are the workhorse distribution-shift tests a training-data
+pipeline runs between sources, snapshots, or A/B arms when PSI's
+binning is too coarse: KS gives the max ECDF gap, Mann–Whitney gives
+the probability a random A-value exceeds a random B-value (the AUC of
+the 1-D "classifier").  Both are functions of RANKS only, so both are
+computable EXACTLY in integer arithmetic on the cents grid — no float
+summation order anywhere until one final rounded division.
+
+Nothing like this exists in the reference (video_metadata_db.py stops
+at group/sort reports); the shapes extend SURVEY.md §2.5's aggregate
+family with the pooled-rank substrate that
+:func:`..operators.analytics.two_sample_rank_counts` provides (scale
+notes there: distinct-value collapse first, literal-boundary two-pass
+prefix sum, never a corpus-wide single-reducer window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics import two_sample_rank_counts
+from ..sources.tables import load_table
+from .registry import query
+
+_CENTS = "CAST(round(value * 100, 0) AS BIGINT)"
+
+
+def _tagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    )
+
+
+@query(
+    "ks_two_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT {_CENTS} AS cents,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS fa,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS fb
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+),
+v AS (SELECT cents, SUM(fa) AS cnt_a, SUM(fb) AS cnt_b FROM s GROUP BY cents),
+c AS (
+  SELECT cents,
+         SUM(cnt_a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cnt_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM v
+),
+t AS (SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM v)
+SELECT CAST(t.n_a AS BIGINT) AS n_a,
+       CAST(t.n_b AS BIGINT) AS n_b,
+       CAST(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT) AS d_numer,
+       CAST(round(MAX(abs(c.cum_a * t.n_b - c.cum_b * t.n_a))
+                  / (1.0 * t.n_a * t.n_b), 6) AS DOUBLE) AS ks_stat
+FROM c CROSS JOIN t
+GROUP BY t.n_a, t.n_b
+""",
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Kolmogorov–Smirnov D between the click and view value
+    distributions: ``D = max_v |ECDF_click(v) − ECDF_view(v)|``.
+
+    The statistic is kept as an INTEGER numerator until the very end:
+    at each distinct cents value the ECDF gap is
+    ``|cum_a·n_b − cum_b·n_a|`` (both engines agree bit-for-bit on
+    integers), the max of those is ``d_numer``, and
+    ``D = d_numer / (n_a·n_b)`` is one rounded division of
+    exactly-agreed integers.  Cumulative counts come from the
+    distributed two-pass prefix sum in
+    :func:`..operators.analytics.two_sample_rank_counts` — the corpus
+    collapses to distinct-value rows in one partial-aggregatable
+    shuffle before any window runs."""
+    counts = two_sample_rank_counts(
+        _tagged_events(spark, sf_dir), "cents", "event_type", "click", "view"
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    gap = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(gap).cast("long").alias("d_numer"))
+        .select(
+            "n_a",
+            "n_b",
+            "d_numer",
+            F.round(
+                F.col("d_numer") / (F.lit(1.0) * F.col("n_a") * F.col("n_b")), 6
+            )
+            .cast("double")
+            .alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "mann_whitney_auc",
+    oracle=f"""
+WITH s AS (
+  SELECT {_CENTS} AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS fa,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS fb
+  FROM events
+  WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL
+),
+v AS (SELECT cents, SUM(fa) AS cnt_a, SUM(fb) AS cnt_b FROM s GROUP BY cents),
+c AS (
+  SELECT cents, cnt_a, cnt_b,
+         SUM(cnt_a + cnt_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)
+           - (cnt_a + cnt_b) AS prev_pool
+  FROM v
+),
+a AS (
+  SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b,
+         SUM(cnt_a * (2 * prev_pool + cnt_a + cnt_b + 1)) AS twice_r_a
+  FROM c
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(twice_r_a AS BIGINT) AS twice_r_a,
+       CAST(twice_r_a - n_a * (n_a + 1) AS BIGINT) AS twice_u_a,
+       CAST(2 * n_a * n_b - (twice_r_a - n_a * (n_a + 1)) AS BIGINT) AS twice_u_b,
+       CAST(round((twice_r_a - n_a * (n_a + 1)) / (2.0 * n_a * n_b), 6)
+            AS DOUBLE) AS auc_a
+FROM a
+""",
+)
+def q_mann_whitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (with the standard average-rank tie
+    handling) between purchase and error values, plus the AUC form
+    ``U_a / (n_a·n_b)`` = P(random purchase value > random error value)
+    counting ties as ½.
+
+    Everything stays integer by carrying DOUBLED quantities: at a
+    distinct value with pooled count ``c`` and ``p`` pooled
+    observations strictly below it, every tied observation's average
+    1-based rank is ``(2p + c + 1) / 2``, so
+    ``2·R_a = Σ cnt_a·(2p + c + 1)`` is an exact integer sum, and
+    ``2·U_a = 2·R_a − n_a(n_a+1)``.  The identity
+    ``2·U_a + 2·U_b = 2·n_a·n_b`` is asserted by the unit tests.  One
+    final rounded division produces the AUC.  Same distributed
+    rank substrate (and scale shape) as ``ks_two_sample``."""
+    counts = two_sample_rank_counts(
+        _tagged_events(spark, sf_dir), "cents", "event_type", "purchase", "error"
+    )
+    prev_pool = (
+        F.col("cum_a") - F.col("cnt_a") + F.col("cum_b") - F.col("cnt_b")
+    )
+    twice_rank = 2 * prev_pool + F.col("cnt_a") + F.col("cnt_b") + 1
+    a = counts.agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+        F.sum(F.col("cnt_a") * twice_rank).cast("long").alias("twice_r_a"),
+    )
+    twice_u_a = F.col("twice_r_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return a.select(
+        "n_a",
+        "n_b",
+        "twice_r_a",
+        twice_u_a.cast("long").alias("twice_u_a"),
+        (2 * F.col("n_a") * F.col("n_b") - twice_u_a).cast("long").alias("twice_u_b"),
+        F.round(twice_u_a / (F.lit(2.0) * F.col("n_a") * F.col("n_b")), 6)
+        .cast("double")
+        .alias("auc_a"),
+    )
