@@ -2056,3 +2056,179 @@ def q_max_drawdown_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "pattern_rising_runs",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+f AS (
+  SELECT user_id, event_id, ts, cents,
+         CASE WHEN cents > lag(cents) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+              THEN 0 ELSE 1 END AS brk
+  FROM v
+),
+isl AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM f
+),
+runs AS (
+  SELECT user_id, island, count(*) AS run_len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       count(*) AS n_rising_runs,
+       CAST(max(run_len) AS BIGINT) AS longest_run
+FROM runs
+WHERE run_len >= 3
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_pattern_rising_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern detection without the
+    SQL extension: per user, the maximal runs of STRICTLY RISING event
+    values (3+ consecutive events, ordered by time) — the "momentum"
+    pattern behind price-breakout alerts and engagement-streak
+    triggers.  SURVEY.md §2.8's window family composes the whole
+    recognizer: a lag() comparison marks run breaks, the running sum
+    of breaks is the classic gaps-and-islands run id, and a grouped
+    count filters to runs of length ≥ 3.
+
+    Scale shape: two per-user windows (break flag + island id fuse
+    into ONE window spec at the exchange level — same partition and
+    order) then a partial-aggregatable count on (user, island); no
+    global window, no self-join, integer cents comparisons only.  The
+    (ts, event_id) order is total so both engines see identical runs."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(F.col("cents") > F.lag("cents").over(w), 0).otherwise(1)
+    isl = v.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.filter(F.col("run_len") >= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rising_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "interval_union_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s_us,
+         epoch_us(ts) + (abs(CAST(round(value * 100, 0) AS BIGINT)) % 120 + 1)
+           * CAST(60000000 AS BIGINT) AS e_us
+  FROM events WHERE value IS NOT NULL
+),
+m AS (
+  SELECT user_id, event_id, s_us, e_us,
+         max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s_us, e_us,
+         SUM(CASE WHEN prev_max IS NULL OR s_us > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+cov AS (
+  SELECT user_id, island,
+         max(e_us) - min(s_us) AS covered_us
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       count(*) AS n_islands,
+       CAST(SUM(covered_us) // 1000000 AS BIGINT) AS covered_seconds
+FROM cov
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total UNION-covered time of each user's activity intervals —
+    the de-overlapped "actual usage" metric billing and capacity
+    models need (overlapping sessions must not double-count).  Each
+    event opens a half-open interval [ts, ts + dur) with the same
+    integer-derived duration as ``peak_concurrency`` (abs(cents) % 120
+    + 1 minutes), so both engines build bit-identical intervals in
+    MICROSECOND integers (``unix_micros`` / ``epoch_us`` — the events
+    fixture has sub-second timestamps).
+
+    The sweep is the running-max-of-ends gaps-and-islands: an interval
+    starts a new island iff its start strictly exceeds the max end of
+    all earlier intervals (equal = abutting half-open intervals →
+    merged); each island's union is one contiguous span
+    [min start, max end].  Scale shape: two same-spec per-user windows
+    + one (user, island) partial-aggregatable rollup — no self-join,
+    no global window.  The covered time aggregates exactly in integer
+    micros and divides down to whole seconds only at output."""
+    dur_min = (
+        F.abs(F.round(F.col("value") * 100, 0).cast("long")) % 120 + 1
+    )
+    iv = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("s_us"),
+            (F.unix_micros("ts") + dur_min * F.lit(60_000_000).cast("long")).alias(
+                "e_us"
+            ),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    m = iv.withColumn(
+        "prev_max",
+        F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("s_us") > F.col("prev_max")), 1
+    ).otherwise(0)
+    isl = m.withColumn(
+        "island",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cov = isl.groupBy("user_id", "island").agg(
+        (F.max("e_us") - F.min("s_us")).alias("covered_us")
+    )
+    return (
+        cov.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.expr("sum(covered_us) div 1000000").cast("long").alias(
+                "covered_seconds"
+            ),
+        )
+        .orderBy("user_id")
+    )
