@@ -1,0 +1,98 @@
+"""MERGE INTO / merge-on-read overlays — the lakehouse write-path
+semantics (Delta/Iceberg-style) expressed as pure relational plans.
+
+The reference's only mutation is "append rows whose key is new"
+(update mode, video_metadata_db.py:443-476); a corpus lake needs the
+two richer forms every table format standardizes:
+
+- :func:`merge_upsert` — SQL MERGE: one FULL OUTER equi-join on the
+  key; matched keys take the update payload, unmatched-source keys
+  insert, unmatched-target keys carry through.
+- :func:`snapshot_read` — merge-on-read: the CURRENT view of a base
+  snapshot overlaid with equality-delete keys and upsert rows, exactly
+  what an Iceberg v2 reader assembles from delete files + data files
+  without rewriting the base.
+
+Scale shape: each is a single hash-shuffle on the key (zero shuffle
+when base and overlay are bucketed on it — the layout
+``sources/bucketing.py`` writes); delete-key sets are usually tiny and
+broadcast.  No window, no collect, no iteration; AQE picks the join
+strategy per side at runtime.  The copy-on-write file rewrite built on
+:func:`merge_upsert` lives in ``sources/maintenance.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    mark_col: str | None = None,
+) -> DataFrame:
+    """SQL ``MERGE INTO base USING updates ON key``: WHEN MATCHED THEN
+    UPDATE SET * / WHEN NOT MATCHED THEN INSERT * — as one full-outer
+    join.  ``updates`` must carry the same non-key columns as ``base``
+    (payload columns are coalesced update-first).  When ``mark_col``
+    is given, an extra string column records each row's provenance:
+    'updated', 'inserted', or 'base'.
+    """
+    keys = list(key_cols)
+    payload = [c for c in base.columns if c not in set(keys)]
+    missing = [c for c in payload if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing payload columns: {missing}")
+    b = base.select(*keys, F.lit(1).alias("_in_base"), *payload)
+    u = updates.select(
+        *keys,
+        F.lit(1).alias("_in_upd"),
+        *[F.col(c).alias(f"_u_{c}") for c in payload],
+    )
+    joined = b.join(u, on=keys, how="full_outer")
+    out = [
+        *keys,
+        *[F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in payload],
+    ]
+    if mark_col is not None:
+        out.append(
+            F.when(F.col("_in_upd").isNull(), "base")
+            .when(F.col("_in_base").isNull(), "inserted")
+            .otherwise("updated")
+            .alias(mark_col)
+        )
+    return joined.select(*out)
+
+
+def snapshot_read(
+    base: DataFrame,
+    key_cols: Sequence[str],
+    delete_keys: DataFrame | None = None,
+    upserts: DataFrame | None = None,
+) -> DataFrame:
+    """The merge-on-read CURRENT view: ``base``, minus rows whose key
+    appears in ``delete_keys`` (equality deletes), with rows whose key
+    appears in ``upserts`` replaced by the upsert payload (and brand-new
+    upsert keys appended).  Deletes apply to the base AND to upserts —
+    a delete written after an upsert wins, matching table-format
+    sequence-number semantics when the caller passes the already
+    net-effective key sets.
+
+    Plan: at most two left-anti joins (broadcast when the key sets are
+    small) + one union — the base is never rewritten.
+    """
+    keys = list(key_cols)
+    cur = base
+    if upserts is not None:
+        cur = cur.join(
+            upserts.select(*keys).distinct(), on=keys, how="left_anti"
+        ).unionByName(upserts.select(*cur.columns))
+    if delete_keys is not None:
+        cur = cur.join(
+            delete_keys.select(*keys).distinct(), on=keys, how="left_anti"
+        )
+    return cur

@@ -145,6 +145,7 @@ def _import_all() -> None:
     from . import timeseries_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
     from . import stats_queries  # noqa: F401
+    from . import lake_queries  # noqa: F401
 
 
 try:

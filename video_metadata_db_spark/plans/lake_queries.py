@@ -1,0 +1,175 @@
+"""Lakehouse write-path semantics as value-oracled queries: SQL MERGE
+(upsert) and the merge-on-read current-view assembly.
+
+The reference's only mutation is append-if-new (update mode,
+video_metadata_db.py:443-476); these two queries cover the other table
+mutations a corpus lake performs daily — MERGE INTO for dimension
+upkeep, and the Iceberg-v2-style read that overlays equality deletes
+and upsert rows on an immutable base snapshot.  The relational cores
+live in ``operators/mor.py`` (one key-shuffle each, broadcastable
+overlays, scale notes there); the file-level copy-on-write and
+delete-file halves are in ``sources/maintenance.py`` and are
+round-trip tested in tests/test_mor.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mor import merge_upsert, snapshot_read
+from ..sources.tables import load_table
+from .registry import query
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS k, count(*) AS cnt,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+upd AS (
+  SELECT k AS c_custkey,
+         'upd_' || CAST(k AS VARCHAR) AS c_name,
+         CAST(k % 25 AS INTEGER) AS c_nationkey,
+         cents AS acctbal_cents,
+         'LOYAL' AS c_mktsegment
+  FROM spend WHERE cnt > 10
+  UNION ALL
+  SELECT k + 10000000,
+         'new_' || CAST(k AS VARCHAR),
+         CAST(k % 25 AS INTEGER),
+         cents,
+         'NEW'
+  FROM spend WHERE k % 97 = 0
+),
+b AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents,
+         c_mktsegment
+  FROM customer
+)
+SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+       COALESCE(u.c_name, b.c_name) AS c_name,
+       COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+       COALESCE(u.acctbal_cents, b.acctbal_cents) AS acctbal_cents,
+       COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       CASE WHEN u.c_custkey IS NULL THEN 'base'
+            WHEN b.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+ORDER BY c_custkey
+""",
+)
+def q_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING an order-derived changefeed: heavy
+    buyers (>10 orders) get their row UPDATED (segment 'LOYAL',
+    balance = lifetime spend in cents), and a deterministic slice of
+    keys (custkey % 97 = 0, shifted by 10M) arrives as brand-new
+    INSERTs.  Every output row carries its merge_action — the audit
+    column a MERGE job logs.
+
+    One full-outer hash join on the key (``operators/mor.merge_upsert``)
+    over the pre-aggregated changefeed; the spend rollup is
+    partial-aggregatable; balances stay integer cents."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    upd = spend.filter(F.col("cnt") > 10).select(
+        F.col("k").alias("c_custkey"),
+        F.concat(F.lit("upd_"), F.col("k").cast("string")).alias("c_name"),
+        (F.col("k") % 25).cast("int").alias("c_nationkey"),
+        F.col("cents").alias("acctbal_cents"),
+        F.lit("LOYAL").alias("c_mktsegment"),
+    )
+    ins = spend.filter(F.col("k") % 97 == 0).select(
+        (F.col("k") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("new_"), F.col("k").cast("string")).alias("c_name"),
+        (F.col("k") % 25).cast("int").alias("c_nationkey"),
+        F.col("cents").alias("acctbal_cents"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(
+        base, upd.unionByName(ins), ["c_custkey"], mark_col="merge_action"
+    )
+    return merged.orderBy("c_custkey")
+
+
+@query(
+    "mor_snapshot_read",
+    oracle="""
+WITH del AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderkey % 13 = 0
+),
+ups AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         '1-URGENT' AS o_orderpriority
+  FROM orders WHERE o_totalprice > 300000
+),
+cur AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+  UNION ALL
+  SELECT * FROM ups
+),
+fin AS (
+  SELECT * FROM cur
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+)
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+FROM fin
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+)
+def q_mor_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read current view of the orders snapshot: equality
+    deletes (finalized orders on a deterministic key slice) and upsert
+    rows (big-ticket orders repriorized to 1-URGENT) overlay the
+    immutable base — deletes win over upserts, Iceberg v2 sequence
+    semantics.  The view then feeds a normal rollup, proving
+    downstream queries run unchanged on the overlaid table.
+
+    ``operators/mor.snapshot_read`` assembles the view with two
+    left-anti joins (overlay key sets broadcast) + one union — the
+    base is never rewritten and its scan keeps pushdown/pruning."""
+    orders = load_table(spark, sf_dir, "orders")
+    deletes = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 13 == 0)
+    ).select("o_orderkey")
+    upserts = orders.filter(F.col("o_totalprice") > 300000).withColumn(
+        "o_orderpriority", F.lit("1-URGENT")
+    )
+    cur = snapshot_read(
+        orders, ["o_orderkey"], delete_keys=deletes, upserts=upserts
+    )
+    return (
+        cur.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
