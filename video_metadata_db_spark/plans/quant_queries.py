@@ -8,6 +8,7 @@ updates, left-to-right distance folds, lowest-code argmin ties).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from .registry import query
@@ -229,3 +230,116 @@ def q_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_adc_topk(emb, _QUERY_IDS, topk=_TOPK).orderBy("query_id", "cand_id")
+
+
+@query(
+    "sq8_quantization_error",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+dims AS (
+  SELECT CAST(i AS INT) AS i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+  FROM e CROSS JOIN range(1, 65) t(i)
+  GROUP BY 1
+),
+grids AS (
+  SELECT list(mn ORDER BY i) AS mnl, list(mx ORDER BY i) AS mxl FROM dims
+),
+err AS (
+  SELECT e.label,
+         round(list_sum(list_transform(range(1, 65), i ->
+           CASE WHEN g.mxl[i] > g.mnl[i]
+                THEN pow(e.v[i] - (g.mnl[i]
+                     + round((e.v[i] - g.mnl[i]) * 255.0 / (g.mxl[i] - g.mnl[i]))
+                       * (g.mxl[i] - g.mnl[i]) / 255.0), 2)
+                ELSE 0.0 END)), 6) AS err6
+  FROM e CROSS JOIN grids g
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(SUM(CAST(round(err6 * 1000000, 0) AS BIGINT)) AS BIGINT)
+         AS err_micro_total,
+       CAST(round(sqrt(SUM(CAST(round(err6 * 1000000, 0) AS BIGINT))
+                       / (1000000.0 * count(*))), 6) AS DOUBLE) AS rms_error
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+)
+def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) reconstruction-error audit — the
+    4×-compression sanity check run before swapping an ANN corpus from
+    float32 to uint8 codes: per-dimension min/max grid, 255-step
+    uniform quantizer, and the per-label RMS reconstruction error that
+    decides whether SQ8 (vs PQ, vs no compression) is acceptable.
+
+    Determinism: the per-dim grid is ONE tiny aggregate (64 rows)
+    collected driver-side and embedded as literal arrays (the
+    kmeans-centroid precedent — aggregate-sized, never row data); each
+    vector's squared error is a LEFT-TO-RIGHT fold over dims (Spark
+    ``F.aggregate`` ↔ DuckDB ``list_sum(list_transform ...)``, the
+    bit-identical pair the PQ oracles pinned), rounded to 6 dp and
+    lifted to integer micro-units BEFORE the cross-row sum — so the
+    per-label totals are exact at any partitioning.
+
+    Scale shape: one dims-explode aggregate (64·n rows collapsing
+    map-side) + one embarrassingly-parallel scan with the grid as
+    broadcast literals + one label rollup.  No join, no window."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    dims = (
+        emb.select(F.posexplode("v").alias("i0", "val"))
+        .groupBy("i0")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .orderBy("i0")
+        .collect()
+    )
+    mns = [r["mn"] for r in dims]
+    mxs = [r["mx"] for r in dims]
+    mnl = F.array([F.lit(x) for x in mns])
+    mxl = F.array([F.lit(x) for x in mxs])
+
+    def term(i: F.Column) -> F.Column:
+        v_i = F.element_at(F.col("v"), i.cast("int"))
+        mn_i = F.element_at(mnl, i.cast("int"))
+        mx_i = F.element_at(mxl, i.cast("int"))
+        step = mx_i - mn_i
+        recon = mn_i + F.round((v_i - mn_i) * 255.0 / step) * step / 255.0
+        return F.when(mx_i > mn_i, F.pow(v_i - recon, F.lit(2))).otherwise(
+            F.lit(0.0)
+        )
+
+    err6 = F.round(
+        F.aggregate(
+            F.transform(F.sequence(F.lit(1), F.lit(64)), term),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    per_vec = emb.select(
+        "label", F.round(err6 * 1_000_000, 0).cast("long").alias("err_micro")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("err_micro").cast("long").alias("err_micro_total"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "err_micro_total",
+            F.round(
+                F.sqrt(
+                    F.col("err_micro_total") / (F.lit(1_000_000.0) * F.col("n_vecs"))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("rms_error"),
+        )
+        .orderBy("label")
+    )

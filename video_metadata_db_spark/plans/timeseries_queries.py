@@ -2232,3 +2232,148 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "acf_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+dev AS (
+  SELECT d,
+         CAST(t.n AS HUGEINT) * CAST(x AS HUGEINT) - CAST(t.s AS HUGEINT) AS e
+  FROM daily CROSS JOIN t
+),
+lagd AS (
+  SELECT e,
+         lag(e, 1) OVER (ORDER BY d) AS e1,
+         lag(e, 2) OVER (ORDER BY d) AS e2,
+         lag(e, 3) OVER (ORDER BY d) AS e3,
+         lag(e, 4) OVER (ORDER BY d) AS e4,
+         lag(e, 5) OVER (ORDER BY d) AS e5,
+         lag(e, 6) OVER (ORDER BY d) AS e6,
+         lag(e, 7) OVER (ORDER BY d) AS e7
+  FROM dev
+),
+agg AS (
+  SELECT SUM(e * e) AS den,
+         SUM(e * e1) AS num1, COUNT(e1) AS c1,
+         SUM(e * e2) AS num2, COUNT(e2) AS c2,
+         SUM(e * e3) AS num3, COUNT(e3) AS c3,
+         SUM(e * e4) AS num4, COUNT(e4) AS c4,
+         SUM(e * e5) AS num5, COUNT(e5) AS c5,
+         SUM(e * e6) AS num6, COUNT(e6) AS c6,
+         SUM(e * e7) AS num7, COUNT(e7) AS c7
+  FROM lagd
+)
+SELECT lag_days, n_pairs, acf FROM (
+  SELECT 1 AS lag_days, CAST(c1 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+  UNION ALL
+  SELECT 2 AS lag_days, CAST(c2 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+  UNION ALL
+  SELECT 3 AS lag_days, CAST(c3 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num3 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+  UNION ALL
+  SELECT 4 AS lag_days, CAST(c4 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num4 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+  UNION ALL
+  SELECT 5 AS lag_days, CAST(c5 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num5 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+  UNION ALL
+  SELECT 6 AS lag_days, CAST(c6 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num6 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+  UNION ALL
+  SELECT 7 AS lag_days, CAST(c7 AS BIGINT) AS n_pairs,
+         CAST(round(CAST(num7 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS DOUBLE) AS acf
+  FROM agg
+)
+ORDER BY lag_days
+""",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact autocorrelation function (lags 1–7) of the daily order
+    revenue series — the seasonality probe run before any forecasting
+    model (a weekly cycle shows up as an acf spike at lag 7).
+
+    Float summation order never appears: with ``n`` days and total
+    ``S``, the mean-centered deviation is carried ×n as the INTEGER
+    ``e_t = n·x_t − S`` (cents), so ``acf_k = Σ e_t·e_(t−k) / Σ e_t²``
+    — the n² factors cancel — and both sums run in exact DECIMAL(38,0)
+    (HUGEINT on the oracle side).  One final double division per lag,
+    rounded to 6 dp.
+
+    Scale shape: the corpus collapses to per-DAY rows with one
+    partial-aggregatable shuffle; every window after that runs on the
+    calendar-bounded daily frame (~2.4k rows for the 7-year TPC-H
+    range at ANY corpus size — bounded by time, not data), so the
+    single-partition lag window is deliberate and safe, same as the
+    per-range totals window in operators/packing.py."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x")
+        )
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(t)).select(
+        "d",
+        (
+            F.col("n").cast("decimal(20,0)") * F.col("x").cast("decimal(20,0)")
+            - F.col("s").cast("decimal(20,0)")
+        ).alias("e"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("d")
+    lagd = dev.select(
+        "e",
+        F.lag("e", 1).over(w).alias("e1"),
+        F.lag("e", 2).over(w).alias("e2"),
+        F.lag("e", 3).over(w).alias("e3"),
+        F.lag("e", 4).over(w).alias("e4"),
+        F.lag("e", 5).over(w).alias("e5"),
+        F.lag("e", 6).over(w).alias("e6"),
+        F.lag("e", 7).over(w).alias("e7"),
+    )
+    agg = lagd.agg(
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+        F.sum(F.col("e") * F.col("e1")).alias("num1"),
+        F.count("e1").alias("c1"),
+        F.sum(F.col("e") * F.col("e2")).alias("num2"),
+        F.count("e2").alias("c2"),
+        F.sum(F.col("e") * F.col("e3")).alias("num3"),
+        F.count("e3").alias("c3"),
+        F.sum(F.col("e") * F.col("e4")).alias("num4"),
+        F.count("e4").alias("c4"),
+        F.sum(F.col("e") * F.col("e5")).alias("num5"),
+        F.count("e5").alias("c5"),
+        F.sum(F.col("e") * F.col("e6")).alias("num6"),
+        F.count("e6").alias("c6"),
+        F.sum(F.col("e") * F.col("e7")).alias("num7"),
+        F.count("e7").alias("c7"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(7, 1, c1, round(cast(num1 as double) / cast(den as double), 6), 2, c2, round(cast(num2 as double) / cast(den as double), 6), 3, c3, round(cast(num3 as double) / cast(den as double), 6), 4, c4, round(cast(num4 as double) / cast(den as double), 6), 5, c5, round(cast(num5 as double) / cast(den as double), 6), 6, c6, round(cast(num6 as double) / cast(den as double), 6), 7, c7, round(cast(num7 as double) / cast(den as double), 6)) AS (lag_days, n_pairs, acf)"
+        )
+        .select(
+            F.col("lag_days").cast("int").alias("lag_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("acf").cast("double").alias("acf"),
+        )
+        .orderBy("lag_days")
+    )
