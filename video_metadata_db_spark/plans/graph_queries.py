@@ -856,3 +856,91 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("int").alias("seed_label"),
     )
     return label_propagation(edges, seeds, rounds=3).orderBy("node")
+
+
+@query(
+    "brand_affinity_jaccard",
+    oracle="""
+WITH cb AS (
+  SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+sizes AS (SELECT brand, CAST(count(*) AS BIGINT) AS n FROM cb GROUP BY brand),
+inter AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM cb a JOIN cb b ON a.cust = b.cust AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both, sa.n AS n_a, sb.n AS n_b,
+       CAST(round(n_both / (1.0 * (sa.n + sb.n - n_both)), 6) AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON brand_a = sa.brand
+JOIN sizes sb ON brand_b = sb.brand
+ORDER BY jaccard DESC, brand_a, brand_b
+LIMIT 20
+""",
+)
+def q_brand_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-affinity matrix: Jaccard similarity of the CUSTOMER SETS
+    of every brand pair — who-buys-A-also-buys-B over full purchase
+    histories, the audience-overlap complement to
+    `frequent_brand_pairs`' per-order support/lift.
+
+    Scale shape: pair candidates are generated WITHIN each customer's
+    sorted brand set by a Catalyst array expansion
+    (collect_set -> transform x filter, O(k^2) with k <= |brand
+    domain|, never corpus^2) rather than the self-join the oracle
+    spells out — one corpus shuffle to (cust, brand) distinct, one to
+    the per-customer set, one pair-count aggregate.  Brand sizes are
+    a vocabulary-sized broadcast.  Jaccard is one double division of
+    exact integer counts, rounded to 6 dp — deterministic
+    cross-engine; the DESC sort tiebreaks on the pair itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    cb = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    sizes = cb.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    sets = cb.groupBy("cust").agg(F.array_sort(F.collect_set("brand")).alias("bs"))
+    pair_expr = F.expr(
+        "flatten(transform(bs, x -> transform(filter(bs, y -> y > x), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
+    inter = (
+        sets.select(F.explode(pair_expr).alias("p"))
+        .select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(sizes.select(F.col("brand"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("brand"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, inter["brand_a"] == sa["brand"])
+        .drop("brand")
+        .join(sb, inter["brand_b"] == sb["brand"])
+        .drop("brand")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.lit(1.0) * (F.col("n_a") + F.col("n_b") - F.col("n_both"))),
+                6,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

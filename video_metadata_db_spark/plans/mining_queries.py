@@ -2295,3 +2295,62 @@ def q_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("margin_decile")
     )
+
+
+# ------------------------------------------------- tokenizer fertility ---
+
+def _bpe_fertility_oracle() -> str:
+    return f"""{_bpe_ctes(_BPE_N)},
+sv AS (
+  SELECT word,
+         len(list_filter(string_split(seg, chr(31)||chr(31)), x -> x <> ''))
+           AS n_sym
+  FROM s{_BPE_N}
+),
+tok AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS word
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
+       CAST(round(SUM(n_sym) / (1.0 * count(*)), 6) AS DOUBLE) AS fertility
+FROM tok JOIN sv USING (word)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("bpe_fertility", oracle=_bpe_fertility_oracle())
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: symbols emitted per word by
+    the learned BPE merges — THE standard multilingual-tokenizer
+    quality metric (a language whose fertility stays near its raw
+    character count is being under-served by the merge table; budget
+    planners price corpora in post-merge symbols, not words).
+
+    Scale shape: identical to `bpe_encode_corpus` — train on the
+    once-scanned word-count table, then broadcast the |vocab|-sized
+    (word, n_sym) segmentation onto the exploded corpus; the only
+    corpus-sized shuffle is the final per-language aggregate, and the
+    counts are exact integers with one rounded division at output."""
+    from ..operators.bpe import bpe_train, bpe_word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = bpe_word_counts(docs).localCheckpoint(eager=True)
+    _, seg = bpe_train(words, _BPE_N)
+    sv = seg.select("word", F.size(F.split("seg_str", " ")).alias("n_sym"))
+    toks = docs.select("lang", F.explode(tokens_of(F.col("text"))).alias("word"))
+    return (
+        toks.join(F.broadcast(sv), "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+            F.round(F.sum("n_sym") / (F.lit(1.0) * F.count(F.lit(1))), 6)
+            .cast("double")
+            .alias("fertility"),
+        )
+        .orderBy("lang")
+    )
