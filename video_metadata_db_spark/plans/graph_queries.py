@@ -944,3 +944,84 @@ def q_brand_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@query(
+    "degree_assortativity",
+    oracle="""
+WITH trade AS (
+  SELECT DISTINCT o_custkey * 2 AS cnode, l_suppkey * 2 + 1 AS snode
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sym AS (
+  SELECT cnode AS node, snode AS nbr FROM trade
+  UNION ALL SELECT snode, cnode FROM trade
+),
+deg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+ed AS (
+  SELECT da.d AS j, db.d AS k
+  FROM trade JOIN deg da ON cnode = da.node JOIN deg db ON snode = db.node
+),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         SUM(CAST(j AS HUGEINT) * k) AS sjk,
+         SUM(CAST(j AS HUGEINT) + k) AS sjpk,
+         SUM(CAST(j AS HUGEINT) * j + CAST(k AS HUGEINT) * k) AS ssq
+  FROM ed
+)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CAST(round((4 * m * sjk - sjpk * sjpk)
+                  / (1.0 * (2 * m * ssq - sjpk * sjpk)), 6) AS DOUBLE)
+         AS assortativity
+FROM agg
+""",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree-assortativity coefficient of the customer–
+    supplier trade graph: the Pearson correlation of endpoint degrees
+    over edges — THE one-number summary of hub structure (strongly
+    negative here, as bipartite hub-and-spoke commerce should be; a
+    drift toward 0 in a refresh signals the generator or the join
+    keys broke).
+
+    Exactness: with integer degrees the correlation reduces to exact
+    integer moments — r = (4·m·Σjk − (Σ(j+k))²) / (2·m·Σ(j²+k²) −
+    (Σ(j+k))²), every term a DECIMAL(38,0)/HUGEINT product of BIGINT
+    sums (the ½-factors of the textbook form are cleared by the 4×
+    scaling), one double division at output.  Scale shape: one
+    distinct-edge build, one degree aggregate, two degree equi-joins
+    (each a broadcast-or-shuffle the optimizer picks by node-table
+    size), one 4-cell global aggregate — linear in edges, no window,
+    no self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    trade = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    sym = trade.select(F.col("cnode").alias("node")).unionAll(
+        trade.select(F.col("snode").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("cnode"), F.col("d").alias("j"))
+    db = deg.select(F.col("node").alias("snode"), F.col("d").alias("k"))
+    ed = trade.join(da, "cnode").join(db, "snode")
+    dec = "decimal(38,0)"
+    agg = ed.agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(F.col("j").cast(dec) * F.col("k")).alias("sjk"),
+        F.sum(F.col("j").cast(dec) + F.col("k")).alias("sjpk"),
+        F.sum(
+            F.col("j").cast(dec) * F.col("j") + F.col("k").cast(dec) * F.col("k")
+        ).alias("ssq"),
+    )
+    num = 4 * F.col("m") * F.col("sjk") - F.col("sjpk") * F.col("sjpk")
+    den = 2 * F.col("m") * F.col("ssq") - F.col("sjpk") * F.col("sjpk")
+    return agg.select(
+        F.col("m").cast("long").alias("m_edges"),
+        F.round(num / (F.lit(1.0) * den), 6).cast("double").alias("assortativity"),
+    )

@@ -984,3 +984,88 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "centroid_cosine_matrix",
+    oracle="""
+WITH c AS (
+  SELECT label, i AS pos,
+         CAST(round(round(avg(embedding[i]), 6) * 1000000, 0) AS BIGINT) AS m
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i
+),
+norms AS (SELECT label, SUM(m * m) AS nn FROM c GROUP BY label),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.m * b.m) AS dot
+  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       CAST(round(dot / (sqrt(1.0 * na.nn) * sqrt(1.0 * nb.nn)), 6) AS DOUBLE)
+         AS cosine
+FROM dots
+JOIN norms na ON label_a = na.label
+JOIN norms nb ON label_b = nb.label
+ORDER BY label_a, label_b
+""",
+)
+def q_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-confusability matrix (labels whose centroids
+    nearly coincide are candidates for merging, and the drift monitor
+    compares this matrix release-over-release).  Companion to
+    `embedding_centroids`, which ships the centroids themselves.
+
+    Exactness: centroids are quantized to integer MICRO-units after
+    the same round-6 mean `embedding_centroids` pins, so every dot
+    product and squared norm is exact BIGINT arithmetic; the only
+    floats are two sqrt and one division per OUTPUT pair (|labels|²/2
+    rows), rounded to 6 dp.  Scale shape: the corpus prices exactly
+    one positional-explode aggregate (map-side partials per (label,
+    dim, partition)); the pair join runs on the |labels|×dims centroid
+    table — vocabulary-sized, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.round(F.avg("v"), 6) * 1000000, 0).cast("long").alias("m")
+        )
+    )
+    norms = c.groupBy("label").agg(F.sum(F.col("m") * F.col("m")).alias("nn"))
+    a, b = c.alias("a"), c.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("dot"))
+    )
+    na = F.broadcast(norms.select(F.col("label"), F.col("nn").alias("nn_a")))
+    nb = F.broadcast(norms.select(F.col("label"), F.col("nn").alias("nn_b")))
+    return (
+        dots.join(na, dots["label_a"] == na["label"])
+        .drop("label")
+        .join(nb, dots["label_b"] == nb["label"])
+        .drop("label")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.lit(1.0) * F.col("nn_a"))
+                    * F.sqrt(F.lit(1.0) * F.col("nn_b"))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -2377,3 +2377,79 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+dev AS (
+  SELECT day,
+         CAST(t.n AS HUGEINT) * CAST(x AS HUGEINT) - CAST(t.s AS HUGEINT) AS e
+  FROM daily CROSS JOIN t
+),
+cus AS (
+  SELECT day,
+         SUM(e) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_n,
+         any_value(n) OVER () AS n
+  FROM dev CROSS JOIN t
+)
+SELECT day,
+       CAST(cusum_n AS BIGINT) AS cusum_n_scaled,
+       CAST(round(cusum_n / (1.0 * n), 2) AS DOUBLE) AS cusum_cents
+FROM cus
+ORDER BY abs(cusum_n) DESC, day
+LIMIT 5
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidates over the daily-revenue series:
+    the five days where the cumulative sum of deviations from the
+    global mean peaks in magnitude — the classic level-shift locator
+    (argmax |CUSUM| is the maximum-likelihood single change point
+    under a mean-shift model).
+
+    Exactness: the same n-scaled integer centering as
+    `acf_daily_revenue` — deviations are n*x - S in exact BIGINT
+    cents (no float mean subtraction), so the running sum and the
+    argmax ranking are integer-exact on both engines; the only float
+    is the per-row display division, after ranking.  Scale shape: one
+    partial-aggregatable day rollup, a 2-cell broadcast total, and
+    one running-sum window over the DAY-cardinality series (bounded
+    by the calendar, never by order count).  At extreme corpus scale
+    the BIGINT n*x product is the first thing to widen — move the
+    centering to DECIMAL(38,0) cents."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x")
+        )
+    )
+    t = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    dev = daily.crossJoin(F.broadcast(t)).select(
+        "day", "n", (F.col("n") * F.col("x") - F.col("s")).alias("e")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cus = dev.select(
+        "day", "n", F.sum("e").over(w).alias("cusum_n")
+    )
+    return (
+        cus.select(
+            "day",
+            F.col("cusum_n").cast("long").alias("cusum_n_scaled"),
+            F.round(F.col("cusum_n") / (F.lit(1.0) * F.col("n")), 2)
+            .cast("double")
+            .alias("cusum_cents"),
+        )
+        .orderBy(F.abs(F.col("cusum_n_scaled")).desc(), "day")
+        .limit(5)
+    )
