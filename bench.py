@@ -183,6 +183,21 @@ HEADLINE = [
     "ann_ndcg_eval",
     "quantile_normalize",
     "nb_margin_calibration",
+    # round-5 final batch: audience-similarity matrix, tokenizer
+    # fertility, change-point / graph-shape diagnostics
+    "brand_affinity_jaccard",
+    "bpe_fertility",
+    "cusum_changepoint",
+    "centroid_cosine_matrix",
+    "degree_assortativity",
+    "seasonal_decompose_dow",
+    "kaplan_meier_conversion",
+    "lorenz_curve",
+    "markov_entropy_rate",
+    "term_pmi_top",
+    "repeat_purchase_interval",
+    "text_zipf_fit",
+    "discount_quantity_corr",
 ]
 
 REPEATS = 2

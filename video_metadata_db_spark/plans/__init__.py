@@ -48,9 +48,14 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: phrase_search_positional, sample_weighted_aes, scd2_point_snapshot,
 #: rolling_active_users, referential_integrity_audit,
 #: frequent_brand_triples, audience_overlap, twap_event_values,
-#: rfm_segments.  Rotate ~12 in next round once the r5 window members
-#: have their CORRECTNESS row, keeping ≥1 green representative per
-#: family as usual.
+#: rfm_segments; plus the final-r5 batch (same fresh-process
+#: verification): brand_affinity_jaccard, bpe_fertility,
+#: cusum_changepoint, centroid_cosine_matrix, degree_assortativity,
+#: seasonal_decompose_dow, kaplan_meier_conversion, lorenz_curve,
+#: markov_entropy_rate, term_pmi_top, repeat_purchase_interval,
+#: text_zipf_fit, discount_quantity_corr.  Rotate ~12 in
+#: next round once the r5 window members have their CORRECTNESS row,
+#: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [
     # reference parity (the three modes of the original tool)
     "variant_report",

@@ -2354,3 +2354,276 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "lorenz_curve",
+    oracle="""
+WITH rev AS (
+  SELECT c_custkey,
+         COALESCE(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+           AS rev_cents
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+),
+ranked AS (
+  SELECT rev_cents,
+         row_number() OVER (ORDER BY rev_cents, c_custkey) AS i
+  FROM rev
+),
+tot AS (SELECT count(*) AS n, SUM(CAST(rev_cents AS HUGEINT)) AS t FROM ranked),
+dec AS (
+  SELECT ((i - 1) * 10) // n + 1 AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         SUM(CAST(rev_cents AS HUGEINT)) AS dc
+  FROM ranked CROSS JOIN tot GROUP BY 1, n
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_customers,
+       CAST(dc AS BIGINT) AS decile_cents,
+       CAST((SUM(dc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 1000000) // (SELECT t FROM tot) AS BIGINT) AS cum_share_ppm
+FROM dec ORDER BY decile
+""",
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue in deciles — the curve whose
+    area `gini_revenue` summarizes, reported as exact cumulative
+    revenue share (integer parts-per-million: NO float anywhere, the
+    share is (cum·10⁶) div total).
+
+    Same scale-critical rank as Gini: ascending (revenue, custkey)
+    positions come from the DISTRIBUTED two-pass prefix-sum
+    `global_row_number` (no one-reducer window); the oracle keeps the
+    naive row_number, proving the distributed rank equivalent once
+    more on a different downstream.  Decile assignment is the integer
+    ((pos·10) div n) form — no engine ntile semantics — and the
+    cumulative window runs on 10 rows."""
+    from ..operators.packing import global_row_number
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")),
+                F.lit(0),
+            ).alias("rev_cents")
+        )
+    )
+    ranked = global_row_number(rev, "rev_cents", "c_custkey", out_col="pos")
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("t"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("CAST((pos * 10) div n + 1 AS INT)").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("dc"),
+            F.first("t").alias("t"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.withColumn("cum", F.sum("dc").over(w))
+        .select(
+            "decile",
+            "n_customers",
+            F.col("dc").cast("long").alias("decile_cents"),
+            F.expr(
+                "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+#: PMI prunes: a term must appear in >= 5 docs to enter the pair
+#: expansion (the A-Priori-style item prune that bounds the per-doc
+#: quadratic at heavy-tailed vocabularies), and a pair needs >= 5
+#: co-occurrences to be reported (PMI of rare pairs is noise).
+_PMI_MIN_DF = 5
+_PMI_MIN_CO = 5
+
+
+@query(
+    "term_pmi_top",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM dt GROUP BY term),
+tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dt),
+ft AS (SELECT term, c FROM df WHERE c >= {_PMI_MIN_DF}),
+fd AS (SELECT doc_id, term FROM dt JOIN ft USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM fd a JOIN fd b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_both, fa.c AS n_a, fb.c AS n_b,
+       CAST(round(ln((1.0 * n * n_both) / (fa.c * fb.c)), 6) AS DOUBLE)
+         AS pmi
+FROM pairs
+JOIN ft fa ON term_a = fa.term
+JOIN ft fb ON term_b = fb.term
+CROSS JOIN tot
+WHERE n_both >= {_PMI_MIN_CO}
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 20
+""",
+)
+def q_term_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by document-level pointwise mutual information
+    — which terms co-occur in documents far beyond chance (PMI =
+    ln(N·c_ab / (c_a·c_b)) over presence counts), the association
+    measure that finds phrases/topics where raw co-occurrence counts
+    just find frequent terms.
+
+    Scale shape: the A-Priori discipline of `frequent_brand_pairs`
+    applied to text — terms below the df floor are pruned via a
+    broadcast frequent-term list BEFORE the per-document pair
+    expansion (a Catalyst sorted-set transform, O(k²) per doc with k
+    bounded by the pruned vocabulary, never corpus²); document
+    frequencies are a vocabulary-sized broadcast.  PMI's log argument
+    is an exact integer ratio; one ln per OUTPUT pair, 6-dp-rounded
+    with the pair itself as tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(tokens_of(F.col("text"))).alias("term")
+    ).distinct()
+    df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ft = df.filter(F.col("c") >= _PMI_MIN_DF)
+    tot = dt.agg(F.count_distinct("doc_id").alias("n"))
+    fd = dt.join(F.broadcast(ft.select("term")), "term")
+    sets = fd.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("ts")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ts, x -> transform(filter(ts, y -> y > x), "
+        "y -> struct(x AS term_a, y AS term_b))))"
+    )
+    pairs = (
+        sets.select(F.explode(pair_expr).alias("p"))
+        .select("p.term_a", "p.term_b")
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _PMI_MIN_CO)
+    )
+    fa = F.broadcast(ft.select(F.col("term"), F.col("c").alias("n_a")))
+    fb = F.broadcast(ft.select(F.col("term"), F.col("c").alias("n_b")))
+    return (
+        pairs.join(fa, pairs["term_a"] == fa["term"])
+        .drop("term")
+        .join(fb, pairs["term_b"] == fb["term"])
+        .drop("term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term_a",
+            "term_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.lit(1.0) * F.col("n") * F.col("n_both"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(20)
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+WITH tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY term
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS i FROM tf
+),
+pts AS (
+  SELECT CAST(round(ln(i), 6) AS DECIMAL(18,6)) AS x,
+         CAST(round(ln(c), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)
+         AS zipf_slope,
+       CAST(round((CAST(sy AS DOUBLE)
+                   - CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE)
+         AS ln_c0
+FROM m
+""",
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: the
+    OLS slope of ln(frequency) against ln(rank) — natural text sits
+    near −1; a corpus drifting toward 0 (too flat) or below −1.5 (too
+    peaked) flags template spam or vocabulary collapse, which is why
+    curation monitors track the exponent per release.
+
+    Determinism: both logs are 6-dp-quantized per VOCABULARY row
+    before any arithmetic; the OLS moments are exact DECIMAL(38,12)
+    sums of 12-dp products (order-free at any parallelism, the
+    `trend_event_values` discipline), and slope/intercept are IEEE
+    divisions of exactly-agreed decimals.  The rank window runs on
+    the vocabulary frame, never the corpus; the corpus prices one
+    token-count aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.orderBy(F.col("c").desc(), "term")
+    ranked = tf.select("c", F.row_number().over(wr).alias("i"))
+    pts = ranked.select(
+        F.expr("CAST(round(ln(i), 6) AS DECIMAL(18,6))").alias("x"),
+        F.expr("CAST(round(ln(c), 6) AS DECIMAL(18,6))").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x * y AS DECIMAL(38,12))")).alias("sxy"),
+        F.sum(F.expr("CAST(x * x AS DECIMAL(38,12))")).alias("sxx"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.expr(
+            "CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)"
+        ).alias("zipf_slope"),
+        F.expr(
+            "CAST(round((CAST(sy AS DOUBLE)"
+            " - CAST(n * sxy - sx * sy AS DOUBLE)"
+            "   / CAST(n * sxx - sx * sx AS DOUBLE)"
+            "   * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE)"
+        ).alias("ln_c0"),
+    )

@@ -173,3 +173,74 @@ def q_mann_whitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("auc_a"),
     )
+
+
+@query(
+    "discount_quantity_corr",
+    oracle="""
+WITH base AS (
+  SELECT p_brand,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+         CAST(round(l_quantity, 0) AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+m AS (
+  SELECT p_brand,
+         CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM base GROUP BY p_brand
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+                  6) AS DOUBLE) AS corr_discount_qty
+FROM m ORDER BY p_brand
+""",
+)
+def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pearson correlation between discount depth and
+    quantity — the price-elasticity proxy merchandising reads (a
+    brand whose correlation sits near 0 is being discounted without
+    moving volume).  The GROUPED sibling of `correlation_matrix`:
+    same exact-moment discipline, but one correlation per group key
+    instead of one dense matrix.
+
+    Discounts are exact integer basis points (×100) and quantities
+    exact integers, so all five co-moments are DECIMAL(38,0)/HUGEINT
+    sums — order-free at any parallelism; per OUTPUT brand there are
+    two sqrts and one NULLIF-guarded division, rounded to 6 dp.  One
+    broadcast dim join + one partial-aggregatable (brand) rollup —
+    no window, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+    base = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li["l_partkey"] == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    m = base.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.expr(
+            "CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),"
+            " 6) AS DOUBLE)"
+        ).alias("corr_discount_qty"),
+    ).orderBy("p_brand")

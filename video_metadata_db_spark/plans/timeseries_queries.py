@@ -2453,3 +2453,336 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_n_scaled")).desc(), "day")
         .limit(5)
     )
+
+
+@query(
+    "seasonal_decompose_dow",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+w AS (
+  SELECT day, x,
+         SUM(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS t7,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS n7
+  FROM daily
+),
+det AS (
+  SELECT isodow(day) AS dow, CAST(7 AS HUGEINT) * x - t7 AS dd
+  FROM w WHERE n7 = 7
+)
+SELECT CAST(dow AS INTEGER) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(dd) AS BIGINT) AS sum_dev_7x_cents,
+       CAST(round(SUM(dd) / (700.0 * count(*)), 4) AS DOUBLE)
+         AS seasonal_dollars
+FROM det GROUP BY dow ORDER BY dow
+""",
+)
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition, the weekday
+    component: detrend daily revenue with a centered 7-day moving
+    average, then average the detrended deviations per ISO weekday —
+    unlike `seasonal_dow_profile` (raw per-DOW means, which confound
+    trend with seasonality), this is the textbook
+    trend-removed seasonal index.
+
+    Exactness: the moving average is kept as a 7-SCALED integer sum
+    (dd = 7·x − Σ₇x in exact cents — no division inside the
+    pipeline), so the per-DOW aggregate is integer-exact on both
+    engines; one float division to display dollars at output.  Rows
+    lacking a full 7-day window (series edges) are excluded exactly
+    (n7 = 7).  Scale shape: one day-grain rollup (partial-
+    aggregatable), one running window over the CALENDAR-bounded
+    series, one 7-row aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    w = daily.select(
+        "day",
+        "x",
+        F.sum("x").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    )
+    det = w.filter(F.col("n7") == 7).select(
+        (F.expr("weekday(day)") + 1).alias("dow"),
+        (F.lit(7) * F.col("x") - F.col("t7")).alias("dd"),
+    )
+    return (
+        det.groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dd").cast("long").alias("sum_dev_7x_cents"),
+            F.round(F.sum("dd") / (F.lit(700.0) * F.count(F.lit(1))), 4)
+            .cast("double")
+            .alias("seasonal_dollars"),
+        )
+        .orderBy("dow")
+    )
+
+
+#: Kaplan–Meier observation window: a user is followed for 48 hours
+#: after their FIRST event; conversion (first purchase) later than
+#: that is right-censored.  48 h makes both outcomes populous at
+#: every fixture scale (10/15 converted at sf0.001, 998/1500 at
+#: sf0.1).
+_KM_WINDOW_H = 48
+
+
+@query(
+    "kaplan_meier_conversion",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, min(ts) AS f,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT (epoch_us(p) - epoch_us(f)) // 3600000000 AS t_h FROM u
+),
+ev AS (
+  SELECT t_h, CAST(count(*) AS BIGINT) AS d_conv
+  FROM d WHERE t_h < {_KM_WINDOW_H} GROUP BY t_h
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+km AS (
+  SELECT t_h, d_conv,
+         n - COALESCE(SUM(d_conv) OVER (ORDER BY t_h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM ev CROSS JOIN tot
+),
+terms AS (
+  SELECT t_h, d_conv, n_risk,
+         CAST(round(ln(1.0 - d_conv / (1.0 * n_risk)), 9) AS DECIMAL(18,9))
+           AS l
+  FROM km
+),
+curve AS (
+  SELECT t_h, d_conv, n_risk,
+         SUM(l) OVER (ORDER BY t_h ROWS UNBOUNDED PRECEDING) AS cum
+  FROM terms
+)
+SELECT CAST(t_h AS BIGINT) AS t_hours, n_risk, d_conv,
+       CAST(round(cum, 6) AS DOUBLE) AS log_survival,
+       CAST(round(exp(CAST(cum AS DOUBLE)), 6) AS DOUBLE) AS survival
+FROM curve ORDER BY t_hours
+""",
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier estimator of time-to-first-purchase with right
+    censoring at a {48}-hour observation window — the survival curve
+    product-limit form S(t) = Π (1 − d/n), the standard
+    retention/conversion lifecycle readout (naive conversion rates
+    are biased when observation is truncated; KM is the unbiased
+    estimator).
+
+    Determinism: the risk sets and event counts are exact integers
+    (hour-floored via integer division of microseconds); each factor
+    enters as ln(1 − d/n) QUANTIZED to DECIMAL(18,9) before the
+    running sum (the KL-divergence trick — the cumulative log-survival
+    is exact and associative at any parallelism), with one exp per
+    OUTPUT row for display.  All censoring lands at the window edge,
+    beyond every event time, so n_t = N − cumulative conversions —
+    the oracle replays that closed form.  Scale shape: one per-user
+    min-aggregate over the corpus, then everything downstream is
+    bounded by the {48}-row event-time grid."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    d = u.select(
+        F.expr("(unix_micros(p) - unix_micros(f)) div 3600000000").alias("t_h")
+    )
+    evt = (
+        d.filter(F.col("t_h") < _KM_WINDOW_H)
+        .groupBy("t_h")
+        .agg(F.count(F.lit(1)).alias("d_conv"))
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("t_h")
+    km = evt.crossJoin(F.broadcast(tot)).select(
+        "t_h",
+        "d_conv",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum("d_conv").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    terms = km.withColumn(
+        "l",
+        F.round(
+            F.log(F.lit(1.0) - F.col("d_conv") / (F.lit(1.0) * F.col("n_risk"))), 9
+        ).cast("decimal(18,9)"),
+    )
+    curve = terms.withColumn(
+        "cum", F.sum("l").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return curve.select(
+        F.col("t_h").cast("long").alias("t_hours"),
+        "n_risk",
+        "d_conv",
+        F.round("cum", 6).cast("double").alias("log_survival"),
+        F.round(F.exp(F.col("cum").cast("double")), 6).cast("double").alias(
+            "survival"
+        ),
+    ).orderBy("t_hours")
+
+
+@query(
+    "markov_entropy_rate",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, count(*) AS cnt
+  FROM seq WHERE dst IS NOT NULL
+  GROUP BY src, dst
+)
+SELECT src AS src_event,
+       CAST(SUM(cnt) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) AS BIGINT) AS n_dst,
+       CAST(round(
+         CAST(CAST(round(ln(SUM(cnt)), 6) AS DECIMAL(18,6)) * SUM(cnt)
+              - SUM(CAST(round(cnt * round(ln(cnt), 6), 6) AS DECIMAL(24,6)))
+           AS DOUBLE)
+         / SUM(cnt) / 0.6931471805599453, 6) AS DOUBLE) AS h_bits
+FROM c
+GROUP BY src
+ORDER BY src_event
+""",
+)
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | current) in bits per
+    source state — how predictable each behavioral state is (the
+    information-theoretic layer over `markov_transitions`' raw matrix:
+    a state whose row entropy collapses toward 0 is a deterministic
+    funnel step; near log₂|types| it's noise).
+
+    Same determinism contract as `entropy_by_source` — H = ln t −
+    (Σ c·ln c)/t with every transcendental 6-dp-quantized per COUNT
+    and summed as DECIMAL(24,6) (order-free exact), one double
+    division per state, shared ln 2 literal.  Same scale shape as
+    `markov_transitions`: one per-user lead() on a total order, one
+    (src, dst) aggregate; the entropy rollup runs on the
+    |event_types|²-row matrix."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        c.groupBy("src")
+        .agg(
+            F.sum("cnt").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_dst"),
+            F.sum(
+                F.expr(
+                    "CAST(round(cnt * round(ln(cnt), 6), 6) AS DECIMAL(24,6))"
+                )
+            ).alias("s_clnc"),
+        )
+        .select(
+            F.col("src").alias("src_event"),
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("n_dst").cast("long").alias("n_dst"),
+            F.expr(
+                "CAST(round("
+                " CAST(CAST(round(ln(n_transitions), 6) AS DECIMAL(18,6))"
+                "      * n_transitions - s_clnc AS DOUBLE)"
+                " / n_transitions / 0.6931471805599453D, 6) AS DOUBLE)"
+            ).alias("h_bits"),
+        )
+        .orderBy("src_event")
+    )
+
+
+@query(
+    "repeat_purchase_interval",
+    oracle="""
+WITH g AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT segment,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(round(quantile_cont(gap_days, 0.5), 6) AS DOUBLE)
+         AS median_gap_days,
+       CAST(round(SUM(gap_days) / (1.0 * count(*)), 4) AS DOUBLE)
+         AS mean_gap_days
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: median and mean
+    days between a customer's consecutive orders — the replenishment
+    fingerprint demand forecasting and churn-risk scoring read (a
+    segment whose median gap stretches release-over-release is
+    disengaging).
+
+    Gaps are exact integer day differences from a per-customer lag()
+    on a (date, orderkey) total order; the median is continuous-
+    interpolated on identical integer samples (percentile ≡
+    quantile_cont, the `agg_percentiles` precedent) and the mean is
+    one rounded division of exact integers.  Scale shape: one
+    per-customer sort window, one segment rollup — the segment
+    dimension rides along from a broadcast customer join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        g.groupBy("segment")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_repeat_customers"),
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.expr("percentile(gap_days, 0.5D)"), 6)
+            .cast("double")
+            .alias("median_gap_days"),
+            F.round(F.sum("gap_days") / (F.lit(1.0) * F.count(F.lit(1))), 4)
+            .cast("double")
+            .alias("mean_gap_days"),
+        )
+        .orderBy("segment")
+    )
