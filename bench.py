@@ -198,6 +198,9 @@ HEADLINE = [
     "repeat_purchase_interval",
     "text_zipf_fit",
     "discount_quantity_corr",
+    "nation_trade_balance",
+    "fulfillment_latency",
+    "embedding_outlier_counts",
 ]
 
 REPEATS = 2

@@ -53,7 +53,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: cusum_changepoint, centroid_cosine_matrix, degree_assortativity,
 #: seasonal_decompose_dow, kaplan_meier_conversion, lorenz_curve,
 #: markov_entropy_rate, term_pmi_top, repeat_purchase_interval,
-#: text_zipf_fit, discount_quantity_corr.  Rotate ~12 in
+#: text_zipf_fit, discount_quantity_corr, nation_trade_balance,
+#: fulfillment_latency, embedding_outlier_counts.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -951,3 +951,111 @@ def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_missing").desc(), "gap_start")
         .limit(_GAP_TOPK)
     )
+
+
+@query(
+    "embedding_outlier_counts",
+    oracle="""
+WITH c AS (
+  SELECT label, i AS pos,
+         CAST(round(round(avg(embedding[i]), 6) * 1000000, 0) AS BIGINT) AS cm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i
+),
+v AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+d AS (
+  SELECT vec_id, v.label, SUM((vm - cm) * (vm - cm)) AS d2
+  FROM v JOIN c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT label, CAST(round(quantile_cont(d2, 0.5), 1) AS DOUBLE) AS med
+  FROM d GROUP BY label
+),
+dev AS (
+  SELECT d.label, d2, med, abs(d2 - med) AS adev
+  FROM d JOIN med ON d.label = med.label
+),
+mad AS (
+  SELECT label, CAST(round(quantile_cont(adev, 0.5), 1) AS DOUBLE) AS mad
+  FROM dev GROUP BY label
+)
+SELECT dev.label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       any_value(dev.med) AS med_d2,
+       any_value(mad.mad) AS mad_d2,
+       CAST(SUM(CASE WHEN abs(d2 - dev.med) > 3.5 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.label = mad.label
+GROUP BY dev.label
+ORDER BY dev.label
+""",
+)
+def q_embedding_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anomaly counts per label: vectors whose squared
+    distance to their own class centroid violates the median/MAD rule
+    (|d² − med| > 3.5·MAD, the `outlier_mad_events` cutoff) — the
+    mislabeled-example / embedding-drift detector a curation pipeline
+    runs before training on labeled vectors.
+
+    Exactness: vector elements and centroids are both quantized to
+    integer micro-units (centroids via `embedding_centroids`' round-6
+    mean), so every squared distance is an exact BIGINT; the robust
+    fences interpolate identical integer samples (percentile ≡
+    quantile_cont) and are 6-dp-rounded before the comparison.  Scale
+    shape: centroid build and distance pass are each ONE corpus-sized
+    positional-explode aggregate with the 640-row centroid table
+    broadcast between them; the median/MAD passes aggregate per label
+    with fences broadcast back — no window, no pair join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    )
+    c = pe.groupBy("label", F.col("pos0").alias("pos")).agg(
+        F.round(F.round(F.avg("x"), 6) * 1000000, 0).cast("long").alias("cm")
+    )
+    v = pe.select(
+        "vec_id",
+        "label",
+        F.col("pos0").alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("vm"),
+    )
+    d = (
+        v.join(F.broadcast(c), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("vm") - F.col("cm")) * (F.col("vm") - F.col("cm"))).alias(
+                "d2"
+            )
+        )
+    )
+    med = d.groupBy("label").agg(
+        F.round(F.percentile("d2", F.lit(0.5)), 1).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "label").withColumn(
+        "adev", F.abs(F.col("d2") - F.col("med"))
+    )
+    mad = dev.groupBy("label").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 1).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.any_value("med").alias("med_d2"),
+            F.any_value("mad").alias("mad_d2"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("d2") - F.col("med")) > 3.5 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

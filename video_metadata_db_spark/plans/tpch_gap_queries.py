@@ -478,3 +478,158 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the substring country code stays in whole-stage codegen."""
     register_views(spark, sf_dir)
     return spark.sql(_Q22_SQL)
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+WITH flows AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                  AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name <> nc.n_name
+  GROUP BY 1, 2
+)
+SELECT a.supp_nation AS nation_a, a.cust_nation AS nation_b,
+       a.cents AS flow_ab_cents,
+       COALESCE(b.cents, 0) AS flow_ba_cents,
+       a.cents - COALESCE(b.cents, 0) AS net_cents
+FROM flows a
+LEFT JOIN flows b
+  ON a.supp_nation = b.cust_nation AND a.cust_nation = b.supp_nation
+WHERE a.supp_nation < a.cust_nation
+ORDER BY nation_a, nation_b
+""",
+)
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade-balance matrix: for every nation pair, revenue
+    flowing A→B (A's suppliers selling to B's customers), the reverse
+    flow, and the net balance — the full-matrix generalization of
+    TPC-H Q7's two-nation volume (reference scope: Q7 shapes at
+    `plans/tpch_queries.py`; this is the report a trade economist
+    actually wants).
+
+    Exact integer cents end to end (no float in any flow or the
+    net).  Scale shape: ONE pass over the fact table computes every
+    directed flow (four broadcast dim joins — supplier/customer/
+    nation are all dimension-sized), then the A→B vs B→A pairing is a
+    self-join on the |nations|²-bounded flow matrix, never on fact
+    rows.  The canonical a < b orientation halves the output without
+    losing the sign."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    flows = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    a = flows.alias("a")
+    b = flows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.supp_nation") == F.col("b.cust_nation"))
+            & (F.col("a.cust_nation") == F.col("b.supp_nation")),
+            "left",
+        )
+        .filter(F.col("a.supp_nation") < F.col("a.cust_nation"))
+        .select(
+            F.col("a.supp_nation").alias("nation_a"),
+            F.col("a.cust_nation").alias("nation_b"),
+            F.col("a.cents").alias("flow_ab_cents"),
+            F.coalesce(F.col("b.cents"), F.lit(0)).alias("flow_ba_cents"),
+            (F.col("a.cents") - F.coalesce(F.col("b.cents"), F.lit(0))).alias(
+                "net_cents"
+            ),
+        )
+        .orderBy("nation_a", "nation_b")
+    )
+
+
+@query(
+    "fulfillment_latency",
+    oracle="""
+WITH lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(l_shipdate AS DATE)) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(quantile_cont(d, 0.5), 6) AS DOUBLE) AS p50_days,
+       CAST(round(quantile_cont(d, 0.9), 6) AS DOUBLE) AS p90_days,
+       CAST(max(d) AS BIGINT) AS max_days
+FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment latency by order priority — the SLA
+    readout (does URGENT actually ship faster?).  Latency is an exact
+    integer day difference per line item; percentiles are
+    continuous-interpolated on identical integer samples (percentile
+    ≡ quantile_cont, the `agg_percentiles`/`funnel_time_to_convert`
+    precedent).  One fact-fact equi-join (orderkey, the natural
+    co-partition key) and one |priorities|-row rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lat = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate").isNotNull() & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("d"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.expr("percentile(d, 0.5D)"), 6)
+            .cast("double")
+            .alias("p50_days"),
+            F.round(F.expr("percentile(d, 0.9D)"), 6)
+            .cast("double")
+            .alias("p90_days"),
+            F.max("d").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
