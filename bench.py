@@ -201,6 +201,8 @@ HEADLINE = [
     "nation_trade_balance",
     "fulfillment_latency",
     "embedding_outlier_counts",
+    "term_burstiness_top",
+    "seasonal_residual_outliers",
 ]
 
 REPEATS = 2

@@ -2627,3 +2627,80 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE)"
         ).alias("ln_c0"),
     )
+
+
+#: Burstiness floor: a term must appear in >= 10 documents for its
+#: variance-to-mean ratio to be meaningful (rare terms are trivially
+#: "bursty").
+_BURST_MIN_DF = 10
+
+
+@query(
+    "term_burstiness_top",
+    oracle=f"""
+WITH tc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+    FROM documents
+  ) GROUP BY doc_id, term
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tc),
+m AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS df,
+         SUM(c) AS sc,
+         SUM(CAST(c AS HUGEINT) * c) AS scc
+  FROM tc GROUP BY term
+)
+SELECT term, df, CAST(sc AS BIGINT) AS n_tokens,
+       CAST(round(CAST(nd * scc - sc * sc AS DOUBLE)
+                  / CAST(nd * sc AS DOUBLE), 6) AS DOUBLE) AS burstiness
+FROM m CROSS JOIN n
+WHERE df >= {_BURST_MIN_DF}
+ORDER BY burstiness DESC, term
+LIMIT 15
+""",
+)
+def q_term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bursty terms by the variance-to-mean ratio of per-document
+    counts (zeros included) — Church–Gale burstiness: a term whose
+    occurrences CLUMP in few documents (VMR ≫ 1) is topical/boilerplate,
+    one spread evenly (VMR ≈ 1, Poisson) is function-word-like.  The
+    dispersion axis TF-IDF and Zipf don't capture, used to pick
+    keyword candidates and spot template contamination.
+
+    With zeros included the VMR reduces to exact integer moments over
+    just the NONZERO rows — VMR = (N·Σc² − (Σc)²)/(N·Σc) — so absent
+    documents never need materializing (the corpus-sized zero-fill the
+    naive form implies).  One (doc, term) count aggregate, one
+    vocabulary rollup, one HUGEINT/DECIMAL(38,0) division per output
+    row rounded at 6 dp with the term as tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = tc.agg(F.count_distinct("doc_id").alias("nd"))
+    dec = "decimal(38,0)"
+    m = tc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.col("c").cast(dec)).alias("sc"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).alias("scc"),
+    )
+    return (
+        m.filter(F.col("df") >= _BURST_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("sc").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(round(CAST(nd * scc - sc * sc AS DOUBLE)"
+                " / CAST(nd * sc AS DOUBLE), 6) AS DOUBLE)"
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "term")
+        .limit(15)
+    )

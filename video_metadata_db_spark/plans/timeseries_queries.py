@@ -2786,3 +2786,107 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "seasonal_residual_outliers",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
+),
+w AS (
+  SELECT day, x,
+         SUM(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS t7,
+         COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS n7
+  FROM daily
+),
+det AS (
+  SELECT day, isodow(day) AS dow, CAST(7 AS HUGEINT) * x - t7 AS dd
+  FROM w WHERE n7 = 7
+),
+med AS (
+  SELECT dow, CAST(round(quantile_cont(dd, 0.5), 1) AS DOUBLE) AS med
+  FROM det GROUP BY dow
+),
+dev AS (
+  SELECT det.dow, dd, med, abs(dd - med) AS adev
+  FROM det JOIN med ON det.dow = med.dow
+),
+mad AS (
+  SELECT dow, CAST(round(quantile_cont(adev, 0.5), 1) AS DOUBLE) AS mad
+  FROM dev GROUP BY dow
+)
+SELECT dev.dow AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN abs(dd - dev.med) > 3.5 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier_days
+FROM dev JOIN mad ON dev.dow = mad.dow
+GROUP BY dev.dow
+ORDER BY dow
+""",
+)
+def q_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-aware anomaly counts: days whose DETRENDED revenue
+    deviation violates the median/MAD rule WITHIN their own weekday
+    cohort — the composition `seasonal_decompose_dow` exists for (a
+    quiet Sunday is normal; a Sunday-sized Tuesday is not; raw-value
+    fences as in `outlier_mad_events` would flag every weekend).
+
+    The detrended series is the decomposition's exact 7-scaled
+    integer dd = 7·x − Σ₇x; per-dow fences interpolate those integer
+    samples (percentile ≡ quantile_cont) and are rounded to ONE
+    decimal — the `embedding_outlier_counts` lesson: at large integer
+    scales quantile_cont's ~1e-4 interpolation drift survives a 6-dp
+    round but not a 1-dp one.  Scale shape: day-grain rollup →
+    calendar-bounded window → two 7-group percentile passes with
+    fences broadcast back."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.select(
+            "day",
+            "x",
+            F.sum("x").over(w7).alias("t7"),
+            F.count(F.lit(1)).over(w7).alias("n7"),
+        )
+        .filter(F.col("n7") == 7)
+        .select(
+            (F.expr("weekday(day)") + 1).alias("dow"),
+            (F.lit(7) * F.col("x") - F.col("t7")).alias("dd"),
+        )
+    )
+    med = det.groupBy("dow").agg(
+        F.round(F.percentile("dd", F.lit(0.5)), 1).alias("med")
+    )
+    dev = det.join(F.broadcast(med), "dow").withColumn(
+        "adev", F.abs(F.col("dd") - F.col("med"))
+    )
+    mad = dev.groupBy("dow").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 1).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("dd") - F.col("med")) > 3.5 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outlier_days"),
+        )
+        .orderBy("dow")
+    )
