@@ -1,0 +1,234 @@
+"""Algorithmic-property tests for the end-of-round-5 analytics batch:
+CUSUM change-point, Kaplan–Meier conversion, seasonal decomposition,
+Lorenz curve, degree assortativity, PMI, and burstiness.
+
+(Full value oracles run in test_registry_queries.py; these pin the
+closed-form fixed points and textbook identities a hash compare can't
+articulate — the planted level shift lands on the boundary day, KM
+matches the product-limit closed form, a pure trend has zero seasonal
+component, perfect equality is a straight Lorenz diagonal, a star is
+maximally disassortative and a regular graph degenerates to NULL,
+independent terms have PMI 0, and Poisson-like terms have VMR 1.)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from video_metadata_db_spark.plans import QUERIES
+
+
+def _orders(spark, tmp_path, rows):
+    """Crafted orders.parquet from (orderdate, totalprice) rows."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 1, d, float(v)) for i, (d, v) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    return sf
+
+
+def _events(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for i, (ts, uid, et) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    return sf
+
+
+# ------------------------------------------------------------ CUSUM ---
+
+
+def test_cusum_finds_planted_level_shift(spark, tmp_path):
+    """10 days at $1.00 then 10 at $2.00: deviations are exactly
+    ∓1000 n-scaled cents, so |CUSUM| peaks at the LAST pre-shift day
+    with value −10·1000 and per-day mean −500.00 cents."""
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 1.0) for i in range(10)]
+    rows += [(d0 + dt.timedelta(days=10 + i), 2.0) for i in range(10)]
+    sf = _orders(spark, tmp_path, rows)
+    top = QUERIES["cusum_changepoint"](spark, sf).collect()[0]
+    assert top["day"] == d0 + dt.timedelta(days=9)
+    assert top["cusum_n_scaled"] == -10_000
+    assert top["cusum_cents"] == -500.0
+
+
+# ----------------------------------------------------- Kaplan–Meier ---
+
+
+def test_kaplan_meier_product_limit_closed_form(spark, tmp_path):
+    """4 users: conversions at 0 h, 1 h, 1 h, and one past the 48 h
+    window (censored).  KM: S(0) = 3/4, S(1) = 3/4 · 1/3 = 1/4, with
+    risk sets 4 then 3."""
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    sf = _events(
+        spark,
+        tmp_path,
+        [
+            (t0, 1, "purchase"),                 # t_h = 0
+            (t0, 2, "view"), (t0 + 1.5 * h, 2, "purchase"),   # t_h = 1
+            (t0, 3, "view"), (t0 + 1.5 * h, 3, "purchase"),   # t_h = 1
+            (t0, 4, "view"), (t0 + 100 * h, 4, "purchase"),   # censored
+        ],
+    )
+    rows = QUERIES["kaplan_meier_conversion"](spark, sf).collect()
+    got = [(r["t_hours"], r["n_risk"], r["d_conv"], r["survival"]) for r in rows]
+    assert got == [(0, 4, 1, 0.75), (1, 3, 2, 0.25)]
+
+
+# ------------------------------------------- seasonal decomposition ---
+
+
+def test_seasonal_decompose_pure_trend_is_zero(spark, tmp_path):
+    """A linear ramp has NO weekday seasonality: the centered 7-day MA
+    reproduces the trend exactly, so every dow's 7-scaled deviation sum
+    and seasonal index are exactly 0."""
+    d0 = dt.date(2024, 1, 1)
+    rows = [(d0 + dt.timedelta(days=i), 1.0 + 0.01 * i) for i in range(28)]
+    sf = _orders(spark, tmp_path, rows)
+    rows = QUERIES["seasonal_decompose_dow"](spark, sf).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert r["sum_dev_7x_cents"] == 0, r
+        assert r["seasonal_dollars"] == 0.0, r
+
+
+def test_seasonal_residual_outliers_flags_planted_spike(spark, tmp_path):
+    """A flat series with ONE 100× day: only that day's weekday cohort
+    reports an outlier (its dd deviates; every other cohort's
+    deviations are identical so MAD fences pass them all)."""
+    d0 = dt.date(2024, 1, 1)  # a Monday
+    rows = [
+        (d0 + dt.timedelta(days=i), 100.0 if i == 14 else 1.0)
+        for i in range(35)
+    ]
+    sf = _orders(spark, tmp_path, rows)
+    out = {
+        r["dow"]: r["n_outlier_days"]
+        for r in QUERIES["seasonal_residual_outliers"](spark, sf).collect()
+    }
+    spike_dow = (d0 + dt.timedelta(days=14)).isoweekday()
+    assert out[spike_dow] >= 1
+    # spike leakage into neighbours' MA windows must not flag OTHER
+    # cohorts' quiet majority
+    assert sum(out.values()) <= 7
+
+
+# ----------------------------------------------------------- Lorenz ---
+
+
+def test_lorenz_equal_revenue_is_diagonal(spark, tmp_path):
+    """Perfect equality: 20 customers × $1 → every decile holds 2
+    customers and the cumulative share is exactly decile·100000 ppm,
+    ending at 1_000_000."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(c,) for c in range(1, 21)], "c_custkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(i, c, 1.0) for i, c in enumerate(range(1, 21))],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    rows = QUERIES["lorenz_curve"](spark, sf).collect()
+    assert [(r["decile"], r["n_customers"], r["cum_share_ppm"]) for r in rows] == [
+        (d, 2, d * 100_000) for d in range(1, 11)
+    ]
+
+
+# -------------------------------------------------- assortativity ---
+
+
+def _trade_tables(spark, tmp_path, edges):
+    """orders+lineitem parquet realizing the given (cust, supp) edges."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(edges)],
+        "o_orderkey long, o_custkey long",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(i, s) for i, (_, s) in enumerate(edges)],
+        "l_orderkey long, l_suppkey long",
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    return sf
+
+
+def _newman_r(edges):
+    """Independent reimplementation of the integer-moment formula."""
+    from collections import Counter
+
+    deg = Counter()
+    for c, s in edges:
+        deg[("c", c)] += 1
+        deg[("s", s)] += 1
+    m = len(edges)
+    jk = [(deg[("c", c)], deg[("s", s)]) for c, s in edges]
+    sjk = sum(j * k for j, k in jk)
+    sjpk = sum(j + k for j, k in jk)
+    ssq = sum(j * j + k * k for j, k in jk)
+    den = 2 * m * ssq - sjpk * sjpk
+    if den == 0:
+        return None
+    return round((4 * m * sjk - sjpk * sjpk) / den, 6)
+
+
+def test_assortativity_star_is_minus_one(spark, tmp_path):
+    """A 1-customer star over 4 suppliers is maximally disassortative:
+    r = −1 exactly (hub degree 4 always pairs with leaf degree 1)."""
+    edges = [(1, s) for s in range(1, 5)]
+    r = QUERIES["degree_assortativity"](spark, _trade_tables(spark, tmp_path, edges)).collect()[0]
+    assert r["m_edges"] == 4
+    assert r["assortativity"] == -1.0 == _newman_r(edges)
+
+
+def test_assortativity_regular_graph_is_null(spark, tmp_path):
+    """K2,2: every endpoint degree is 2 → zero degree variance → the
+    coefficient is undefined; the NULLIF guard must yield NULL, not a
+    division error or ±inf."""
+    edges = [(c, s) for c in (1, 2) for s in (1, 2)]
+    r = QUERIES["degree_assortativity"](spark, _trade_tables(spark, tmp_path, edges)).collect()[0]
+    assert r["m_edges"] == 4
+    assert r["assortativity"] is None
+    assert _newman_r(edges) is None
+
+
+def test_assortativity_matches_brute_force(spark, tmp_path):
+    """Mixed two-hub graph agrees with an independent Python
+    evaluation of the same exact-integer formula."""
+    edges = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (3, 1)]
+    r = QUERIES["degree_assortativity"](spark, _trade_tables(spark, tmp_path, edges)).collect()[0]
+    assert r["m_edges"] == 6
+    assert r["assortativity"] == _newman_r(edges)
+
+
+# ------------------------------------------------------ PMI / VMR ---
+
+
+def _docs(spark, tmp_path, texts):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_pmi_independent_cooccurrence_is_zero(spark, tmp_path):
+    """Terms present in EVERY document co-occur exactly at chance:
+    PMI = ln(N·N/(N·N)) = 0."""
+    sf = _docs(spark, tmp_path, ["alpha beta"] * 8)
+    rows = QUERIES["term_pmi_top"](spark, sf).collect()
+    assert [(r["term_a"], r["term_b"], r["pmi"]) for r in rows] == [
+        ("alpha", "beta", 0.0)
+    ]
+
+
+def test_burstiness_closed_forms(spark, tmp_path):
+    """'x' twice in half the docs has VMR exactly 1 (Poisson-like at
+    mean 1); 'y' once in half the docs has VMR 0.5 (under-dispersed)."""
+    texts = ["x x"] * 10 + ["y"] * 10
+    rows = QUERIES["term_burstiness_top"](spark, _docs(spark, tmp_path, texts)).collect()
+    got = {r["term"]: (r["df"], r["n_tokens"], r["burstiness"]) for r in rows}
+    assert got == {"x": (10, 20, 1.0), "y": (10, 10, 0.5)}

@@ -971,7 +971,7 @@ agg AS (
 )
 SELECT CAST(m AS BIGINT) AS m_edges,
        CAST(round((4 * m * sjk - sjpk * sjpk)
-                  / (1.0 * (2 * m * ssq - sjpk * sjpk)), 6) AS DOUBLE)
+                  / NULLIF(1.0 * (2 * m * ssq - sjpk * sjpk), 0), 6) AS DOUBLE)
          AS assortativity
 FROM agg
 """,
@@ -1023,5 +1023,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = 2 * F.col("m") * F.col("ssq") - F.col("sjpk") * F.col("sjpk")
     return agg.select(
         F.col("m").cast("long").alias("m_edges"),
-        F.round(num / (F.lit(1.0) * den), 6).cast("double").alias("assortativity"),
+        F.round(num / F.nullif(F.lit(1.0) * den, F.lit(0.0)), 6)
+        .cast("double")
+        .alias("assortativity"),
     )
