@@ -203,6 +203,8 @@ HEADLINE = [
     "embedding_outlier_counts",
     "term_burstiness_top",
     "seasonal_residual_outliers",
+    "dedup_source_matrix",
+    "functional_dependency_audit",
 ]
 
 REPEATS = 2

@@ -55,7 +55,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: markov_entropy_rate, term_pmi_top, repeat_purchase_interval,
 #: text_zipf_fit, discount_quantity_corr, nation_trade_balance,
 #: fulfillment_latency, embedding_outlier_counts,
-#: term_burstiness_top, seasonal_residual_outliers.  Rotate ~12 in
+#: term_burstiness_top, seasonal_residual_outliers,
+#: dedup_source_matrix, functional_dependency_audit.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -1059,3 +1059,97 @@ def q_embedding_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="""
+WITH fd1 AS (
+  SELECT 'nation->region' AS fd, n_nationkey AS k,
+         CAST(n_regionkey AS VARCHAR) AS d FROM nation
+),
+fd2 AS (
+  SELECT 'part->brand' AS fd, p_partkey AS k, p_brand AS d FROM part
+),
+fd3 AS (
+  SELECT 'brand->type' AS fd,
+         CAST(concat('0x', substr(md5(p_brand), 1, 8)) AS BIGINT)
+           % 2147483647 AS k,
+         p_type AS d
+  FROM part
+),
+fd4 AS (
+  SELECT 'cust_nation->segment' AS fd, c_nationkey AS k, c_mktsegment AS d
+  FROM customer
+),
+u AS (
+  SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+  UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4
+),
+per_key AS (
+  SELECT fd, k, count(DISTINCT d) AS nd FROM u GROUP BY fd, k
+)
+SELECT fd,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_keys,
+       CAST(max(nd) AS BIGINT) AS max_distinct_dependents
+FROM per_key GROUP BY fd ORDER BY fd
+""",
+)
+def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: does determinant → dependent hold?
+    Four representative FDs — two that must hold (primary-key FDs:
+    nation→region, part→brand; a violation means ingest corruption)
+    and two expected NOT to hold (brand→type, customer-nation→segment;
+    their violation counts are the profile).  The schema-drift
+    companion to `referential_integrity_audit`'s FK orphans.
+
+    Each FD is one COUNT(DISTINCT dependent) per key over a 2-column
+    pruned projection, unioned into one |FDs|-row report — all
+    partial-aggregatable, no joins (the non-key determinant is hashed
+    to share the integer key column; md5-derived, identical both
+    engines).  At 100 TB each check is an independent column-pruned
+    scan — exactly how you'd fan them out."""
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    customer = load_table(spark, sf_dir, "customer")
+    from ..operators.dedup import hash31
+
+    fds = [
+        nation.select(
+            F.lit("nation->region").alias("fd"),
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.col("n_regionkey").cast("string").alias("d"),
+        ),
+        part.select(
+            F.lit("part->brand").alias("fd"),
+            F.col("p_partkey").cast("long").alias("k"),
+            F.col("p_brand").alias("d"),
+        ),
+        part.select(
+            F.lit("brand->type").alias("fd"),
+            hash31(F.col("p_brand")).alias("k"),
+            F.col("p_type").alias("d"),
+        ),
+        customer.select(
+            F.lit("cust_nation->segment").alias("fd"),
+            F.col("c_nationkey").cast("long").alias("k"),
+            F.col("c_mktsegment").alias("d"),
+        ),
+    ]
+    u = fds[0]
+    for f_ in fds[1:]:
+        u = u.unionByName(f_)
+    per_key = u.groupBy("fd", "k").agg(F.count_distinct("d").alias("nd"))
+    return (
+        per_key.groupBy("fd")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.max("nd").cast("long").alias("max_distinct_dependents"),
+        )
+        .orderBy("fd")
+    )
