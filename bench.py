@@ -205,6 +205,8 @@ HEADLINE = [
     "seasonal_residual_outliers",
     "dedup_source_matrix",
     "functional_dependency_audit",
+    "simpson_diversity_by_source",
+    "collocation_pmi_bigrams",
 ]
 
 REPEATS = 2

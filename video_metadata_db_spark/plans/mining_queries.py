@@ -2704,3 +2704,166 @@ def q_term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "term")
         .limit(15)
     )
+
+
+@query(
+    "simpson_diversity_by_source",
+    oracle="""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(round(SUM(CAST(c AS HUGEINT) * (c - 1))
+                  / (1.0 * SUM(c) * (SUM(c) - 1)), 6) AS DOUBLE)
+         AS simpson_lambda,
+       CAST(round((1.0 * SUM(c) * (SUM(c) - 1))
+                  / SUM(CAST(c AS HUGEINT) * (c - 1)), 6) AS DOUBLE)
+         AS inverse_simpson
+FROM counts
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity per source — λ = Σc(c−1)/(N(N−1)), the
+    probability two tokens drawn without replacement are the SAME
+    term, plus its inverse (effective vocabulary size).  The
+    transcendental-free sibling of `entropy_by_source`: where the
+    Shannon path needs quantized-ln discipline, Simpson is EXACT
+    integer arithmetic end to end — two HUGEINT/DECIMAL(38,0) sums and
+    one IEEE division per source at output — which makes it the
+    diversity metric to prefer when bit-stable cross-engine
+    reproducibility matters more than the information-theoretic
+    reading.  Same two partial-aggregatable shuffles as the entropy
+    query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_of(F.col("text"))).alias("term")
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    dec = "decimal(38,0)"
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("c").cast(dec) * (F.col("c") - 1)).alias("rep"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            F.expr(
+                "CAST(round(rep / (1.0D * n_tokens * (n_tokens - 1)), 6)"
+                " AS DOUBLE)"
+            ).alias("simpson_lambda"),
+            F.expr(
+                "CAST(round((1.0D * n_tokens * (n_tokens - 1)) / rep, 6)"
+                " AS DOUBLE)"
+            ).alias("inverse_simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Collocation floor: an adjacent bigram needs >= 25 occurrences to be
+#: ranked (below that PMI is dominated by noise).
+_COLLOC_MIN_C = 25
+
+
+@query(
+    "collocation_pmi_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.pos, t.term FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_filter(string_split(text, ' '), x -> x <> ''),
+             (x, i) -> struct_pack(term := x, pos := i)
+           )) AS t
+    FROM documents
+  )
+),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+bi AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS nb FROM bi)
+SELECT w1, w2, c_ab, ua.c AS c1, ub.c AS c2,
+       CAST(round(ln((1.0 * nb * c_ab) / (ua.c * ub.c)), 6) AS DOUBLE) AS pmi
+FROM bi JOIN uni ua ON w1 = ua.term JOIN uni ub ON w2 = ub.term
+CROSS JOIN tot
+WHERE c_ab >= {_COLLOC_MIN_C}
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+""",
+)
+def q_collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top ADJACENT-bigram collocations by PMI — the phrase detector
+    ("new york"-style units) tokenizer and vocabulary pipelines run
+    before merging multiword units; the adjacency-sensitive
+    complement to `term_pmi_top`'s document-level co-presence (and to
+    raw `vocab_bigrams` counts, which surface frequent pairs, not
+    surprising ones).
+
+    Adjacent pairs come from one posexplode + self-free slide
+    (position equi-join in the oracle, a lag-free array zip on the
+    Spark side) — O(tokens), no quadratic anywhere.  Counts are exact
+    integers; one ln of an exact ratio per OUTPUT row, 6-dp rounded
+    with the pair as tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens_of(F.col("text")).alias("ts"))
+    uni = (
+        toked.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, ts[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = bi.agg(F.sum("c_ab").cast("long").alias("nb"))
+    ua = F.broadcast(uni.select(F.col("term"), F.col("c").alias("c1")))
+    ub = F.broadcast(uni.select(F.col("term"), F.col("c").alias("c2")))
+    return (
+        bi.filter(F.col("c_ab") >= _COLLOC_MIN_C)
+        .join(ua, bi["w1"] == ua["term"])
+        .drop("term")
+        .join(ub, bi["w2"] == ub["term"])
+        .drop("term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (F.lit(1.0) * F.col("nb") * F.col("c_ab"))
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
