@@ -207,6 +207,8 @@ HEADLINE = [
     "functional_dependency_audit",
     "simpson_diversity_by_source",
     "collocation_pmi_bigrams",
+    "reach_curve_daily",
+    "k_anonymity_audit",
 ]
 
 REPEATS = 2

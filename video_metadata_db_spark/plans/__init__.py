@@ -57,7 +57,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: fulfillment_latency, embedding_outlier_counts,
 #: term_burstiness_top, seasonal_residual_outliers,
 #: dedup_source_matrix, functional_dependency_audit,
-#: simpson_diversity_by_source, collocation_pmi_bigrams.  Rotate ~12 in
+#: simpson_diversity_by_source, collocation_pmi_bigrams,
+#: reach_curve_daily, k_anonymity_audit.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -1153,3 +1153,55 @@ def q_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("fd")
     )
+
+
+#: k-anonymity threshold: quasi-identifier groups smaller than this
+#: are treated as re-identifiable.
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(sz) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(SUM(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk,
+       CAST(SUM(sz) AS BIGINT) AS n_rows
+FROM g
+""",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment)
+    quasi-identifier: how many QI groups fall below k={_K_ANON}
+    members, and how many rows those groups expose — the
+    re-identification risk gate a curation pipeline runs BEFORE
+    releasing joined demographic slices (the privacy companion to
+    `text_pii_redact`'s content scrubbing: redaction handles direct
+    identifiers, k-anonymity handles linkage attacks via quasi-
+    identifiers).
+
+    One QI-keyed aggregate then one 5-cell rollup — both partial-
+    aggregatable, all exact integers; at 100 TB the QI aggregate is a
+    single shuffle on the (bounded-cardinality) QI key."""
+    customer = load_table(spark, sf_dir, "customer")
+    g = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("sz") < _K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.sum("sz").cast("long").alias("n_rows"),
+    )

@@ -2890,3 +2890,67 @@ def q_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@query(
+    "reach_curve_daily",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+),
+daily AS (
+  SELECT ud.day,
+         CAST(count(*) AS BIGINT) AS active_users,
+         CAST(SUM(CASE WHEN fs.first_day = ud.day THEN 1 ELSE 0 END)
+              AS BIGINT) AS new_users
+  FROM ud JOIN first_seen fs ON ud.user_id = fs.user_id
+  GROUP BY ud.day
+)
+SELECT day, active_users, new_users,
+       active_users - new_users AS returning_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+""",
+)
+def q_reach_curve_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily audience composition and the cumulative reach curve:
+    active / new / returning users per day plus running total uniques
+    — growth accounting's standard decomposition (cumulative DISTINCT
+    is naively unscalable; first-seen attribution makes it a prefix
+    sum).
+
+    Scale shape: one (user, day) distinct, one per-user min (both
+    partial-aggregatable corpus shuffles), one day rollup — the
+    cumulative window then runs on the CALENDAR-bounded day series.
+    New-vs-returning needs no second distinct: a user is new exactly
+    on their first-seen day, so the broadcast-joined first_day
+    comparison decides it row-locally.  All exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    fs = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = (
+        ud.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
