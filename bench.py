@@ -209,6 +209,7 @@ HEADLINE = [
     "collocation_pmi_bigrams",
     "reach_curve_daily",
     "k_anonymity_audit",
+    "user_feature_matrix",
 ]
 
 REPEATS = 2

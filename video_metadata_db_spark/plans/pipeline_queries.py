@@ -1069,3 +1069,84 @@ def q_centroid_cosine_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "user_feature_matrix",
+    oracle="""
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS corpus_max FROM events),
+f AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases,
+         CAST(SUM(CASE WHEN value IS NOT NULL
+                       THEN CAST(round(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS monetary_cents,
+         max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, n_active_days, n_event_types, n_purchases,
+       monetary_cents,
+       CAST(date_diff('day', last_day, corpus_max) AS BIGINT)
+         AS recency_days,
+       CAST(round(n_events / (1.0 * n_active_days), 4) AS DOUBLE)
+         AS events_per_active_day
+FROM f CROSS JOIN mx
+ORDER BY user_id
+""",
+)
+def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user feature-matrix materialization — the feature-store
+    query: recency / frequency / monetary / breadth signals assembled
+    in ONE pass, the wide table a churn or LTV model trains on (RFM's
+    `rfm_segments` buckets these; here the raw features ship
+    unbucketed).
+
+    One user-keyed aggregate (count-distincts included — Spark expands
+    them via one Expand, still a single shuffle family), a 1-cell
+    corpus-max broadcast for recency, exact integer features, one
+    rounded ratio.  At 100 TB this is the canonical
+    materialize-once-score-often table: partition the sink by a user
+    hash and every downstream model reads co-located features."""
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("date")).alias("corpus_max"))
+    f = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("ts").cast("date")).alias("n_active_days"),
+        F.count_distinct("event_type").alias("n_event_types"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(),
+                F.round(F.col("value") * 100, 0).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+    )
+    return (
+        f.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "n_events",
+            "n_active_days",
+            "n_event_types",
+            "n_purchases",
+            "monetary_cents",
+            F.datediff(F.col("corpus_max"), F.col("last_day"))
+            .cast("long")
+            .alias("recency_days"),
+            F.round(
+                F.col("n_events") / (F.lit(1.0) * F.col("n_active_days")), 4
+            )
+            .cast("double")
+            .alias("events_per_active_day"),
+        )
+        .orderBy("user_id")
+    )
