@@ -210,6 +210,7 @@ HEADLINE = [
     "reach_curve_daily",
     "k_anonymity_audit",
     "user_feature_matrix",
+    "sample_neyman_allocation",
 ]
 
 REPEATS = 2

@@ -1150,3 +1150,125 @@ def q_user_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: Neyman total sample budget (docs across all strata).
+_NEYMAN_BUDGET = 200
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS nh,
+         SUM(CAST(n_chars AS HUGEINT)) AS sx,
+         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, nh,
+         COALESCE(round(nh * sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+                                  / NULLIF(1.0 * nh * (nh - 1), 0)), 6), 0)
+           AS wh
+  FROM s
+),
+tw AS (SELECT SUM(wh) AS wsum FROM w),
+alloc AS (
+  SELECT source, nh,
+         LEAST(nh, CAST(round({_NEYMAN_BUDGET} * wh / wsum, 0) AS BIGINT))
+           AS n_target
+  FROM w CROSS JOIN tw
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 2147483647, doc_id) AS rk
+  FROM documents
+),
+drawn AS (
+  SELECT r.source, count(*) AS n_drawn, SUM(r.doc_id) AS id_sum
+  FROM ranked r JOIN alloc a ON r.source = a.source AND r.rk <= a.n_target
+  GROUP BY r.source
+)
+SELECT a.source, a.nh AS n_stratum, a.n_target,
+       CAST(COALESCE(d.n_drawn, 0) AS BIGINT) AS n_drawn,
+       CAST(COALESCE(d.id_sum, 0) AS BIGINT) AS id_sum
+FROM alloc a LEFT JOIN drawn d ON a.source = d.source
+ORDER BY a.source
+""",
+)
+def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling: the {200}-doc budget is
+    allocated ∝ N_h·S_h (stratum size × length stddev — the
+    allocation minimizing estimator variance for a fixed budget,
+    survey sampling's textbook result), then drawn deterministically
+    by lowest md5-hash rank within each stratum.  The
+    variance-aware upgrade over `sample_stratified`'s fixed rates;
+    the id_sum witness makes the oracle check EXACTLY which docs are
+    drawn, not just how many.
+
+    Determinism: stddev enters as ONE sqrt of an exactly-agreed
+    integer-moment ratio, 6-dp-rounded BEFORE the allocation
+    division; allocations are integer-rounded and capped at N_h
+    identically on both engines.  Scale shape: one stats aggregate +
+    one per-stratum hash-rank window over the corpus (the same
+    two-shuffle cost as any top-k-per-group), |strata|-row allocation
+    broadcast into the rank filter."""
+    from ..operators.dedup import hash31
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).alias(
+            "sxx"
+        ),
+    )
+    w = s.select(
+        "source",
+        "nh",
+        F.expr(
+            "COALESCE(round(nh * sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)"
+            " / NULLIF(1.0D * nh * (nh - 1), 0)), 6), 0) AS wh"
+        ),
+    )
+    tw = w.agg(F.sum("wh").alias("wsum"))
+    alloc = w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "nh",
+        F.least(
+            F.col("nh"),
+            F.round(F.lit(_NEYMAN_BUDGET) * F.col("wh") / F.col("wsum"), 0).cast(
+                "long"
+            ),
+        ).alias("n_target"),
+    )
+    rk_w = Window.partitionBy("source").orderBy(
+        hash31(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "doc_id", F.row_number().over(rk_w).alias("rk")
+    )
+    drawn = (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("n_target"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_drawn"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+    return (
+        alloc.join(drawn, "source", "left")
+        .select(
+            "source",
+            F.col("nh").alias("n_stratum"),
+            "n_target",
+            F.coalesce(F.col("n_drawn"), F.lit(0)).cast("long").alias("n_drawn"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
