@@ -211,6 +211,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "user_feature_matrix",
     "sample_neyman_allocation",
+    "stream_reach_curve",
 ]
 
 REPEATS = 2

@@ -2954,3 +2954,63 @@ def q_reach_curve_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("active_users") - F.col("new_users")).alias("returning_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+@query(
+    "stream_reach_curve",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+daily AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM fs GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_users
+FROM daily ORDER BY day
+""",
+)
+def q_stream_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative-reach curve maintained under a REAL stream:
+    events staged as two files, drained one micro-batch each
+    (``maxFilesPerTrigger=1``); ``foreachBatch`` min-merges each
+    batch's per-user first-activity day into versioned snapshots
+    (streaming/firstseen.py) — the incremental form of
+    `reach_curve_daily`'s first-seen attribution.  Because MIN is
+    associative/commutative, the streamed state must equal the
+    one-shot batch build EXACTLY — the oracle is the batch new-user
+    curve, so the merge property is verified end to end (the
+    `stream_cms_heavy_hitters` discipline applied to MIN state).
+    Per-ingest cost is O(batch) + one |users|-row state merge; the
+    curve rollup runs on the calendar-bounded day grid."""
+    import tempfile
+
+    from ..streaming.firstseen import first_seen_maintainer, read_first_seen
+    from ..streaming.runner import file_stream, run_foreach_batch
+
+    work = tempfile.mkdtemp(prefix="vmdb_reach_")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    events.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    stream = file_stream(
+        spark, f"{work}/src", events.schema, max_files_per_trigger=1
+    )
+    run_foreach_batch(stream, f"{work}/cp", first_seen_maintainer(f"{work}/state"))
+    fs = read_first_seen(spark, f"{work}/state")
+    daily = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
