@@ -212,6 +212,7 @@ HEADLINE = [
     "user_feature_matrix",
     "sample_neyman_allocation",
     "stream_reach_curve",
+    "burst_hours_scan",
 ]
 
 REPEATS = 2

@@ -3014,3 +3014,82 @@ def q_stream_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("day")
+
+
+@query(
+    "burst_hours_scan",
+    oracle="""
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS n_events
+  FROM hours GROUP BY event_type
+),
+lam AS (
+  SELECT event_type, n_hours, n_events,
+         round(n_events / (1.0 * n_hours), 6) AS lambda
+  FROM span
+)
+SELECT h.event_type,
+       any_value(l.n_hours) AS n_nonzero_hours,
+       any_value(CAST(l.lambda AS DOUBLE)) AS lambda_per_hour,
+       CAST(SUM(CASE WHEN c > l.lambda + 4 * sqrt(l.lambda)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_burst_hours,
+       CAST(max(c) AS BIGINT) AS max_hour_count
+FROM hours h JOIN lam l ON h.event_type = l.event_type
+GROUP BY h.event_type
+ORDER BY h.event_type
+""",
+)
+def q_burst_hours_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-aware burst detection per event type: hours whose count
+    exceeds λ + 4√λ (the Poisson ~4σ surprise threshold) — the scan
+    statistic an on-call dashboard alarms on, and the RATE-model
+    complement to the distribution-free MAD/IQR outlier family (for
+    counting processes the Poisson null is the right baseline: its
+    variance equals its mean, so fences must scale with √λ, not MAD).
+
+    λ is one 6-dp-rounded division of exact integers per type (over
+    NONZERO hours — the dense-grid zero-fill is unnecessary because
+    zero hours can never exceed a positive threshold); the fence
+    compares an exact integer count against λ + 4√λ built from the
+    SAME rounded λ on both engines.  Scale shape: one (type, hour)
+    rollup — calendar×|types|-bounded downstream."""
+    events = load_table(spark, sf_dir, "events")
+    hours = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lam = hours.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("c").alias("n_events"),
+    ).select(
+        "event_type",
+        "n_hours",
+        F.round(F.col("n_events") / (F.lit(1.0) * F.col("n_hours")), 6).alias(
+            "lambda"
+        ),
+    )
+    return (
+        hours.join(F.broadcast(lam), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("n_hours").cast("long").alias("n_nonzero_hours"),
+            F.any_value(F.col("lambda").cast("double")).alias("lambda_per_hour"),
+            F.sum(
+                F.when(
+                    F.col("c")
+                    > F.col("lambda") + 4 * F.sqrt(F.col("lambda")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_burst_hours"),
+            F.max("c").cast("long").alias("max_hour_count"),
+        )
+        .orderBy("event_type")
+    )
