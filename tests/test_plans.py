@@ -266,3 +266,58 @@ def test_q9_dims_all_broadcast(spark):
     assert p.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_brand_affinity_pairs_from_arrays_not_self_join(spark):
+    """Pair candidates must come from the per-customer ARRAY expansion
+    (Generate/explode), not a corpus self-join on cust — and the
+    brand-size tables must broadcast."""
+    p = plan_of(spark, "brand_affinity_jaccard")
+    assert "Generate" in p, "array pair expansion must drive candidates"
+    assert p.count("BroadcastHashJoin") >= 2, "size tables must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_term_pmi_prunes_df_before_expansion(spark):
+    """The frequent-term floor must join BEFORE the pair expansion
+    (broadcast semi shape), and df side tables must broadcast."""
+    p = plan_of(spark, "term_pmi_top")
+    assert "Generate" in p
+    assert p.count("BroadcastHashJoin") >= 2, "df prune and size joins broadcast"
+    assert "TakeOrderedAndProject" in p, "top-20 must not fully sort"
+
+
+def test_trade_balance_dims_broadcast_and_matrix_self_join(spark):
+    """All four dimension joins of the flow build must broadcast; only
+    the |nations|²-bounded matrix may shuffle-join."""
+    p = plan_of(spark, "nation_trade_balance")
+    assert p.count("BroadcastHashJoin") >= 4, "customer/supplier/nation×2 broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_reach_curve_windows_are_day_bounded(spark):
+    """The only window is the cumulative sum over the DAY grain — the
+    corpus contributes two partial-aggregatable exchanges (distinct +
+    per-user min), never a corpus-sized window."""
+    p = plan_of(spark, "reach_curve_daily")
+    assert p.count("Window") <= 2, "one day-grain running-sum window expected"
+    assert "CartesianProduct" not in p
+
+
+def test_centroid_cosine_pair_join_is_centroid_sized(spark):
+    """The corpus prices one positional-explode aggregate; the pair
+    join must run on the aggregated centroid table (both sides
+    HashAggregate-derived), with norm tables broadcast."""
+    p = plan_of(spark, "centroid_cosine_matrix")
+    assert p.count("BroadcastHashJoin") >= 2, "norm side tables broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_neyman_rank_is_per_stratum_window(spark):
+    """The draw must be a per-stratum rank window (partitioned by
+    source) with the |strata|-row allocation broadcast into the
+    filter."""
+    p = plan_of(spark, "sample_neyman_allocation")
+    assert "row_number" in p
+    assert "BroadcastHashJoin" in p, "allocation table must broadcast"
+    assert "CartesianProduct" not in p
