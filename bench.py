@@ -213,6 +213,8 @@ HEADLINE = [
     "sample_neyman_allocation",
     "stream_reach_curve",
     "burst_hours_scan",
+    "sample_negative_brands",
+    "state_occupancy_share",
 ]
 
 REPEATS = 2

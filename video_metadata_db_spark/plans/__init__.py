@@ -59,8 +59,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: dedup_source_matrix, functional_dependency_audit,
 #: simpson_diversity_by_source, collocation_pmi_bigrams,
 #: reach_curve_daily, k_anonymity_audit, user_feature_matrix,
-#: sample_neyman_allocation, stream_reach_curve, burst_hours_scan.
-#: Rotate ~12 in
+#: sample_neyman_allocation, stream_reach_curve, burst_hours_scan,
+#: sample_negative_brands, state_occupancy_share.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -1272,3 +1272,93 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Negatives drawn per customer (recommender-training convention: a
+#: few non-interacted items per positive set).
+_NEG_PER_CUST = 3
+
+
+@query(
+    "sample_negative_brands",
+    oracle=f"""
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+custs AS (SELECT DISTINCT cust FROM pos),
+grid AS (SELECT cust, brand FROM custs CROSS JOIN brands),
+negs AS (
+  SELECT g.cust, g.brand
+  FROM grid g LEFT JOIN pos p ON g.cust = p.cust AND g.brand = p.brand
+  WHERE p.cust IS NULL
+),
+ranked AS (
+  SELECT cust, brand,
+         row_number() OVER (
+           PARTITION BY cust
+           ORDER BY CAST(concat('0x', substr(md5(cust || '#' || brand), 1, 8))
+                         AS BIGINT) % 2147483647, brand) AS rk
+  FROM negs
+)
+SELECT cust,
+       CAST(count(*) AS BIGINT) AS n_negatives,
+       string_agg(brand, ',' ORDER BY rk) AS negative_brands
+FROM ranked WHERE rk <= {_NEG_PER_CUST}
+GROUP BY cust
+ORDER BY cust
+""",
+)
+def q_sample_negative_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: for
+    every customer, {3} brands they have NEVER bought, drawn by
+    lowest salted-hash rank — the contrastive-pair generator every
+    implicit-feedback trainer needs (BPR, ALS, two-tower), made
+    hash-deterministic so the oracle can check EXACTLY which
+    negatives ship, not just their count.
+
+    Scale shape: the candidate grid is |customers| × |brand domain| —
+    linear in customers with a broadcast item dimension (the standard
+    shape; item domains in the millions switch to hashed rejection
+    sampling).  The positives anti-join is a key equi-join; the draw
+    is a per-customer rank window bounded by the item domain.  The
+    ordered string_agg witness is deterministic because the rank
+    order is a total order."""
+    from ..operators.dedup import hash31
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    brands = part.select(F.col("p_brand").alias("brand")).distinct()
+    custs = pos.select("cust").distinct()
+    grid = custs.crossJoin(F.broadcast(brands))
+    negs = grid.join(pos, ["cust", "brand"], "left_anti")
+    rk_w = Window.partitionBy("cust").orderBy(
+        hash31(F.concat_ws("#", F.col("cust"), F.col("brand"))), "brand"
+    )
+    ranked = negs.select(
+        "cust", "brand", F.row_number().over(rk_w).alias("rk")
+    ).filter(F.col("rk") <= _NEG_PER_CUST)
+    return (
+        ranked.groupBy("cust")
+        .agg(
+            F.count(F.lit(1)).alias("n_negatives"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "brand"))),
+                    lambda s: s["brand"],
+                ),
+                ",",
+            ).alias("negative_brands"),
+        )
+        .orderBy("cust")
+    )

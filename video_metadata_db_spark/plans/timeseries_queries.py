@@ -3093,3 +3093,66 @@ def q_burst_hours_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "state_occupancy_share",
+    oracle="""
+WITH seq AS (
+  SELECT event_type AS state,
+         epoch_us(ts) AS s_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS e_us
+  FROM events
+),
+dur AS (
+  SELECT state, CAST(SUM(e_us - s_us) AS BIGINT) AS occ_us
+  FROM seq WHERE e_us IS NOT NULL
+  GROUP BY state
+),
+tot AS (SELECT SUM(CAST(occ_us AS HUGEINT)) AS t FROM dur)
+SELECT state,
+       CAST(occ_us // 1000000 AS BIGINT) AS occupied_seconds,
+       CAST((CAST(occ_us AS HUGEINT) * 1000000) // t AS BIGINT)
+         AS share_ppm
+FROM dur CROSS JOIN tot
+ORDER BY state
+""",
+)
+def q_state_occupancy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted state occupancy: how much wall-clock time
+    users SPEND in each behavioral state (an event holds its state
+    until the user's next event) — the sojourn-time layer that
+    completes the Markov family (`markov_transitions` counts jumps,
+    `markov_entropy_rate` scores their predictability; occupancy
+    weights states by dwell time, which frequency counts misstate
+    when dwell is skewed).
+
+    One lead() per user on the same (ts, event_id) total order as the
+    transition matrix, summed in exact BIGINT microseconds; shares
+    are integer parts-per-million ((occ·10⁶) div total — NO float
+    anywhere).  Each user's last event has no successor and is
+    excluded exactly (open-ended dwell is unobserved — a censoring
+    convention, stated rather than imputed)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("s_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("e_us"),
+    ).filter(F.col("e_us").isNotNull())
+    dur = seq.groupBy("state").agg(
+        F.sum(F.col("e_us") - F.col("s_us")).alias("occ_us")
+    )
+    tot = dur.agg(F.sum(F.col("occ_us").cast("decimal(38,0)")).alias("t"))
+    return (
+        dur.crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            F.expr("occ_us div 1000000").cast("long").alias("occupied_seconds"),
+            F.expr(
+                "CAST((CAST(occ_us AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("state")
+    )
