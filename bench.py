@@ -215,6 +215,8 @@ HEADLINE = [
     "burst_hours_scan",
     "sample_negative_brands",
     "state_occupancy_share",
+    "class_separability",
+    "region_nation_share",
 ]
 
 REPEATS = 2

@@ -60,7 +60,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: simpson_diversity_by_source, collocation_pmi_bigrams,
 #: reach_curve_daily, k_anonymity_audit, user_feature_matrix,
 #: sample_neyman_allocation, stream_reach_curve, burst_hours_scan,
-#: sample_negative_brands, state_occupancy_share.  Rotate ~12 in
+#: sample_negative_brands, state_occupancy_share, class_separability,
+#: region_nation_share.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -1205,3 +1205,115 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_at_risk"),
         F.sum("sz").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "class_separability",
+    oracle="""
+WITH c AS (
+  SELECT label, i AS pos,
+         CAST(round(round(avg(embedding[i]), 6) * 1000000, 0) AS BIGINT) AS cm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY label, i
+),
+g AS (
+  SELECT pos, CAST(round(avg(cm), 1) AS DOUBLE) AS gm FROM c GROUP BY pos
+),
+v AS (
+  SELECT vec_id, label, i AS pos,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vm
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+),
+intra AS (
+  SELECT v.label, vec_id, SUM((vm - cm) * (vm - cm)) AS d2
+  FROM v JOIN c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY 1, 2
+),
+intra_m AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(round(SUM(d2) / (1.0 * count(*)), 1) AS DOUBLE) AS mean_intra_d2
+  FROM intra GROUP BY label
+),
+between_ AS (
+  SELECT c.label, CAST(round(SUM((cm - gm) * (cm - gm)), 1) AS DOUBLE)
+           AS between_d2
+  FROM c JOIN g ON c.pos = g.pos
+  GROUP BY c.label
+)
+SELECT i.label, i.n_vectors, i.mean_intra_d2, b.between_d2,
+       CAST(round(b.between_d2 / i.mean_intra_d2, 6) AS DOUBLE)
+         AS separability
+FROM intra_m i JOIN between_ b ON i.label = b.label
+ORDER BY i.label
+""",
+)
+def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class separability in embedding space: squared distance of
+    each class centroid to the GLOBAL centroid (between-class spread)
+    over mean within-class squared distance (intra-class scatter) —
+    the Fisher-criterion readout that tells a curation pipeline which
+    labels are learnable and which have collapsed into their
+    neighbours (the aggregate sibling of `embedding_outlier_counts`'
+    per-vector anomalies).
+
+    Exactness: class centroids and vectors share the integer
+    micro-unit quantization, so intra d² sums are exact BIGINT; the
+    global centroid is a mean of 10 integers (rounded to 1 dp, the
+    quantile-drift-proof scale) and the between term is built from
+    it deterministically.  Two corpus passes (centroid build +
+    distance pass, centroid table broadcast); everything else runs
+    on |labels|×dims frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pe = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "x")
+    )
+    c = pe.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(F.round(F.avg("x"), 6) * 1000000, 0).cast("long").alias("cm")
+    )
+    g = c.groupBy("pos").agg(F.round(F.avg("cm"), 1).alias("gm"))
+    v = pe.select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("vm"),
+    )
+    intra = (
+        v.join(F.broadcast(c), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum((F.col("vm") - F.col("cm")) * (F.col("vm") - F.col("cm"))).alias(
+                "d2"
+            )
+        )
+    )
+    intra_m = intra.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("d2") / (F.lit(1.0) * F.count(F.lit(1))), 1)
+        .cast("double")
+        .alias("mean_intra_d2"),
+    )
+    between = (
+        c.join(F.broadcast(g), "pos")
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum((F.col("cm") - F.col("gm")) * (F.col("cm") - F.col("gm"))),
+                1,
+            )
+            .cast("double")
+            .alias("between_d2")
+        )
+    )
+    return (
+        intra_m.join(between, "label")
+        .select(
+            "label",
+            "n_vectors",
+            "mean_intra_d2",
+            "between_d2",
+            F.round(F.col("between_d2") / F.col("mean_intra_d2"), 6)
+            .cast("double")
+            .alias("separability"),
+        )
+        .orderBy("label")
+    )

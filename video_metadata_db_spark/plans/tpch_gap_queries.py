@@ -34,7 +34,7 @@ prove the engine exposes Spark's full one (SURVEY.md §3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table, register_views
@@ -632,4 +632,85 @@ def q_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").cast("long").alias("max_days"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "region_nation_share",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT SUM(CAST(cents AS HUGEINT)) AS t FROM rev)
+SELECT region, nation, cents AS revenue_cents,
+       CAST((CAST(cents AS HUGEINT) * 1000000)
+            // SUM(CAST(cents AS HUGEINT)) OVER (PARTITION BY region)
+            AS BIGINT) AS share_of_region_ppm,
+       CAST((SUM(CAST(cents AS HUGEINT)) OVER (PARTITION BY region) * 1000000)
+            // (SELECT t FROM tot) AS BIGINT) AS region_share_ppm
+FROM rev
+ORDER BY region, nation
+""",
+)
+def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue shares: each nation's share of its region
+    and each region's share of the world — the two-level drill-down
+    every BI rollup renders, with shares as EXACT integer
+    parts-per-million ((x·10⁶) div parent, no float division
+    anywhere; `agg_rollup` gives the totals, this gives the
+    normalized tree).
+
+    One fact pass with customer/nation/region broadcast-joined, then
+    the share windows run on the |nations|-row rollup — dimension-
+    bounded, never the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wr = Window.partitionBy("region")
+    tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("t"))
+    return (
+        rev.withColumn(
+            "region_cents", F.sum(F.col("cents").cast("decimal(38,0)")).over(wr)
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            F.col("cents").alias("revenue_cents"),
+            F.expr(
+                "CAST((CAST(cents AS DECIMAL(38,0)) * 1000000) div region_cents"
+                " AS BIGINT)"
+            ).alias("share_of_region_ppm"),
+            F.expr(
+                "CAST((region_cents * 1000000) div t AS BIGINT)"
+            ).alias("region_share_ppm"),
+        )
+        .orderBy("region", "nation")
     )
