@@ -217,6 +217,7 @@ HEADLINE = [
     "state_occupancy_share",
     "class_separability",
     "region_nation_share",
+    "return_rate_wilson",
 ]
 
 REPEATS = 2

@@ -244,3 +244,71 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 6) AS DOUBLE)"
         ).alias("corr_discount_qty"),
     ).orderBy("p_brand")
+
+
+@query(
+    "return_rate_wilson",
+    oracle="""
+WITH b AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n, r,
+       CAST((r * 1000000) // n AS BIGINT) AS rate_ppm,
+       CAST(round((r + 1.9208) / (n + 3.8416)
+                  - (1.96 * sqrt((r * (n - r)) / (1.0 * n) + 0.9604))
+                    / (n + 3.8416), 6) AS DOUBLE) AS wilson_low,
+       CAST(round((r + 1.9208) / (n + 3.8416)
+                  + (1.96 * sqrt((r * (n - r)) / (1.0 * n) + 0.9604))
+                    / (n + 3.8416), 6) AS DOUBLE) AS wilson_high
+FROM b ORDER BY p_brand
+""",
+)
+def q_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate with a Wilson-score 95% interval — the
+    small-sample-safe CI (the normal/Wald interval collapses at
+    extreme p or small n; Wilson is what monitoring dashboards should
+    ship) — interval ESTIMATION next to `ab_test_proportions`'
+    hypothesis test.
+
+    The point rate is exact integer parts-per-million; the Wilson
+    bounds use the z=1.96 closed form with every constant
+    pre-multiplied to a literal (1.9208 = z²/2, 3.8416 = z², 0.9604 =
+    z²/4), so both engines evaluate the IDENTICAL expression tree
+    over exact integers — one sqrt + two divisions per OUTPUT brand,
+    6-dp rounded.  One broadcast dim join + one brand rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    b = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    return b.select(
+        "p_brand",
+        "n",
+        "r",
+        F.expr("CAST((r * 1000000) div n AS BIGINT)").alias("rate_ppm"),
+        F.expr(
+            "CAST(round((r + 1.9208D) / (n + 3.8416D)"
+            " - (1.96D * sqrt((r * (n - r)) / (1.0D * n) + 0.9604D))"
+            "   / (n + 3.8416D), 6) AS DOUBLE)"
+        ).alias("wilson_low"),
+        F.expr(
+            "CAST(round((r + 1.9208D) / (n + 3.8416D)"
+            " + (1.96D * sqrt((r * (n - r)) / (1.0D * n) + 0.9604D))"
+            "   / (n + 3.8416D), 6) AS DOUBLE)"
+        ).alias("wilson_high"),
+    ).orderBy("p_brand")
