@@ -232,3 +232,144 @@ def test_burstiness_closed_forms(spark, tmp_path):
     rows = QUERIES["term_burstiness_top"](spark, _docs(spark, tmp_path, texts)).collect()
     got = {r["term"]: (r["df"], r["n_tokens"], r["burstiness"]) for r in rows}
     assert got == {"x": (10, 20, 1.0), "y": (10, 10, 0.5)}
+
+
+# --------------------------------------------------- burst / occupancy ---
+
+
+def test_burst_scan_flags_planted_spike(spark, tmp_path):
+    """50 uniform 1-count hours plus ONE 30-count hour: λ ≈ 1.58, the
+    4√λ fence sits near 6.6 — exactly the spike hour is flagged."""
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    h = dt.timedelta(hours=1)
+    rows = [(t0 + i * h, 1, "click") for i in range(50)]
+    rows += [(t0 + 25 * h + dt.timedelta(minutes=m), 2, "click") for m in range(29)]
+    sf = _events(spark, tmp_path, rows)
+    r = QUERIES["burst_hours_scan"](spark, sf).collect()[0]
+    assert r["n_burst_hours"] == 1
+    assert r["max_hour_count"] == 30
+
+
+def test_state_occupancy_exact_shares(spark, tmp_path):
+    """A(0s)→B(10s)→A(30s)→B(60s): A dwells 10+30 = 40 s, B dwells
+    20 s, last event unobserved — shares exactly 666666/333333 ppm."""
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    sf = _events(
+        spark,
+        tmp_path,
+        [(t0, 1, "A"), (t0 + 10 * s, 1, "B"), (t0 + 30 * s, 1, "A"),
+         (t0 + 60 * s, 1, "B")],
+    )
+    got = {
+        r["state"]: (r["occupied_seconds"], r["share_ppm"])
+        for r in QUERIES["state_occupancy_share"](spark, sf).collect()
+    }
+    assert got == {"A": (40, 666666), "B": (20, 333333)}
+
+
+# ------------------------------------------------------- sampling ---
+
+
+def _docs2(spark, tmp_path, rows):
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", src, n) for i, (t, src, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_neyman_zero_variance_stratum_gets_nothing(spark, tmp_path):
+    """Neyman allocation ∝ N·S: a stratum with identical lengths has
+    S = 0 → target 0; the varying stratum absorbs the budget capped at
+    its size."""
+    rows = [("a", "s0", 100)] * 10 + [("b", "s1", 50 + i * 10) for i in range(10)]
+    sf = _docs2(spark, tmp_path, rows)
+    got = {
+        r["source"]: (r["n_target"], r["n_drawn"])
+        for r in QUERIES["sample_neyman_allocation"](spark, sf).collect()
+    }
+    assert got["s0"] == (0, 0)
+    assert got["s1"] == (10, 10)  # capped at N_h
+
+
+def test_negative_sampling_excludes_positives(spark, tmp_path):
+    """With brands {X,Y,Z} and customer 1 having bought only X, the
+    negatives must be exactly {Y,Z} (budget 3 capped by domain)."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "Brand#X"), (2, "Brand#Y"), (3, "Brand#Z")],
+        "p_partkey long, p_brand string",
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame([(10, 1)], "o_orderkey long, o_custkey long").write.parquet(
+        f"{sf}/orders.parquet"
+    )
+    spark.createDataFrame([(10, 1)], "l_orderkey long, l_partkey long").write.parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    r = QUERIES["sample_negative_brands"](spark, sf).collect()[0]
+    assert r["n_negatives"] == 2
+    assert set(r["negative_brands"].split(",")) == {"Brand#Y", "Brand#Z"}
+
+
+# ------------------------------------------------- shares / intervals ---
+
+
+def test_region_share_ppm_exact_quarters(spark, tmp_path):
+    """Two nations in one region with 1:3 revenue → exactly 250000 and
+    750000 ppm of the region, region = 1000000 ppm of the world."""
+    sf = str(tmp_path)
+    spark.createDataFrame([(0, "R0")], "r_regionkey long, r_name string").write.parquet(
+        f"{sf}/region.parquet"
+    )
+    spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(f"{sf}/nation.parquet")
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "c_custkey long, c_nationkey long"
+    ).write.parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(1, 1, 100.0), (2, 2, 300.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    rows = QUERIES["region_nation_share"](spark, sf).collect()
+    got = {r["nation"]: (r["share_of_region_ppm"], r["region_share_ppm"]) for r in rows}
+    assert got == {"N0": (250_000, 1_000_000), "N1": (750_000, 1_000_000)}
+
+
+def test_wilson_bounds_degenerate_rates(spark, tmp_path):
+    """r = 0 gives wilson_low EXACTLY 0 (1.9208 − 1.96·√0.9604 = 0)
+    and r = n gives wilson_high exactly 1 — the closed form's boundary
+    identity, which a Wald interval fails."""
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "Brand#A"), (2, "Brand#B")], "p_partkey long, p_brand string"
+    ).write.parquet(f"{sf}/part.parquet")
+    li = [(i, 1, "N") for i in range(8)] + [(i + 8, 2, "R") for i in range(8)]
+    spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_returnflag string"
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    got = {
+        r["p_brand"]: (r["rate_ppm"], r["wilson_low"], r["wilson_high"])
+        for r in QUERIES["return_rate_wilson"](spark, sf).collect()
+    }
+    assert got["Brand#A"][0] == 0 and got["Brand#A"][1] == 0.0
+    assert got["Brand#B"][0] == 1_000_000 and got["Brand#B"][2] == 1.0
+
+
+def test_separability_null_on_zero_scatter(spark, tmp_path):
+    """Two point-mass classes: intra-class scatter is exactly 0, so
+    the ratio is undefined — the NULLIF guard must yield NULL with
+    between_d2 > 0 (not a division blow-up)."""
+    sf = str(tmp_path)
+    rows = [(i, [1.0] * 64, 0) for i in range(5)]
+    rows += [(i + 5, [2.0] * 64, 1) for i in range(5)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    for r in QUERIES["class_separability"](spark, sf).collect():
+        assert r["mean_intra_d2"] == 0.0
+        assert r["between_d2"] > 0
+        assert r["separability"] is None

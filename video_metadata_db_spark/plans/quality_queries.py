@@ -1241,7 +1241,7 @@ between_ AS (
   GROUP BY c.label
 )
 SELECT i.label, i.n_vectors, i.mean_intra_d2, b.between_d2,
-       CAST(round(b.between_d2 / i.mean_intra_d2, 6) AS DOUBLE)
+       CAST(round(b.between_d2 / NULLIF(i.mean_intra_d2, 0), 6) AS DOUBLE)
          AS separability
 FROM intra_m i JOIN between_ b ON i.label = b.label
 ORDER BY i.label
@@ -1311,7 +1311,10 @@ def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
             "mean_intra_d2",
             "between_d2",
-            F.round(F.col("between_d2") / F.col("mean_intra_d2"), 6)
+            F.round(
+                F.col("between_d2") / F.nullif(F.col("mean_intra_d2"), F.lit(0.0)),
+                6,
+            )
             .cast("double")
             .alias("separability"),
         )
