@@ -218,6 +218,7 @@ HEADLINE = [
     "class_separability",
     "region_nation_share",
     "return_rate_wilson",
+    "price_volume_decomposition",
 ]
 
 REPEATS = 2

@@ -312,3 +312,111 @@ def q_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "   / (n + 3.8416D), 6) AS DOUBLE)"
         ).alias("wilson_high"),
     ).orderBy("p_brand")
+
+
+@query(
+    "price_volume_decomposition",
+    oracle="""
+WITH li AS (
+  SELECT p_brand,
+         epoch(CAST(o_orderdate AS TIMESTAMP)) // 86400 AS d,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+bd AS (SELECT CAST(round(quantile_cont(d, 0.5), 0) AS BIGINT) AS b FROM li),
+agg AS (
+  SELECT p_brand,
+         SUM(CASE WHEN d < b THEN cents ELSE 0 END) AS r0,
+         SUM(CASE WHEN d < b THEN qty ELSE 0 END) AS q0,
+         SUM(CASE WHEN d >= b THEN cents ELSE 0 END) AS r1,
+         SUM(CASE WHEN d >= b THEN qty ELSE 0 END) AS q1
+  FROM li CROSS JOIN bd GROUP BY p_brand
+),
+rates AS (
+  SELECT p_brand, r0, q0, r1, q1,
+         CAST(round(r0 / (1.0 * q0), 2) AS DECIMAL(18,2)) AS rate0,
+         CAST(round(r1 / (1.0 * q1), 2) AS DECIMAL(18,2)) AS rate1
+  FROM agg WHERE q0 > 0 AND q1 > 0
+)
+SELECT p_brand,
+       CAST(r1 - r0 AS BIGINT) AS delta_cents,
+       CAST(round((q1 - q0) * rate0, 0) AS BIGINT) AS volume_effect_cents,
+       CAST(round(q1 * (rate1 - rate0), 0) AS BIGINT) AS price_effect_cents,
+       CAST(r1 - r0 - round((q1 - q0) * rate0, 0)
+            - round(q1 * (rate1 - rate0), 0) AS BIGINT) AS residual_cents
+FROM rates ORDER BY p_brand
+""",
+)
+def q_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge per brand between the first and second half
+    of the order history (split at the MEDIAN order day, so both
+    periods are populated at every scale): ΔRevenue = volume effect
+    ((ΔQ)·rate₀) + price effect (Q₁·Δrate) + residual — the FP&A
+    waterfall explaining WHY revenue moved, not just that it did.
+
+    Determinism: the period boundary is one rounded median of integer
+    epoch-days; unit rates are quantized to DECIMAL(18,2) cents BEFORE
+    the effect multiplications, so every effect is exact decimal
+    arithmetic and the residual reconciles to the exact integer ΔR by
+    construction (the decomposition is audit-closed: the four columns
+    sum exactly).  One fact pass with broadcast dims + conditional
+    aggregation — the two periods never need separate scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.expr(
+                "unix_seconds(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
+                " div 86400"
+            ).alias("d"),
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+            F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        )
+    )
+    bd = base.agg(
+        F.round(F.expr("percentile(d, 0.5D)"), 0).cast("long").alias("b")
+    )
+    agg = (
+        base.crossJoin(F.broadcast(bd))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("d") < F.col("b"), F.col("cents")).otherwise(0)).alias("r0"),
+            F.sum(F.when(F.col("d") < F.col("b"), F.col("qty")).otherwise(0)).alias("q0"),
+            F.sum(F.when(F.col("d") >= F.col("b"), F.col("cents")).otherwise(0)).alias("r1"),
+            F.sum(F.when(F.col("d") >= F.col("b"), F.col("qty")).otherwise(0)).alias("q1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    rates = agg.select(
+        "p_brand",
+        "r0",
+        "q0",
+        "r1",
+        "q1",
+        F.expr("CAST(round(r0 / (1.0D * q0), 2) AS DECIMAL(18,2))").alias("rate0"),
+        F.expr("CAST(round(r1 / (1.0D * q1), 2) AS DECIMAL(18,2))").alias("rate1"),
+    )
+    return rates.select(
+        "p_brand",
+        (F.col("r1") - F.col("r0")).cast("long").alias("delta_cents"),
+        F.expr("CAST(round((q1 - q0) * rate0, 0) AS BIGINT)").alias(
+            "volume_effect_cents"
+        ),
+        F.expr("CAST(round(q1 * (rate1 - rate0), 0) AS BIGINT)").alias(
+            "price_effect_cents"
+        ),
+        F.expr(
+            "CAST(r1 - r0 - round((q1 - q0) * rate0, 0)"
+            " - round(q1 * (rate1 - rate0), 0) AS BIGINT)"
+        ).alias("residual_cents"),
+    ).orderBy("p_brand")
