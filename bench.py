@@ -219,6 +219,8 @@ HEADLINE = [
     "region_nation_share",
     "return_rate_wilson",
     "price_volume_decomposition",
+    "weekend_welch_ttest",
+    "basket_size_histogram",
 ]
 
 REPEATS = 2

@@ -62,7 +62,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: sample_neyman_allocation, stream_reach_curve, burst_hours_scan,
 #: sample_negative_brands, state_occupancy_share, class_separability,
 #: region_nation_share, return_rate_wilson,
-#: price_volume_decomposition.  Rotate ~12 in
+#: price_volume_decomposition, weekend_welch_ttest,
+#: basket_size_histogram.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -19,7 +19,7 @@ prefix sum, never a corpus-wide single-reducer window).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.analytics import two_sample_rank_counts
@@ -420,3 +420,142 @@ def q_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - round(q1 * (rate1 - rate0), 0) AS BIGINT)"
         ).alias("residual_cents"),
     ).orderBy("p_brand")
+
+
+@query(
+    "weekend_welch_ttest",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         isodow(CAST(o_orderdate AS DATE)) >= 6 AS is_weekend,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT is_weekend,
+         CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s,
+         SUM(CAST(x AS HUGEINT) * x) AS ss
+  FROM daily GROUP BY is_weekend
+),
+w AS (SELECT n AS n1, s AS s1, ss AS ss1 FROM m WHERE is_weekend),
+d AS (SELECT n AS n0, s AS s0, ss AS ss0 FROM m WHERE NOT is_weekend)
+SELECT n0 AS n_weekday, n1 AS n_weekend,
+       CAST(round(s0 / (100.0 * n0), 2) AS DOUBLE) AS mean_weekday_dollars,
+       CAST(round(s1 / (100.0 * n1), 2) AS DOUBLE) AS mean_weekend_dollars,
+       CAST(round(
+         (s1 / (1.0 * n1) - s0 / (1.0 * n0))
+         / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                  / (1.0 * n1 * (n1 - 1) * n1)
+                + CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+                  / (1.0 * n0 * (n0 - 1) * n0)), 4) AS DOUBLE) AS welch_t
+FROM w CROSS JOIN d
+""",
+)
+def q_weekend_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test for the weekend effect on daily
+    revenue — the MEANS companion to `ab_test_proportions`' rate test
+    (is the weekend level shift real, or day-to-day noise?).  Welch,
+    not Student: daily-revenue variance differs across day types and
+    the unequal-n correction matters.
+
+    Every moment (n, Σx, Σx²) is an exact HUGEINT/DECIMAL(38,0)
+    integer per group; the t statistic is one shared closed-form
+    expression tree over those six integers — two divisions and one
+    sqrt, rounded at 4 dp — so both engines agree to the last digit
+    (the `trend_event_values` discipline).  One day rollup + one
+    2-row moment aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            (F.expr("weekday(CAST(o_orderdate AS DATE))") >= 5).alias(
+                "is_weekend"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("x")
+        )
+    )
+    dec = "decimal(38,0)"
+    m = daily.groupBy("is_weekend").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("ss"),
+    )
+    w = m.filter(F.col("is_weekend")).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    d = m.filter(~F.col("is_weekend")).select(
+        F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ss").alias("ss0")
+    )
+    return w.crossJoin(d).select(
+        F.col("n0").alias("n_weekday"),
+        F.col("n1").alias("n_weekend"),
+        F.expr("CAST(round(s0 / (100.0D * n0), 2) AS DOUBLE)").alias(
+            "mean_weekday_dollars"
+        ),
+        F.expr("CAST(round(s1 / (100.0D * n1), 2) AS DOUBLE)").alias(
+            "mean_weekend_dollars"
+        ),
+        F.expr(
+            "CAST(round("
+            " (s1 / (1.0D * n1) - s0 / (1.0D * n0))"
+            " / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)"
+            "          / (1.0D * n1 * (n1 - 1) * n1)"
+            "        + CAST(n0 * ss0 - s0 * s0 AS DOUBLE)"
+            "          / (1.0D * n0 * (n0 - 1) * n0)), 4) AS DOUBLE)"
+        ).alias("welch_t"),
+    )
+
+
+@query(
+    "basket_size_histogram",
+    oracle="""
+WITH sz AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY l_orderkey
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sz)
+SELECT n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST((count(*) * 1000000) // t AS BIGINT) AS share_ppm,
+       CAST(SUM(count(*) * 1000000) OVER (ORDER BY n_lines
+              ROWS UNBOUNDED PRECEDING) // t AS BIGINT) AS cum_share_ppm
+FROM sz CROSS JOIN tot
+GROUP BY n_lines, t
+ORDER BY n_lines
+""",
+)
+def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order basket-size distribution: how many line items orders
+    carry, with exact ppm shares and the cumulative curve — the
+    cardinality profile that sizes per-basket pair expansions
+    (`frequent_brand_pairs`' O(k²) step is bounded by THIS
+    histogram's tail, so the mining family's cost model cites it).
+
+    One orderkey rollup, then everything runs on the |distinct basket
+    sizes|-row histogram (≤ tens of rows at any corpus size); shares
+    are integer (x·10⁶) div t — no float."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    tot = sz.agg(F.count(F.lit(1)).alias("t"))
+    h = (
+        sz.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy("n_lines").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        h.withColumn("cum", F.sum(F.col("n_orders") * 1000000).over(w))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.expr("CAST((n_orders * 1000000) div t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(cum div t AS BIGINT)").alias("cum_share_ppm"),
+        )
+        .orderBy("n_lines")
+    )
