@@ -221,6 +221,8 @@ HEADLINE = [
     "price_volume_decomposition",
     "weekend_welch_ttest",
     "basket_size_histogram",
+    "lang_mismatch_audit",
+    "embedding_norm_profile",
 ]
 
 REPEATS = 2

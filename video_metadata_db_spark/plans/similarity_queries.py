@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
 from ..sources.tables import load_table
@@ -330,3 +331,76 @@ def q_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+             * CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT))
+           AS nn
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY vec_id, label
+),
+m AS (
+  SELECT label,
+         CAST(count(*) AS BIGINT) AS n_vectors,
+         SUM(CAST(nn AS HUGEINT)) AS s,
+         SUM(CAST(nn AS HUGEINT) * nn) AS ss,
+         CAST(min(nn) AS BIGINT) AS min_sq,
+         CAST(max(nn) AS BIGINT) AS max_sq
+  FROM n GROUP BY label
+)
+SELECT label, n_vectors,
+       CAST(round(s / (1.0 * n_vectors), 1) AS DOUBLE) AS mean_sq_norm,
+       CAST(round(CAST(n_vectors * ss - s * s AS DOUBLE)
+                  / (1.0 * n_vectors * NULLIF(n_vectors - 1, 0)), 1) AS DOUBLE)
+         AS var_sq_norm,
+       min_sq, max_sq
+FROM m ORDER BY label
+""",
+)
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label squared-L2-norm profile of the embedding corpus —
+    the normalization sanity gate run BEFORE any cosine machinery
+    (un-normalized vectors silently bias every dot-product ranking;
+    a label whose norm variance balloons flags a broken encoder
+    batch).  Complements `class_separability` (between/within
+    geometry) with the per-vector magnitude axis.
+
+    Vector elements quantize to the family's integer micro-units, so
+    every squared norm is an exact BIGINT and the moments are exact
+    HUGEINT/DECIMAL(38,0) sums; mean/variance are single guarded
+    divisions at output.  One positional-explode aggregate keyed on
+    (vec_id, label), one |labels|-row rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m_unit = F.round(F.col("x").cast("double") * 1000000, 0).cast("long")
+    n = (
+        emb.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "x"))
+        .select("vec_id", "label", m_unit.alias("vm"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("vm") * F.col("vm")).alias("nn"))
+    )
+    dec = "decimal(38,0)"
+    m = n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.col("nn").cast(dec)).alias("s"),
+        F.sum(F.col("nn").cast(dec) * F.col("nn")).alias("ss"),
+        F.min("nn").cast("long").alias("min_sq"),
+        F.max("nn").cast("long").alias("max_sq"),
+    )
+    return m.select(
+        "label",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.expr("CAST(round(s / (1.0D * n_vectors), 1) AS DOUBLE)").alias(
+            "mean_sq_norm"
+        ),
+        F.expr(
+            "CAST(round(CAST(n_vectors * ss - s * s AS DOUBLE)"
+            " / (1.0D * n_vectors * NULLIF(n_vectors - 1, 0)), 1) AS DOUBLE)"
+        ).alias("var_sq_norm"),
+        "min_sq",
+        "max_sq",
+    ).orderBy("label")

@@ -784,3 +784,58 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "lang_mismatch_audit",
+    oracle=f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(list_filter(list_filter(string_split(lower(text), ' '),
+                                               x -> x <> ''),
+                                   x -> x IN ({_STOPS})))
+                   / greatest(len(list_filter(string_split(lower(text), ' '),
+                                              x -> x <> '')), 1) >= 0.1
+              THEN 'en' ELSE 'other' END AS lang_guess
+  FROM documents
+)
+SELECT lang, lang_guess,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((count(*) * 1000000)
+            // SUM(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+         AS share_of_label_ppm
+FROM t
+GROUP BY lang, lang_guess
+ORDER BY lang, lang_guess
+""",
+)
+def q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language agreement: the confusion matrix
+    between the DECLARED lang column and the stopword-profile guess
+    `text_lang_id` computes — the mislabeled-metadata detector (a
+    label whose guess-share drifts release-over-release means the
+    upstream tagger or the scrape changed; `nb_lang_confusion` checks
+    the learned classifier, this checks the pipeline's own labels).
+
+    One corpus scan scoring the same fused stopword expression as
+    `text_lang_id`, one (label, guess) rollup with the share window on
+    the |langs|×2 matrix; shares are exact integer ppm."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = tokens_of(F.lower(F.col("text")))
+    stops = F.size(F.filter(lt, lambda t: t.isin(*EN_STOPWORDS)))
+    guess = F.when(
+        stops / F.greatest(F.size(lt), F.lit(1)) >= 0.1, "en"
+    ).otherwise("other")
+    t = docs.select("lang", guess.alias("lang_guess"))
+    return (
+        t.groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "share_of_label_ppm",
+            F.expr(
+                "CAST((n_docs * 1000000) div "
+                "SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)"
+            ),
+        )
+        .orderBy("lang", "lang_guess")
+    )
