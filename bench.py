@@ -223,6 +223,8 @@ HEADLINE = [
     "basket_size_histogram",
     "lang_mismatch_audit",
     "embedding_norm_profile",
+    "shingle_df_histogram",
+    "repeat_revenue_share_monthly",
 ]
 
 REPEATS = 2

@@ -63,8 +63,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: sample_negative_brands, state_occupancy_share, class_separability,
 #: region_nation_share, return_rate_wilson,
 #: price_volume_decomposition, weekend_welch_ttest,
-#: basket_size_histogram, lang_mismatch_audit, embedding_norm_profile.
-#: Rotate ~12 in
+#: basket_size_histogram, lang_mismatch_audit, embedding_norm_profile,
+#: shingle_df_histogram, repeat_revenue_share_monthly.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -3156,3 +3156,86 @@ def q_state_occupancy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "repeat_revenue_share_monthly",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey AS cust,
+         date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+         CAST(o_orderdate AS DATE) AS d,
+         o_orderkey AS ok,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
+fs AS (SELECT cust, min(d) AS first_day FROM o GROUP BY cust),
+tagged AS (
+  SELECT o.m, o.cents,
+         (date_trunc('month', fs.first_day) < o.m) AS is_repeat
+  FROM o JOIN fs ON o.cust = fs.cust
+)
+SELECT CAST(m AS DATE) AS month,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(CASE WHEN is_repeat THEN cents ELSE 0 END) AS BIGINT)
+         AS repeat_cents,
+       CAST((SUM(CAST(CASE WHEN is_repeat THEN cents ELSE 0 END AS HUGEINT))
+             * 1000000) // SUM(cents) AS BIGINT) AS repeat_share_ppm
+FROM tagged GROUP BY m ORDER BY month
+""",
+)
+def q_repeat_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split by customer tenure: how much of each
+    month's revenue comes from customers acquired in an EARLIER month
+    — the growth-quality decomposition (`reach_curve_daily`'s
+    new/returning split applied to money instead of headcount;
+    all-new revenue is acquisition-driven and churns with spend,
+    repeat revenue is the durable base).
+
+    First-order attribution is one per-customer min (the first-seen
+    discipline) broadcast back; a month is 'repeat' for a customer
+    strictly AFTER their acquisition month (their first month counts
+    as new — including its later orders, the standard cohort
+    convention).  Exact integer cents; shares integer ppm; the month
+    rollup is calendar-bounded."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    o = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("m"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    fs = o.groupBy("cust").agg(F.min("d").alias("first_day"))
+    tagged = o.join(fs, "cust").select(
+        "m",
+        "cents",
+        (F.date_trunc("month", F.col("first_day")) < F.col("m")).alias(
+            "is_repeat"
+        ),
+    )
+    return (
+        tagged.groupBy(F.col("m").cast("date").alias("month"))
+        .agg(
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.sum(F.when(F.col("is_repeat"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("repeat_cents"),
+            F.sum(
+                F.when(F.col("is_repeat"), F.col("cents"))
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("_rc"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("_tc"),
+        )
+        .select(
+            "month",
+            "revenue_cents",
+            "repeat_cents",
+            F.expr("CAST((_rc * 1000000) div _tc AS BIGINT)").alias(
+                "repeat_share_ppm"
+            ),
+        )
+        .orderBy("month")
+    )
