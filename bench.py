@@ -225,6 +225,8 @@ HEADLINE = [
     "embedding_norm_profile",
     "shingle_df_histogram",
     "repeat_revenue_share_monthly",
+    "lsh_threshold_sweep",
+    "spend_decile_mobility",
 ]
 
 REPEATS = 2

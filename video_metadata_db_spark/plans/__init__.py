@@ -64,7 +64,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: region_nation_share, return_rate_wilson,
 #: price_volume_decomposition, weekend_welch_ttest,
 #: basket_size_histogram, lang_mismatch_audit, embedding_norm_profile,
-#: shingle_df_histogram, repeat_revenue_share_monthly.  Rotate ~12 in
+#: shingle_df_histogram, repeat_revenue_share_monthly,
+#: lsh_threshold_sweep, spend_decile_mobility.  Rotate ~12 in
 #: next round once the r5 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

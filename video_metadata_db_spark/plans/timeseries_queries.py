@@ -3239,3 +3239,80 @@ def q_repeat_revenue_share_monthly(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("month")
     )
+
+
+@query(
+    "spend_decile_mobility",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey AS cust,
+         CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS m,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cust, m,
+         ((row_number() OVER (PARTITION BY m ORDER BY cents, cust) - 1) * 10)
+           // count(*) OVER (PARTITION BY m) + 1 AS decile
+  FROM cm
+)
+SELECT a.decile AS decile_from, b.decile AS decile_to,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM ranked a
+JOIN ranked b ON a.cust = b.cust AND b.m = a.m + INTERVAL 1 MONTH
+GROUP BY 1, 2
+ORDER BY decile_from, decile_to
+""",
+)
+def q_spend_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month spend-decile mobility matrix: where do a
+    month's decile-d customers land the NEXT month they order — the
+    rank-mobility readout (a heavy diagonal means stable spending
+    tiers; mass under the diagonal means churn toward low spend)
+    that LTV models and retention teams track, and the longitudinal
+    complement to `customer_ltv_deciles`' static snapshot.
+
+    Deciles use the integer ((rk−1)·10) div n form on a (cents, cust)
+    total order — no engine ntile semantics; the month windows
+    partition by calendar month so each is customer-month-bounded.
+    The transition join is a (cust, consecutive-month) equi-join on
+    the ranked frame, never on raw orders; output is the ≤100-row
+    matrix."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
+    cm = orders.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+    )
+    wm = Window.partitionBy("m").orderBy("cents", "cust")
+    ranked = cm.select(
+        "cust",
+        "m",
+        (
+            ((F.row_number().over(wm) - 1) * 10)
+            / F.count(F.lit(1)).over(Window.partitionBy("m"))
+        )
+        .cast("long")
+        .alias("_d"),
+    ).select("cust", "m", (F.col("_d") + 1).alias("decile"))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("b.m") == F.add_months(F.col("a.m"), 1)),
+        )
+        .groupBy(
+            F.col("a.decile").alias("decile_from"),
+            F.col("b.decile").alias("decile_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("decile_from", "decile_to")
+    )
