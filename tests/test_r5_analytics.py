@@ -373,3 +373,95 @@ def test_separability_null_on_zero_scatter(spark, tmp_path):
         assert r["mean_intra_d2"] == 0.0
         assert r["between_d2"] > 0
         assert r["separability"] is None
+
+
+# --------------------------------------- late-batch invariants (sf0.001) ---
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lsh_threshold_sweep_is_monotone(spark):
+    """Pair volume can only shrink as the estimate threshold rises —
+    a non-monotone step means the threshold comparison or the shared
+    pair stream is broken."""
+    rows = QUERIES["lsh_threshold_sweep"](spark, SF).collect()
+    counts = [r["n_pairs"] for r in sorted(rows, key=lambda r: r["t10"])]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[0] > 0  # the 0.5 cut matches dedup_minhash_lsh's stream
+
+
+def test_basket_histogram_cumulates_to_one(spark):
+    """ppm shares must sum to ~1e6 and the cumulative column must end
+    there (integer div loses at most 1 ppm per bucket)."""
+    rows = QUERIES["basket_size_histogram"](spark, SF).collect()
+    total = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    assert rows[-1]["cum_share_ppm"] >= 1_000_000 - len(rows)
+    cums = [r["cum_share_ppm"] for r in rows]
+    assert cums == sorted(cums)
+
+
+def test_repeat_share_first_month_is_zero(spark):
+    """No customer can be 'repeat' in the corpus's first month — its
+    repeat share must be exactly 0 ppm."""
+    rows = QUERIES["repeat_revenue_share_monthly"](spark, SF).collect()
+    assert rows[0]["repeat_share_ppm"] == 0
+    assert rows[0]["repeat_cents"] == 0
+
+
+def test_state_occupancy_shares_sum_to_one(spark):
+    """Occupancy ppm shares partition total observed dwell — they must
+    sum to 1e6 within integer-division slack."""
+    rows = QUERIES["state_occupancy_share"](spark, SF).collect()
+    total = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+
+
+def test_shingle_df_histogram_partitions_postings(spark):
+    """Bucket posting counts must partition the full posting total
+    (shares ≈ 1e6), and bucket lower bounds must be powers of two."""
+    rows = QUERIES["shingle_df_histogram"](spark, SF).collect()
+    total = sum(r["postings_share_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= total <= 1_000_000
+    for r in rows:
+        assert r["df_lo"] == 2 ** r["bucket"]
+
+
+def test_mobility_matrix_conserves_customers(spark):
+    """Every (month m, month m+1) customer pair appears exactly once —
+    the matrix total equals the count of consecutive-month presences,
+    cross-checked independently."""
+    from pyspark.sql import functions as F
+    from video_metadata_db_spark.sources.tables import load_table
+
+    rows = QUERIES["spend_decile_mobility"](spark, SF).collect()
+    matrix_total = sum(r["n_customers"] for r in rows)
+    cm = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("m"),
+        )
+        .distinct()
+    )
+    a, b = cm.alias("a"), cm.alias("b")
+    expected = a.join(
+        b,
+        (F.col("a.cust") == F.col("b.cust"))
+        & (F.col("b.m") == F.add_months(F.col("a.m"), 1)),
+    ).count()
+    assert matrix_total == expected > 0
+
+
+def test_lang_mismatch_shares_partition_each_label(spark):
+    """Within every declared lang, guess shares must partition to
+    ~1e6 ppm."""
+    rows = QUERIES["lang_mismatch_audit"](spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["share_of_label_ppm"])
+    for lang, shares in by_lang.items():
+        assert 1_000_000 - len(shares) <= sum(shares) <= 1_000_000, lang
