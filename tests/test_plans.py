@@ -321,3 +321,42 @@ def test_neyman_rank_is_per_stratum_window(spark):
     assert "row_number" in p
     assert "BroadcastHashJoin" in p, "allocation table must broadcast"
     assert "CartesianProduct" not in p
+
+
+def test_negative_sampling_grid_and_anti_shapes(spark):
+    """The |customers|×|brands| grid must come from a broadcast
+    nested-loop on the 25-row brand dim (cheap by construction), the
+    positives exclusion must be an ANTI join, and the draw a ranked
+    window — never a corpus cartesian."""
+    p = plan_of(spark, "sample_negative_brands")
+    assert "LeftAnti" in p, "positives exclusion must be an anti join"
+    assert "row_number" in p, "draw must be the per-customer rank window"
+    assert "CartesianProduct" not in p
+
+
+def test_price_volume_period_split_is_conditional(spark):
+    """The median BOUNDARY is a second pass by necessity (order
+    statistic, the `outlier_mad_events` precedent) — but the period
+    split itself must be conditional aggregation, NOT one scan per
+    period: two base passes (boundary + moments) bound the plan at
+    2× the 6-scan join tree; a per-period split would add a third."""
+    p = plan_of(spark, "price_volume_decomposition")
+    assert p.count("Scan parquet") <= 12, "boundary + moments passes only"
+    assert "CartesianProduct" not in p
+
+
+def test_repeat_revenue_first_seen_is_aggregate_not_window(spark):
+    """Acquisition attribution must be the per-customer min AGGREGATE
+    joined back — not a corpus-wide window over orders."""
+    p = plan_of(spark, "repeat_revenue_share_monthly")
+    assert p.count("Window") <= 1, "only calendar-bounded windows allowed"
+    assert "CartesianProduct" not in p
+
+
+def test_threshold_sweep_reuses_one_pair_stream(spark):
+    """The 5-row threshold frame must broadcast onto ONE candidate
+    stream — five separate LSH passes would show five signature
+    subtrees."""
+    p = plan_of(spark, "lsh_threshold_sweep")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("Scan parquet") <= 6, "signature work must not quintuple"
