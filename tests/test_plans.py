@@ -335,13 +335,14 @@ def test_negative_sampling_grid_and_anti_shapes(spark):
 
 
 def test_price_volume_period_split_is_conditional(spark):
-    """The median BOUNDARY is a second pass by necessity (order
-    statistic, the `outlier_mad_events` precedent) — but the period
-    split itself must be conditional aggregation, NOT one scan per
-    period: two base passes (boundary + moments) bound the plan at
-    2× the 6-scan join tree; a per-period split would add a third."""
+    """The median BOUNDARY needs its own pass (order statistic) but
+    must come from the single-column ORDERS scan, not a rerun of the
+    joined fact tree; the period split itself is conditional
+    aggregation — so the plan is bounded by the one 6-scan join tree
+    plus the cheap boundary scan (a per-period or joined-boundary
+    plan would push scans past 12)."""
     p = plan_of(spark, "price_volume_decomposition")
-    assert p.count("Scan parquet") <= 12, "boundary + moments passes only"
+    assert p.count("Scan parquet") <= 8, "join tree once + orders boundary"
     assert "CartesianProduct" not in p
 
 

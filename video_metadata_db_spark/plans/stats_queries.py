@@ -326,7 +326,12 @@ WITH li AS (
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
 ),
-bd AS (SELECT CAST(round(quantile_cont(d, 0.5), 0) AS BIGINT) AS b FROM li),
+bd AS (
+  SELECT CAST(round(quantile_cont(
+           epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) // 86400,
+           0.5), 0) AS BIGINT) AS b
+  FROM orders WHERE o_orderdate IS NOT NULL
+),
 agg AS (
   SELECT p_brand,
          SUM(CASE WHEN d < b THEN cents ELSE 0 END) AS r0,
@@ -358,7 +363,9 @@ def q_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     waterfall explaining WHY revenue moved, not just that it did.
 
     Determinism: the period boundary is one rounded median of integer
-    epoch-days; unit rates are quantized to DECIMAL(18,2) cents BEFORE
+    epoch ORDER days — computed from the pushed-down single-column
+    orders scan, NOT from the joined fact rows (the boundary doesn't
+    need the join, so its extra pass is cheap at any scale); unit rates are quantized to DECIMAL(18,2) cents BEFORE
     the effect multiplications, so every effect is exact decimal
     arithmetic and the residual reconciles to the exact integer ΔR by
     construction (the decomposition is audit-closed: the four columns
@@ -383,8 +390,15 @@ def q_price_volume_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
         )
     )
-    bd = base.agg(
-        F.round(F.expr("percentile(d, 0.5D)"), 0).cast("long").alias("b")
+    bd = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.expr(
+                "unix_seconds(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))"
+                " div 86400"
+            ).alias("d")
+        )
+        .agg(F.round(F.expr("percentile(d, 0.5D)"), 0).cast("long").alias("b"))
     )
     agg = (
         base.crossJoin(F.broadcast(bd))
