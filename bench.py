@@ -2,8 +2,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line (<=1500 chars — the driver records only a
+~2k stdout tail, which round 5's full 160-entry map overflowed):
+    {"metric": "...", "value": N, "unit": "sec", "core16": N,
+     "n_queries": N, "sf": ..., "queries": {<core16 only>}}
+The full per-query map goes to stderr and BENCH_DETAIL.json.
 
 Each query is executed twice and the best wall time kept (first run pays
 JVM/codegen warmup; the engine's steady-state cost is what matters at
@@ -259,18 +262,39 @@ def main() -> None:
     missing_core = [n for n in CORE16 if n not in per_query]
     assert not missing_core, f"core16 queries absent from this run: {missing_core}"
     core16 = round(sum(per_query[n] for n in CORE16), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "core16": core16,
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    # Full per-query map goes to stderr + BENCH_DETAIL.json; the final
+    # stdout line must stay compact (the driver keeps only a ~2k tail of
+    # stdout — round 5's 160-entry map overflowed it and the round's
+    # bench was recorded as parsed:null).
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "core16": core16,
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+            json.dumps(detail, indent=1) + "\n"
         )
-    )
+    except OSError:
+        pass  # detail file is best-effort; the stdout line is the record
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "core16": core16,
+        "n_queries": len(per_query),
+        "sf": detail["sf"],
+        "queries": {n: per_query[n] for n in CORE16},
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # belt-and-braces: never overflow the driver tail
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -52,6 +52,71 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return conn
 
 
+# The driver fetches the DuckDB side via ``.df()``, where HUGEINT and
+# DECIMAL land as float64 — so an oracle column of either type against a
+# Spark integral column hash-mismatches on dtype even when every value is
+# identical (this sank ``variant_json_path`` in round 5).  Classify both
+# sides into the pandas "kind" the driver would see and require equality.
+_DUCK_KIND = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "HUGEINT": "float", "UHUGEINT": "float",  # .df() → float64
+    "FLOAT": "float", "DOUBLE": "float",
+    "BOOLEAN": "bool", "VARCHAR": "str", "DATE": "date",
+}
+
+
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
+        return "complex"
+    if t.startswith("DECIMAL"):
+        return "float"  # .df() → float64
+    if t.startswith(("TIMESTAMP", "DATETIME")):
+        return "datetime"
+    return _DUCK_KIND.get(t, t.lower())
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+        return "complex"
+    return type(dt).__name__.lower()
+
+
+def assert_dtype_classes_match(sdf, oracle_sql: str, conn, name: str) -> None:
+    """Driver-hashability fence: per column, the pandas dtype class the
+    driver derives from the DuckDB oracle must equal the Spark side's.
+    DESCRIBE is binding-only, so this costs no extra query execution."""
+    desc = conn.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    duck = {r[0].lower(): _duck_kind(r[1]) for r in desc}
+    spark = {f.name.lower(): _spark_kind(f.dataType) for f in sdf.schema.fields}
+    bad = {
+        c: (spark[c], duck[c])
+        for c in spark
+        if c in duck and spark[c] != duck[c]
+    }
+    assert not bad, (
+        f"{name}: oracle dtype class mismatch (spark, duck) per column: {bad} — "
+        "identical values will still fail the driver's dtype-sensitive hash; "
+        "CAST the oracle aggregate (e.g. CAST(SUM(..) AS BIGINT)) or align the "
+        "Spark output type"
+    )
+
+
 def compare_query(spark, name: str, sf_dir: str) -> None:
     """Assert Spark result == oracle result for a registered query."""
     from video_metadata_db_spark.plans import ORACLES, QUERIES
@@ -65,6 +130,7 @@ def compare_query(spark, name: str, sf_dir: str) -> None:
         res = conn.execute(ORACLES[name])
         duck_cols = [d[0].lower() for d in res.description]
         duck_rows = res.fetchall()
+        assert_dtype_classes_match(sdf, ORACLES[name], conn, name)
     finally:
         conn.close()
 

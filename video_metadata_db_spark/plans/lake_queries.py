@@ -27,7 +27,8 @@ from .registry import query
     oracle="""
 WITH spend AS (
   SELECT o_custkey AS k, count(*) AS cnt,
-         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
   FROM orders GROUP BY 1
 ),
 upd AS (
@@ -136,7 +137,8 @@ fin AS (
 )
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders,
-       SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents
 FROM fin
 GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority

@@ -2049,7 +2049,7 @@ pos AS (
 )
 SELECT CAST((pos.p * 10) // tot2.n AS INT) AS margin_decile,
        COUNT(*) AS n_docs,
-       SUM(correct) AS n_correct,
+       CAST(SUM(correct) AS BIGINT) AS n_correct,
        CAST((SUM(correct) * 1000000) // COUNT(*) AS BIGINT) AS acc_ppm,
        MIN(margin_micro) AS margin_min_micro,
        MAX(margin_micro) AS margin_max_micro
@@ -2169,7 +2169,7 @@ classed AS (
 )
 SELECT abc_class,
        COUNT(*) AS n_parts,
-       SUM(cents) AS class_cents,
+       CAST(SUM(cents) AS BIGINT) AS class_cents,
        CAST((SUM(cents) * 1000000) // (SELECT total FROM tot) AS BIGINT)
          AS share_ppm
 FROM classed

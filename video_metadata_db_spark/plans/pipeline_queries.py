@@ -809,7 +809,7 @@ floor_n AS (
 )
 SELECT r.lang,
        COUNT(*) AS n_kept,
-       SUM(r.doc_id) AS kept_id_sum
+       CAST(SUM(r.doc_id) AS BIGINT) AS kept_id_sum
 FROM ranked r CROSS JOIN floor_n
 WHERE r.rk <= floor_n.min_n
 GROUP BY r.lang
@@ -929,7 +929,7 @@ mapped AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(norm_chars) AS norm_sum,
+       CAST(SUM(norm_chars) AS BIGINT) AS norm_sum,
        MIN(norm_chars) AS norm_min,
        MAX(norm_chars) AS norm_max
 FROM mapped

@@ -244,7 +244,8 @@ SELECT d.event_type,
        COUNT(*) AS n_events,
        any_value(d.med) AS med,
        any_value(m.mad) AS mad,
-       SUM(CASE WHEN abs(d.value - d.med) > 3.5 * m.mad THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.5 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS n_outliers
 FROM dev d JOIN mad m USING (event_type)
 GROUP BY d.event_type

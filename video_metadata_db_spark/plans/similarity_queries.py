@@ -272,7 +272,7 @@ dcg AS (
   WHERE l.pos <= {K}
   GROUP BY l.query_id
 )
-SELECT query_id, dcg_micro,
+SELECT query_id, CAST(dcg_micro AS BIGINT) AS dcg_micro,
        CAST((dcg_micro * 1000000) // {_IDCG_MICRO} AS BIGINT) AS ndcg_ppm
 FROM dcg
 ORDER BY query_id

@@ -731,7 +731,7 @@ flagged AS (
 )
 SELECT source,
        COUNT(*) AS n_tokens,
-       SUM(is_oov) AS n_oov,
+       CAST(SUM(is_oov) AS BIGINT) AS n_oov,
        CAST((SUM(is_oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_per_million
 FROM flagged
 GROUP BY source

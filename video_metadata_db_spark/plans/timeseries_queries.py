@@ -1938,7 +1938,7 @@ paired AS (
 )
 SELECT event_type,
        COUNT(*) AS n_days,
-       SUM(ABS(actual - forecast)) AS total_abs_err,
+       CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS total_abs_err,
        CAST((SUM(ABS(actual - forecast)) * 1000000) // COUNT(*) AS BIGINT)
          AS mae_micro,
        CAST((SUM(ABS(actual - forecast)) * 1000000) // SUM(actual) AS BIGINT)
@@ -2572,7 +2572,7 @@ curve AS (
          SUM(l) OVER (ORDER BY t_h ROWS UNBOUNDED PRECEDING) AS cum
   FROM terms
 )
-SELECT CAST(t_h AS BIGINT) AS t_hours, n_risk, d_conv,
+SELECT CAST(t_h AS BIGINT) AS t_hours, CAST(n_risk AS BIGINT) AS n_risk, d_conv,
        CAST(round(cum, 6) AS DOUBLE) AS log_survival,
        CAST(round(exp(CAST(cum AS DOUBLE)), 6) AS DOUBLE) AS survival
 FROM curve ORDER BY t_hours

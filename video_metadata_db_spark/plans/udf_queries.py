@@ -257,7 +257,7 @@ def q_udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
 FROM events
 GROUP BY event_type
