@@ -46,6 +46,31 @@ def test_merge_upsert_semantics(spark):
     }
 
 
+def test_merge_upsert_null_payload_overwrites(spark):
+    """UPDATE SET * writes a legitimate NULL from the changefeed — the
+    r5 coalesce form silently kept the base value (ADVICE r5)."""
+    upd = spark.createDataFrame([(2, None, 200)], "id long, name string, v long")
+    got = {
+        r["id"]: (r["name"], r["v"])
+        for r in merge_upsert(_base(spark), upd, ["id"]).collect()
+    }
+    assert got[2] == (None, 200)
+    assert got[1] == ("a", 10) and got[3] == ("c", 30)
+
+
+def test_merge_upsert_duplicate_update_keys_raise(spark):
+    """Duplicate changefeed keys must raise at execution (Delta/Iceberg
+    multiple-match semantics), not silently multiply base rows."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    dup = spark.createDataFrame(
+        [(2, "B", 200), (2, "BB", 201)], "id long, name string, v long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="duplicate update key"):
+        merge_upsert(_base(spark), dup, ["id"]).collect()
+
+
 def test_merge_upsert_rejects_missing_payload(spark):
     bad = spark.createDataFrame([(2, "B")], "id long, name string")
     with pytest.raises(ValueError, match="missing payload"):

@@ -6,8 +6,10 @@ The reference's only mutation is "append rows whose key is new"
 two richer forms every table format standardizes:
 
 - :func:`merge_upsert` — SQL MERGE: one FULL OUTER equi-join on the
-  key; matched keys take the update payload, unmatched-source keys
-  insert, unmatched-target keys carry through.
+  key; matched keys take the update payload verbatim (NULLs
+  overwrite), unmatched-source keys insert, unmatched-target keys
+  carry through; duplicate changefeed keys raise like Delta/Iceberg's
+  multiple-match error.
 - :func:`snapshot_read` — merge-on-read: the CURRENT view of a base
   snapshot overlaid with equality-delete keys and upsert rows, exactly
   what an Iceberg v2 reader assembles from delete files + data files
@@ -25,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,10 +39,15 @@ def merge_upsert(
 ) -> DataFrame:
     """SQL ``MERGE INTO base USING updates ON key``: WHEN MATCHED THEN
     UPDATE SET * / WHEN NOT MATCHED THEN INSERT * — as one full-outer
-    join.  ``updates`` must carry the same non-key columns as ``base``
-    (payload columns are coalesced update-first).  When ``mark_col``
-    is given, an extra string column records each row's provenance:
-    'updated', 'inserted', or 'base'.
+    join.  ``updates`` must carry the same non-key columns as ``base``.
+    Matched keys take the update payload VERBATIM — an update row
+    carrying a NULL writes that NULL, exactly like ``UPDATE SET *``
+    (never coalesced against the base).  Duplicate keys in the
+    changefeed raise at execution time, matching the Delta/Iceberg
+    multiple-match error — silently multiplying matched base rows
+    through the join is never acceptable.  When ``mark_col`` is given,
+    an extra string column records each row's provenance: 'updated',
+    'inserted', or 'base'.
     """
     keys = list(key_cols)
     payload = [c for c in base.columns if c not in set(keys)]
@@ -48,15 +55,40 @@ def merge_upsert(
     if missing:
         raise ValueError(f"updates missing payload columns: {missing}")
     b = base.select(*keys, F.lit(1).alias("_in_base"), *payload)
-    u = updates.select(
-        *keys,
-        F.lit(1).alias("_in_upd"),
-        *[F.col(c).alias(f"_u_{c}") for c in payload],
+    # Per-key cardinality check over the CHANGEFEED only (one shuffle of
+    # the small side, never the base); folded into ``_in_upd`` so the
+    # optimizer can't prune the assertion out of the plan.
+    dup_msg = F.concat(
+        F.lit("merge_upsert: duplicate update key ("),
+        F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+        F.lit(")"),
+    )
+    u = (
+        updates.select(
+            *keys, *[F.col(c).alias(f"_u_{c}") for c in payload]
+        )
+        .withColumn(
+            "_k_cnt", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
+        .select(
+            *keys,
+            F.when(
+                F.assert_true(F.col("_k_cnt") == 1, dup_msg).isNull(),
+                F.lit(1),
+            ).alias("_in_upd"),
+            *[f"_u_{c}" for c in payload],
+        )
     )
     joined = b.join(u, on=keys, how="full_outer")
     out = [
         *keys,
-        *[F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in payload],
+        # gate on the match flag, not COALESCE: NULL payloads overwrite
+        *[
+            F.when(F.col("_in_upd").isNotNull(), F.col(f"_u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in payload
+        ],
     ]
     if mark_col is not None:
         out.append(

@@ -20,53 +20,47 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
-#: Round-5 rotation (VERDICT r4 item 1): 12 queries that had never seen
-#: the sf0.01 fresh-process driver gate take slots from 12 family
-#: siblings that went green in r4 (those stay oracle-verified every test
-#: run via tests/test_registry_queries.py — rotation routes signal, it
-#: never drops coverage).  In: the three hardest TPC-H gap shapes
-#: (q2 correlated-min, q6 pushdown-only, q21 exists/not-exists),
-#: dedup_keep_best, dedup_incremental_minhash, shuffle_global_order,
-#: chunk_sliding_tokens, quality_expectations, source_divergence,
-#: variant_json_path, topk_global, map_functions.  Out (all r4-green,
-#: each family keeps ≥1 green representative): agg_stats_exact,
-#: pivot_status, join_semi, join_outer_counts, proj_string_math,
-#: json_extract_props, array_functions, sample_stratified,
-#: text_fingerprint, filter_length_percentile, resample_forward_fill,
-#: funnel_conversion.
+#: Round-6 rotation (VERDICT r5 item 3, the judge's exact 12 picks):
+#: first driver checks for the stats/graph/sketch/lake analytics
+#: families — triangle_count, khop_reach, heavy_hitters_cms,
+#: gini_revenue, correlation_matrix, window_rank_functions,
+#: scd2_point_snapshot, rfm_segments, kaplan_meier_conversion,
+#: lorenz_curve, nation_trade_balance, functional_dependency_audit.
+#: Out (all r5-green, each family keeps ≥1 green representative, all
+#: still oracle-verified every test run): q2_min_cost_supplier,
+#: q6_forecast_revenue, q21_waiting_supplier, topk_global,
+#: map_functions, dedup_keep_best, source_divergence,
+#: shuffle_global_order, chunk_sliding_tokens, quality_expectations,
+#: dedup_incremental_minhash, agg_percentiles.  variant_json_path
+#: STAYS in the window: its r5 red row was an oracle HUGEINT typing
+#: artifact (values identical), fixed this round — it needs its green.
 #:
-#: Round-6 rotation candidates (never driver-checked, all green in
+#: Round-7 rotation candidates (never driver-checked, all green in
 #: every test-run oracle sweep and verified at sf0.001/0.01/0.1 via
-#: tools/drive_entry.py in r5): the late-r5 analytics batch —
-#: triangle_count, khop_reach, heavy_hitters_cms, dedup_lsh_recall,
-#: gini_revenue, chi_square_independence, ab_test_proportions,
-#: correlation_matrix, entropy_by_source, markov_transitions,
-#: peak_concurrency, skyline_pareto, funnel_time_to_convert,
-#: rolling_median_values, stream_cms_heavy_hitters,
-#: distinctive_terms_logodds; plus the end-of-r5 batch (each verified
-#: at sf0.001/0.01/0.1 in fresh processes): window_rank_functions,
-#: phrase_search_positional, sample_weighted_aes, scd2_point_snapshot,
+#: tools/drive_entry.py in r5/r6): dedup_lsh_recall,
+#: chi_square_independence, ab_test_proportions, entropy_by_source,
+#: markov_transitions, peak_concurrency, skyline_pareto,
+#: funnel_time_to_convert, rolling_median_values,
+#: stream_cms_heavy_hitters, distinctive_terms_logodds,
+#: phrase_search_positional, sample_weighted_aes,
 #: rolling_active_users, referential_integrity_audit,
 #: frequent_brand_triples, audience_overlap, twap_event_values,
-#: rfm_segments; plus the final-r5 batch (same fresh-process
-#: verification): brand_affinity_jaccard, bpe_fertility,
-#: cusum_changepoint, centroid_cosine_matrix, degree_assortativity,
-#: seasonal_decompose_dow, kaplan_meier_conversion, lorenz_curve,
-#: markov_entropy_rate, term_pmi_top, repeat_purchase_interval,
-#: text_zipf_fit, discount_quantity_corr, nation_trade_balance,
+#: brand_affinity_jaccard, bpe_fertility, cusum_changepoint,
+#: centroid_cosine_matrix, degree_assortativity,
+#: seasonal_decompose_dow, markov_entropy_rate, term_pmi_top,
+#: repeat_purchase_interval, text_zipf_fit, discount_quantity_corr,
 #: fulfillment_latency, embedding_outlier_counts,
 #: term_burstiness_top, seasonal_residual_outliers,
-#: dedup_source_matrix, functional_dependency_audit,
-#: simpson_diversity_by_source, collocation_pmi_bigrams,
-#: reach_curve_daily, k_anonymity_audit, user_feature_matrix,
-#: sample_neyman_allocation, stream_reach_curve, burst_hours_scan,
-#: sample_negative_brands, state_occupancy_share, class_separability,
-#: region_nation_share, return_rate_wilson,
+#: dedup_source_matrix, simpson_diversity_by_source,
+#: collocation_pmi_bigrams, reach_curve_daily, k_anonymity_audit,
+#: user_feature_matrix, sample_neyman_allocation, stream_reach_curve,
+#: burst_hours_scan, sample_negative_brands, state_occupancy_share,
+#: class_separability, region_nation_share, return_rate_wilson,
 #: price_volume_decomposition, weekend_welch_ttest,
 #: basket_size_histogram, lang_mismatch_audit, embedding_norm_profile,
 #: shingle_df_histogram, repeat_revenue_share_monthly,
 #: lsh_threshold_sweep, spend_decile_mobility.  Rotate ~12 in
-#: next round once the r5 window members have their CORRECTNESS row,
+#: next round once the r6 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [
     # reference parity (the three modes of the original tool)
@@ -76,7 +70,6 @@ CHECKED_FIRST = [
     # aggregations
     "q1_pricing_summary",
     "agg_grouping_sets",
-    "agg_percentiles",
     "curation_pipeline",
     # joins (semi/outer shapes rotate to test-only; anti keeps the
     # membership-join family green, star keeps broadcast, q3 keeps the
@@ -87,21 +80,18 @@ CHECKED_FIRST = [
     "join_asof_attribution",
     "join_salted_skew",
     "q3_shipping_priority",
-    # TPC-H gap shapes — first-ever driver check (r5 rotation)
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q21_waiting_supplier",
-    # windows / top-k (+ the TakeOrderedAndProject global form, first check)
+    # TPC-H gap analytics — bilateral trade flows (first driver check)
+    "nation_trade_balance",
+    # windows / ranking (rank-function battery gets its first check)
     "window_topk_per_group",
     "window_frames",
-    "topk_global",
+    "window_rank_functions",
     # set ops
     "set_ops",
-    # semi-structured: legacy JSON re-parse forms rotate to test-only;
-    # the VARIANT path and the map surface get their first driver rows
+    # semi-structured: VARIANT stays for its post-oracle-fix green
+    # (r5 red was a HUGEINT typing artifact, values identical)
     "explode_tokens",
     "variant_json_path",
-    "map_functions",
     # distinct / split
     "distinct_users_exact",
     "split_train_val_test",
@@ -111,18 +101,25 @@ CHECKED_FIRST = [
     "text_metrics",
     "filter_quality_rules",
     "contamination_check",
-    "quality_expectations",
-    # training-data pipeline (first driver checks for all four)
-    "shuffle_global_order",
-    "chunk_sliding_tokens",
-    "dedup_keep_best",
-    "source_divergence",
+    # stats / distribution analytics (all first driver checks)
+    "gini_revenue",
+    "correlation_matrix",
+    "lorenz_curve",
+    "kaplan_meier_conversion",
+    # graph analytics (first driver checks)
+    "triangle_count",
+    "khop_reach",
+    # sketches (first driver check; full value oracle)
+    "heavy_hitters_cms",
+    # lake / SCD2 / audit / segmentation (first driver checks)
+    "scd2_point_snapshot",
+    "rfm_segments",
+    "functional_dependency_audit",
     # dedup
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    "dedup_incremental_minhash",
     # similarity search / clustering
     "knn_cosine_topk",
     "kmeans_clusters",

@@ -992,7 +992,14 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-edge build, one degree aggregate, two degree equi-joins
     (each a broadcast-or-shuffle the optimizer picks by node-table
     size), one 4-cell global aggregate — linear in edges, no window,
-    no self-join."""
+    no self-join.
+
+    Widening limit: the co-moment products run in Spark's non-ANSI
+    DECIMAL(38,0) arithmetic, which silently NULLs past 38 digits
+    while the oracle's HUGEINT stays exact — ample here (degrees are
+    bounded by the node domain), but at extreme-scale graphs move the
+    differences to DOUBLE after the exact sums (the
+    `cusum_changepoint` discipline)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     trade = (

@@ -53,10 +53,14 @@ b AS (
   FROM customer
 )
 SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
-       COALESCE(u.c_name, b.c_name) AS c_name,
-       COALESCE(u.c_nationkey, b.c_nationkey) AS c_nationkey,
-       COALESCE(u.acctbal_cents, b.acctbal_cents) AS acctbal_cents,
-       COALESCE(u.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+            ELSE b.c_name END AS c_name,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey
+            ELSE b.c_nationkey END AS c_nationkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.acctbal_cents
+            ELSE b.acctbal_cents END AS acctbal_cents,
+       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+            ELSE b.c_mktsegment END AS c_mktsegment,
        CASE WHEN u.c_custkey IS NULL THEN 'base'
             WHEN b.c_custkey IS NULL THEN 'inserted'
             ELSE 'updated' END AS merge_action

@@ -2248,31 +2248,48 @@ def q_nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin is an exact DECIMAL difference scaled to integer micro-units;
     decile boundaries come from the DISTRIBUTED prefix-sum global rank
     over (margin_micro, doc_id) — a total integer order, never a float
-    quantile; accuracy is integer parts-per-million.  Scale shape: one
-    per-doc k-row window for the top-2, one global-rank pass, one
-    10-row rollup."""
+    quantile; accuracy is integer parts-per-million.  Scale shape: the
+    top-2 margin is ONE partial-aggregatable pass over the scored frame
+    (`sort_array(collect_list)` of the k-per-doc lang scores — k is the
+    language-domain size, never corpus-sized), then one global-rank
+    pass and a 10-row rollup.  The r5 form ranked with a window and
+    re-joined the rn==1/rn==2 branches, which evaluated the whole
+    `_nb_scores` subtree once per branch (39 scans in the plan); the
+    single aggregate halves that."""
     from ..operators.packing import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
     score = _nb_scores(docs)
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "lang")
-    ranked = score.withColumn("rn", F.row_number().over(w))
-    r1 = ranked.filter(F.col("rn") == 1).select(
-        "doc_id", F.col("lang").alias("predicted_lang"), F.col("score").alias("s1")
+    # (-score, lang) ascending == (score desc, lang asc) — the exact
+    # tie-break order of the r5 row_number window; decimal negation is
+    # exact, so the margin stays an exact decimal difference.
+    pair = F.sort_array(
+        F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("lang")))
     )
-    r2 = ranked.filter(F.col("rn") == 2).select("doc_id", F.col("score").alias("s2"))
-    top2 = r1.join(r2, "doc_id").select(
-        "doc_id",
-        "predicted_lang",
-        (
-            (F.col("s1") - F.col("s2")).cast("decimal(20,6)") * 1_000_000
-        ).cast("long").alias("margin_micro"),
+    top2 = (
+        score.groupBy("doc_id")
+        .agg(pair.alias("ss"))
+        .select(
+            "doc_id",
+            F.col("ss")[0]["lang"].alias("predicted_lang"),
+            (
+                (F.col("ss")[1]["ns"] - F.col("ss")[0]["ns"]).cast("decimal(20,6)")
+                * 1_000_000
+            ).cast("long").alias("margin_micro"),
+        )
     )
-    labeled = top2.join(docs.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "margin_micro",
-        F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
-        .alias("correct"),
+    from ..operators.dedup import _scoped_persist
+
+    # one small row per doc; persisted because global_row_number's
+    # two-pass prefix sum plus the `tot` scalar would otherwise each
+    # re-evaluate the whole _nb_scores subtree
+    labeled = _scoped_persist(
+        top2.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id",
+            "margin_micro",
+            F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0)
+            .alias("correct"),
+        )
     )
     pos = global_row_number(labeled, "margin_micro", "doc_id", out_col="p")
     tot = labeled.agg(F.count(F.lit(1)).alias("n"))
@@ -2594,7 +2611,14 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `trend_event_values` discipline), and slope/intercept are IEEE
     divisions of exactly-agreed decimals.  The rank window runs on
     the vocabulary frame, never the corpus; the corpus prices one
-    token-count aggregate."""
+    token-count aggregate.
+
+    Widening limit: the OLS co-moment products run in Spark's
+    non-ANSI decimal arithmetic, which silently NULLs past 38 digits
+    while the oracle's HUGEINT stays exact — the 12-dp quantization
+    leaves ~26 integer digits of headroom (vocabulary would need
+    ~1e13 terms to breach); past that, re-center ln(rank) or compute
+    the differences in DOUBLE after the exact sums."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))

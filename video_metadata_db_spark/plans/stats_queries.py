@@ -214,7 +214,15 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums — order-free at any parallelism; per OUTPUT brand there are
     two sqrts and one NULLIF-guarded division, rounded to 6 dp.  One
     broadcast dim join + one partial-aggregatable (brand) rollup —
-    no window, no second pass."""
+    no window, no second pass.
+
+    Widening limit (the `cusum_changepoint` discipline): the
+    `n*sxy - sx*sy` products run in Spark's non-ANSI DECIMAL(38,0)
+    arithmetic, which silently NULLs past 38 digits while the oracle's
+    HUGEINT stays exact — safe to ~1e12 lines per brand at these value
+    ranges (x,y ≤ ~1e4 ⇒ sxy ≤ ~1e20, n*sxy ≤ ~1e32); beyond that,
+    pre-center per group or move the differences to DOUBLE after the
+    exact sums."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     dec = "decimal(38,0)"
