@@ -230,6 +230,8 @@ HEADLINE = [
     "repeat_revenue_share_monthly",
     "lsh_threshold_sweep",
     "spend_decile_mobility",
+    "padding_waste_by_bucket",
+    "revenue_variance_ratio",
 ]
 
 REPEATS = 2

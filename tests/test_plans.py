@@ -361,3 +361,26 @@ def test_threshold_sweep_reuses_one_pair_stream(spark):
     p = plan_of(spark, "lsh_threshold_sweep")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert p.count("Scan parquet") <= 6, "signature work must not quintuple"
+
+
+def test_padding_waste_is_single_scan_rollup(spark):
+    """One corpus scan + one partial-aggregatable rollup on the 7-value
+    bucket key — no window, no join (the whole point of the audit being
+    cheap enough to run per-release)."""
+    p = plan_of(spark, "padding_waste_by_bucket")
+    # formatted explain lists each operator in the tree AND the detail
+    # section, so one physical scan appears twice
+    assert p.count("Scan parquet") == 2
+    assert "Window" not in p and "Join" not in p
+
+
+def test_variance_ratio_windows_are_day_bounded(spark):
+    """The lag windows must run AFTER the daily rollup (date-domain
+    frame, calendar-bounded) — a corpus-sized unpartitioned window
+    would be the classic global-sort trap."""
+    p = plan_of(spark, "revenue_variance_ratio")
+    assert p.count("Scan parquet") == 2  # one scan, tree + detail listing
+    # the daily aggregate must sit below the window in the plan tree:
+    # exactly one pre-window exchange pair (partial+final agg), then
+    # the single-partition window over ~2.4k day rows
+    assert p.index("HashAggregate") < p.index("Window")

@@ -1362,3 +1362,76 @@ def q_sample_negative_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust")
     )
+
+
+@query(
+    "padding_waste_by_bucket",
+    oracle="""
+WITH tc AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+bucketed AS (
+  SELECT n_tokens,
+         CASE WHEN n_tokens <= 16 THEN 16
+              WHEN n_tokens <= 32 THEN 32
+              WHEN n_tokens <= 64 THEN 64
+              WHEN n_tokens <= 128 THEN 128
+              WHEN n_tokens <= 256 THEN 256
+              WHEN n_tokens <= 512 THEN 512
+              ELSE 1024 END AS bucket
+  FROM tc WHERE n_tokens > 0
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_tokens,
+       CAST((SUM(bucket - n_tokens) * 1000000)
+            // (bucket * count(*)) AS BIGINT) AS waste_ppm
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def q_padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign every document to the
+    smallest power-of-two token bucket that holds it and price the
+    PADDING each bucket wastes — the number a training pipeline reads
+    before choosing bucket boundaries (uniform max-length padding
+    wastes most of the batch; bucketed batching recovers it, and
+    waste_ppm per bucket shows exactly where the boundaries bite).
+
+    All integer-exact: whitespace token counts, a CASE ladder (no
+    float log2), integer waste sums, and ppm by integer division.
+    Scale shape: one corpus scan + one partial-aggregatable rollup on
+    a 7-value key — no window, no join, no skew (the bucket key is
+    low-cardinality but the aggregate is map-side combinable, so the
+    shuffle carries 7 rows per task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_tokens")
+    bucket = (
+        F.when(n <= 16, 16)
+        .when(n <= 32, 32)
+        .when(n <= 64, 64)
+        .when(n <= 128, 128)
+        .when(n <= 256, 256)
+        .when(n <= 512, 512)
+        .otherwise(1024)
+    )
+    return (
+        docs.select(token_count(F.col("text")).alias("n_tokens"))
+        .filter(n > 0)
+        .select(n.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens")).alias("padding_tokens"),
+            F.expr(
+                "CAST((SUM(bucket - n_tokens) * 1000000)"
+                " div (bucket * COUNT(*)) AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("bucket")
+    )

@@ -3316,3 +3316,104 @@ def q_spend_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("decile_from", "decile_to")
     )
+
+
+@query(
+    "revenue_variance_ratio",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+),
+lagged AS (
+  SELECT cents,
+         cents - lag(cents, 1) OVER (ORDER BY day) AS d1,
+         cents - lag(cents, 5) OVER (ORDER BY day) AS d5
+  FROM daily
+),
+m AS (
+  SELECT CAST(count(d1) AS BIGINT) AS n1,
+         CAST(SUM(CAST(d1 AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(d1 AS HUGEINT) * d1) AS HUGEINT) AS ss1,
+         CAST(count(d5) AS BIGINT) AS n5,
+         CAST(SUM(CAST(d5 AS HUGEINT)) AS HUGEINT) AS s5,
+         CAST(SUM(CAST(d5 AS HUGEINT) * d5) AS HUGEINT) AS ss5
+  FROM lagged
+)
+SELECT n1 AS n_diff1, n5 AS n_diff5,
+       CAST(round(sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)) / (100.0 * n1), 2)
+            AS DOUBLE) AS sd_diff1_dollars,
+       CAST(round(sqrt(CAST(n5 * ss5 - s5 * s5 AS DOUBLE)) / (100.0 * n5), 2)
+            AS DOUBLE) AS sd_diff5_dollars,
+       CAST(round((CAST(n5 * ss5 - s5 * s5 AS DOUBLE) / (1.0 * n5 * n5))
+                  / (5.0 * CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (1.0 * n1 * n1)),
+                  6) AS DOUBLE) AS variance_ratio
+FROM m
+""",
+)
+def q_revenue_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio test on daily revenue: VR(q) =
+    Var(q-step differences) / (q · Var(1-step differences)) over the
+    ordered day sequence — the standard random-walk diagnostic (VR ≈ 1
+    for a walk; < 1 signals mean reversion, > 1 momentum/trend).  The
+    stationarity sibling of `acf_daily_revenue` (which measures
+    autocorrelation of LEVELS; this measures how innovation variance
+    scales with the sampling interval).
+
+    Exactness: daily revenue is integer cents; both difference series
+    are exact integers from positional lags over the day order; the
+    two variances are exact integer co-moments (DECIMAL(38,0) on the
+    Spark side, HUGEINT in the oracle).  Dispersion is reported as
+    STDDEV IN DOLLARS, not raw cent² variance — the co-moments reach
+    ~1e15 cent², where one double ulp is 0.125 and engines legitimately
+    disagree below the comparator's 6-dp grain; sqrt brings the
+    magnitude to ~1e4 dollars where a 2-dp round is ulp-safe, and the
+    unitless ratio rounds at 6 dp.  Scale shape: the corpus-sized
+    work is ONE partial-aggregatable daily rollup; the lag windows and
+    the final 6-cell aggregate run on the DATE-DOMAIN frame (calendar-
+    bounded, thousands of rows at any corpus size), so the unpartitioned
+    ORDER BY day window is aggregate-sized, never corpus-sized."""
+    dec = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        (F.col("cents") - F.lag("cents", 1).over(w)).alias("d1"),
+        (F.col("cents") - F.lag("cents", 5).over(w)).alias("d5"),
+    )
+    m = lagged.agg(
+        F.count("d1").cast(dec).alias("n1"),
+        F.sum(F.col("d1").cast(dec)).alias("s1"),
+        F.sum(F.col("d1").cast(dec) * F.col("d1")).alias("ss1"),
+        F.count("d5").cast(dec).alias("n5"),
+        F.sum(F.col("d5").cast(dec)).alias("s5"),
+        F.sum(F.col("d5").cast(dec) * F.col("d5")).alias("ss5"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_diff1"),
+        F.col("n5").cast("long").alias("n_diff5"),
+        F.expr(
+            "CAST(round(sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE))"
+            " / (100.0 * n1), 2) AS DOUBLE)"
+        ).alias("sd_diff1_dollars"),
+        F.expr(
+            "CAST(round(sqrt(CAST(n5 * ss5 - s5 * s5 AS DOUBLE))"
+            " / (100.0 * n5), 2) AS DOUBLE)"
+        ).alias("sd_diff5_dollars"),
+        F.expr(
+            "CAST(round((CAST(n5 * ss5 - s5 * s5 AS DOUBLE) / (1.0 * n5 * n5))"
+            " / (5.0 * CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (1.0 * n1 * n1)),"
+            " 6) AS DOUBLE)"
+        ).alias("variance_ratio"),
+    )
