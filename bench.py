@@ -232,6 +232,8 @@ HEADLINE = [
     "spend_decile_mobility",
     "padding_waste_by_bucket",
     "revenue_variance_ratio",
+    "logistic_return_model",
+    "dow_revenue_anova",
 ]
 
 REPEATS = 2

@@ -104,3 +104,27 @@ def test_mann_whitney_identities(spark):
     twice_u_b = 2 * n_a * n_b - twice_u_a
     assert twice_u_a + twice_u_b == 2 * n_a * n_b
     assert 0 <= twice_u_a <= 2 * n_a * n_b
+
+
+def test_logistic_newton_recovers_effect_direction(spark):
+    """On constructed sufficient statistics with a monotone-increasing
+    success rate the fitted slope must be positive and the fit must
+    reproduce the group rates; on flat data the slope must be ~0."""
+    from video_metadata_db_spark.operators.glm import logistic_newton
+
+    rising = spark.createDataFrame(
+        [(0, 1000, 100), (5, 1000, 300), (10, 1000, 700)], "x int, n long, s long"
+    )
+    b0, b1 = logistic_newton(rising, n_iter=6)
+    assert b1 > 0.1
+    # fitted p at the center point tracks the empirical 30% rate
+    import math
+
+    p5 = 1.0 / (1.0 + math.exp(-(b0 + b1 * 5)))
+    assert abs(p5 - 0.3) < 0.05
+
+    flat = spark.createDataFrame(
+        [(0, 1000, 250), (5, 1000, 250), (10, 1000, 250)], "x int, n long, s long"
+    )
+    _, b1f = logistic_newton(flat, n_iter=6)
+    assert abs(b1f) < 1e-6

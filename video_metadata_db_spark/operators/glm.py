@@ -1,0 +1,111 @@
+"""Distributed GLM training via sufficient statistics — logistic
+regression (IRLS/Newton) where the corpus is touched ONCE.
+
+The scale insight: a single-feature logistic model needs only the
+per-distinct-x counts (x, n, s=Σy) — for a bounded integer feature
+(discount basis points: 11 values) that is an 11-row table, so the
+corpus prices exactly one partial-aggregatable GROUP BY and every
+Newton step runs on the tiny sufficient-statistic frame.  At 100 TB
+the iteration cost is independent of corpus size — the same reason
+`lloyds_centroids` iterates over k×dim numbers, not vectors.
+
+Determinism contract (the k-means discipline): β is quantized to
+``round_dp`` decimals IN SQL at the end of every step before the
+driver bakes it into the next step's expressions, so the DuckDB
+oracle replaying the identical CTE chain sees bit-identical inputs;
+per-step probabilities are 9-dp-quantized before the weighted sums
+(the ln/exp fence used by the PSI/KL queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Quantization applied to p inside every step and to β between steps.
+P_DP = 9
+BETA_DP = 9
+
+
+def _step_exprs(b0: float, b1: float) -> list[F.Column]:
+    """One Newton step's five sufficient sums over the (x, n, s) frame,
+    with the current β baked as literals.  p and w are quantized before
+    the sums so both engines aggregate identical decimals."""
+    eta = F.lit(float(b0)) + F.lit(float(b1)) * F.col("x")
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)), P_DP)
+    w = F.round(p * (F.lit(1.0) - p), P_DP)
+    resid = F.col("s") - F.col("n") * p
+    return [
+        F.sum(resid).alias("u0"),
+        F.sum(F.col("x") * resid).alias("u1"),
+        F.sum(F.col("n") * w).alias("i00"),
+        F.sum(F.col("n") * F.col("x") * w).alias("i01"),
+        F.sum(F.col("n") * F.col("x") * F.col("x") * w).alias("i11"),
+    ]
+
+
+def logistic_newton(suff: DataFrame, n_iter: int = 3) -> tuple[float, float]:
+    """Fit (intercept, slope) by ``n_iter`` Newton steps over a
+    sufficient-statistic frame with integer columns (x, n, s).
+
+    The frame is persisted for the loop (it is aggregate-sized — one
+    row per distinct feature value); each step is one 5-cell aggregate
+    whose solved 2×2 update is rounded to ``BETA_DP`` IN SQL before the
+    single-row collect, so only quantized decimals ever reach Python.
+    """
+    suff = suff.persist()
+    try:
+        b0, b1 = 0.0, 0.0
+        for _ in range(n_iter):
+            sums = suff.agg(*_step_exprs(b0, b1))
+            det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+            row = sums.select(
+                F.round(
+                    F.lit(b0)
+                    + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
+                    / det,
+                    BETA_DP,
+                ).alias("b0"),
+                F.round(
+                    F.lit(b1)
+                    + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
+                    / det,
+                    BETA_DP,
+                ).alias("b1"),
+            ).collect()[0]
+            b0, b1 = float(row["b0"]), float(row["b1"])
+        return b0, b1
+    finally:
+        suff.unpersist()
+
+
+def newton_step_sql(prev_cte: str, suff_cte: str) -> str:
+    """The DuckDB replay of one Newton step: a one-row SELECT computing
+    the updated (b0, b1) from ``suff_cte`` CROSS JOINed with the
+    previous step's one-row β CTE — textually the same tree
+    :func:`_step_exprs` builds (with β read from ``prev_cte`` instead
+    of baked literals, which the between-step BETA_DP quantization
+    makes bit-identical), so the oracle iterates exactly."""
+    return f"""
+  SELECT round(m.b0 + (m.i11 * m.u0 - m.i01 * m.u1)
+               / (m.i00 * m.i11 - m.i01 * m.i01), {BETA_DP}) AS b0,
+         round(m.b1 + (m.i00 * m.u1 - m.i01 * m.u0)
+               / (m.i00 * m.i11 - m.i01 * m.i01), {BETA_DP}) AS b1
+  FROM (
+    SELECT any_value(b0) AS b0, any_value(b1) AS b1,
+           SUM(s - n * p) AS u0,
+           SUM(x * (s - n * p)) AS u1,
+           SUM(n * w) AS i00,
+           SUM(n * x * w) AS i01,
+           SUM(n * x * x * w) AS i11
+    FROM (
+      SELECT b0, b1, x, n, s, p, round(p * (1.0 - p), {P_DP}) AS w
+      FROM (
+        SELECT prev.b0, prev.b1, t.x, t.n, t.s,
+               round(1.0 / (1.0 + exp(-(prev.b0 + prev.b1 * t.x))),
+                     {P_DP}) AS p
+        FROM {suff_cte} t CROSS JOIN {prev_cte} prev
+      )
+    )
+  ) m
+"""

@@ -59,7 +59,10 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: price_volume_decomposition, weekend_welch_ttest,
 #: basket_size_histogram, lang_mismatch_audit, embedding_norm_profile,
 #: shingle_df_histogram, repeat_revenue_share_monthly,
-#: lsh_threshold_sweep, spend_decile_mobility.  Rotate ~12 in
+#: lsh_threshold_sweep, spend_decile_mobility; plus the round-6
+#: additions (each verified at sf0.001/0.01/0.1 in fresh processes):
+#: padding_waste_by_bucket, revenue_variance_ratio,
+#: logistic_return_model, dow_revenue_anova.  Rotate ~12 in
 #: next round once the r6 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

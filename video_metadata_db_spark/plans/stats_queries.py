@@ -581,3 +581,160 @@ def q_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_lines")
     )
+
+
+def _logistic_oracle() -> str:
+    from ..operators.glm import newton_step_sql
+
+    return f"""
+WITH suff AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INT) AS x,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM lineitem GROUP BY 1
+),
+i0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+i1 AS ({newton_step_sql("i0", "suff")}),
+i2 AS ({newton_step_sql("i1", "suff")}),
+i3 AS ({newton_step_sql("i2", "suff")})
+SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM suff) AS n_obs,
+       (SELECT CAST(SUM(s) AS BIGINT) FROM suff) AS n_returned,
+       b0 AS intercept,
+       b1 AS slope_per_bp,
+       CAST(round(1.0 / (1.0 + exp(-(b0))), 6) AS DOUBLE) AS p_at_0bp,
+       CAST(round(1.0 / (1.0 + exp(-(b0 + b1 * 10))), 6) AS DOUBLE)
+         AS p_at_10bp
+FROM i3
+"""
+
+
+@query("logistic_return_model", oracle=_logistic_oracle())
+def q_logistic_return_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression of P(line returned) on discount depth,
+    trained by 3 Newton/IRLS steps — GLM training as a FIRST-CLASS
+    distributed query (the convex sibling of the k-means / BPE /
+    PageRank iterative family).
+
+    The 100 TB shape (``operators/glm.py``): the corpus is touched
+    ONCE to build the per-distinct-discount sufficient statistics
+    (x, n, Σy) — an 11-row table — and every Newton step is a 5-cell
+    aggregate over THAT, so iteration cost is independent of corpus
+    size.  Determinism follows the k-means contract: p and the Newton
+    update are SQL-rounded (9 dp) inside each step before the one-row
+    collect bakes β into the next step's expressions; the oracle
+    replays the identical CTE chain, so the value match proves the
+    whole training trajectory, not just the fit."""
+    from ..operators.glm import logistic_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents_x = F.round(F.col("l_discount") * 100, 0).cast("int")
+    obs = li.select(
+        cents_x.alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    suff = obs.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    b0, b1 = logistic_newton(suff, n_iter=3)
+    return suff.agg(
+        F.sum("n").alias("n_obs"),
+        F.sum("s").alias("n_returned"),
+    ).select(
+        "n_obs",
+        "n_returned",
+        F.lit(b0).alias("intercept"),
+        F.lit(b1).alias("slope_per_bp"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(b0))), 6
+        ).alias("p_at_0bp"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b0) + F.lit(b1) * 10))), 6
+        ).alias("p_at_10bp"),
+    )
+
+
+@query(
+    "dow_revenue_anova",
+    oracle="""
+WITH g AS (
+  SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS HUGEINT)
+           AS sv,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  * CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS HUGEINT)
+           AS ssv
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         SUM(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) AS sb_part,
+         SUM(CAST(ssv AS DOUBLE)) AS ss_tot,
+         CAST(SUM(sv) AS DOUBLE) AS s_tot
+  FROM g
+)
+SELECT k AS k_groups, n_tot AS n_obs,
+       CAST(round(((sb_part - s_tot * s_tot / n_tot) / (k - 1))
+                  / ((ss_tot - sb_part) / (n_tot - k)), 4) AS DOUBLE)
+         AS f_stat,
+       CAST(round((sb_part - s_tot * s_tot / n_tot)
+                  / (ss_tot - s_tot * s_tot / n_tot), 9) AS DOUBLE)
+         AS eta_sq
+FROM t
+""",
+)
+def q_dow_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the 7 days of week — the
+    k-group generalization of `weekend_welch_ttest` (F-statistic and
+    the η² effect size instead of a 2-group t).
+
+    Exactness: per-group moments (n, Σcents, Σcents²) are exact
+    integers (DECIMAL(38,0)/HUGEINT sums of bounded BIGINT products);
+    the sums-of-squares identities SSB = Σs_g²/n_g − S²/N and
+    SSW = Σss_g − Σs_g²/n_g run in DOUBLE over the 7-row group frame
+    with BOTH engines evaluating the textually identical tree.  The
+    cancellation error budget is pinned: the 1e23-magnitude terms
+    carry ~1e7 absolute double error into an SSB ≥ ~1e14, so f_stat is
+    stable far below its 4-dp round and η² below its 9-dp round.
+    Scale shape: one partial-aggregatable corpus rollup to 7 rows;
+    everything after is constant-size."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    dec = "decimal(38,0)"
+    g = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .select(
+            (F.weekday(F.col("o_orderdate").cast("date")) + 1).alias("dow"),
+            cents.alias("c"),
+        )
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c").cast(dec)).alias("sv"),
+            F.sum((F.col("c") * F.col("c")).cast(dec)).alias("ssv"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("n_tot"),
+        F.sum(F.expr("CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n")).alias(
+            "sb_part"
+        ),
+        F.sum(F.expr("CAST(ssv AS DOUBLE)")).alias("ss_tot"),
+        F.expr("CAST(SUM(sv) AS DOUBLE)").alias("s_tot"),
+    )
+    return t.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_obs"),
+        F.expr(
+            "CAST(round(((sb_part - s_tot * s_tot / n_tot) / (k - 1))"
+            " / ((ss_tot - sb_part) / (n_tot - k)), 4) AS DOUBLE)"
+        ).alias("f_stat"),
+        F.expr(
+            "CAST(round((sb_part - s_tot * s_tot / n_tot)"
+            " / (ss_tot - s_tot * s_tot / n_tot), 9) AS DOUBLE)"
+        ).alias("eta_sq"),
+    )
