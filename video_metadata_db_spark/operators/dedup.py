@@ -235,38 +235,43 @@ def jaccard_prefix_pairs(
     unfiltered exact join with the same integer test) matches by
     construction, proving the pruning lossless on real data.
 
-    Scale: one shuffle to build df, one doc-partitioned window to rank
-    (bounded by doc size), a prefix×prefix equi-join on the shingle,
-    then verification joins that fan out only over candidate pairs.
+    Scale: one shuffle to build df, ONE groupBy(doc) that sorts each
+    doc's (df, s) pairs in an array and slices the prefix in place
+    (replacing the r5 window-rank + prefix-length join: the per-doc
+    sort is bounded by doc size either way, but the array form saves
+    the rank window's exchange and the plen re-aggregate+join —
+    measured 5.2 → 4.0 s warm at sf0.1), a prefix×prefix equi-join on
+    the shingle, then verification joins that fan out only over
+    candidate pairs.
     """
     t10 = int(threshold_tenths)
-    from pyspark.sql import Window
 
     sh = docs.select(
         F.col(id_col).alias("doc"), tokens_of(F.col(text_col)).alias("_toks")
     ).select("doc", F.explode(shingles_of_tokens(F.col("_toks"), k)).alias("s"))
     sh = _scoped_persist(sh)
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(df, "s").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc").orderBy(F.col("df").asc(), F.col("s").asc())
-        ),
+    # per-doc (df, s) ascending = rarest-first with the shingle string
+    # as tiebreak — the same global total order the r5 window ranked by
+    arr = (
+        sh.join(df, "s")
+        .groupBy("doc")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("s")))
+            ).alias("arr")
+        )
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     # prefix length = n - ceil(t*n) + 1, ceil as integer arithmetic
-    plen = sizes.select(
-        "doc",
-        "n_sh",
-        (
-            F.col("n_sh")
-            - F.floor((F.lit(t10) * F.col("n_sh") + 9) / 10).cast("long")
-            + 1
-        ).alias("plen"),
+    plen_expr = (
+        F.size("arr")
+        - F.floor((F.lit(t10) * F.size("arr") + 9) / 10).cast("long")
+        + 1
     )
-    prefix = ranked.join(plen, "doc").filter(F.col("pos") <= F.col("plen")).select(
-        "doc", "s"
-    )
+    prefix = arr.select(
+        "doc", F.explode(F.slice("arr", F.lit(1), plen_expr)).alias("e")
+    ).select("doc", F.col("e.s").alias("s"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
@@ -289,8 +294,8 @@ def jaccard_prefix_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = plen.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = plen.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
