@@ -234,6 +234,7 @@ HEADLINE = [
     "revenue_variance_ratio",
     "logistic_return_model",
     "dow_revenue_anova",
+    "multimodal_audio_windows",
 ]
 
 REPEATS = 2

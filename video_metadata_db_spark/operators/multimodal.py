@@ -213,3 +213,65 @@ def sample_frames(assets: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return assets.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+#: Fixed audio analysis window (bytes of the fake PCM stream).
+AUDIO_WINDOW_BYTES = 16
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("level", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_windows(
+    assets: DataFrame, window_bytes: int = AUDIO_WINDOW_BYTES
+) -> DataFrame:
+    """Windowed audio features over binary payloads: treat each payload
+    byte as an unsigned PCM sample, cut the stream into fixed windows,
+    and emit per-window level (mean), RMS, and peak — the 1→N shape a
+    real audio featurizer (VAD frames, loudness curves) has, on the
+    deterministic fake stream.
+
+    Exactness: window sums are small exact integers and the window
+    size is a power of two, so level and mean-square are EXACT dyadic
+    doubles and rms is one correctly-rounded IEEE sqrt — both engines
+    agree bit-for-bit per window, which is what lets a Pandas-UDF path
+    carry a FULL value oracle.  Scale: mapInPandas over Arrow batches;
+    the payload bytes never leave the executor."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None or len(payload) < window_bytes:
+                    continue
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_win = len(b) // window_bytes
+                w = (
+                    b[: n_win * window_bytes]
+                    .reshape(n_win, window_bytes)
+                    .astype(np.float64)
+                )
+                level = w.mean(axis=1)
+                rms = np.sqrt((w * w).mean(axis=1))
+                peak = w.max(axis=1)
+                rows.extend(
+                    (int(aid), i, float(level[i]), float(rms[i]), int(peak[i]))
+                    for i in range(n_win)
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "window_idx", "level", "rms", "peak"]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

@@ -62,7 +62,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: lsh_threshold_sweep, spend_decile_mobility; plus the round-6
 #: additions (each verified at sf0.001/0.01/0.1 in fresh processes):
 #: padding_waste_by_bucket, revenue_variance_ratio,
-#: logistic_return_model, dow_revenue_anova.  Rotate ~12 in
+#: logistic_return_model, dow_revenue_anova,
+#: multimodal_audio_windows.  Rotate ~12 in
 #: next round once the r6 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

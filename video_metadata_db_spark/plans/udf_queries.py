@@ -197,6 +197,58 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_windows",
+    oracle="""
+WITH bytes AS (
+  SELECT doc_id, CAST((i - 1) // 16 AS INT) AS w,
+         CAST(concat('0x', substr(repeat(md5(text), 4), 2*i - 1, 2)) AS INT) AS b
+  FROM documents, (SELECT unnest(range(1, 65)) AS i)
+  WHERE doc_id % 3 = 1
+),
+win AS (
+  SELECT doc_id, w,
+         SUM(b) / 16.0 AS level,
+         sqrt(SUM(b * b) / 16.0) AS rms,
+         MAX(b) AS peak
+  FROM bytes GROUP BY doc_id, w
+)
+SELECT w AS window_idx,
+       CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(round(AVG(level), 6) AS DOUBLE) AS avg_level,
+       CAST(round(AVG(rms), 6) AS DOUBLE) AS avg_rms,
+       CAST(MAX(peak) AS INT) AS max_peak
+FROM win GROUP BY w ORDER BY window_idx
+""",
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path multimodal pipeline: binary payloads cut into fixed
+    PCM-style windows with per-window level/RMS/peak via Arrow-batched
+    ``mapInPandas`` (``operators/multimodal.audio_windows``), rolled up
+    per window position across the audio assets — the loudness-profile
+    shape a speech/VAD featurizer emits, on the deterministic fake
+    stream.  Window size is a power of two, so level and mean-square
+    are EXACT dyadic doubles and rms is one IEEE sqrt — the Pandas-UDF
+    path gets a FULL value oracle replaying the hex arithmetic in SQL.
+    Completes the modality triple beside `multimodal_features` (image
+    histogram) and `multimodal_frames` (video frame sampling)."""
+    from ..operators.multimodal import audio_windows, synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets(docs).filter(F.col("kind") == "audio")
+    win = audio_windows(assets)
+    return (
+        win.groupBy("window_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.avg("level"), 6).alias("avg_level"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("window_idx")
+    )
+
+
+@query(
     "udtf_positional_tokens",
     oracle="""
 SELECT doc_id, t.token, t.pos
