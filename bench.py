@@ -235,6 +235,7 @@ HEADLINE = [
     "logistic_return_model",
     "dow_revenue_anova",
     "multimodal_audio_windows",
+    "knn_ivf_filtered_topk",
 ]
 
 REPEATS = 2

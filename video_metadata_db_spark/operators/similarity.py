@@ -256,6 +256,7 @@ def ivf_topk(
     n_probe: int = N_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in exactly one
     centroid's inverted list; queries probe their ``n_probe`` nearest
@@ -268,6 +269,16 @@ def ivf_topk(
     query versus 1.0 for brute force; the candidate join is an equi-join
     on cluster id, partition-prunable when the corpus is written
     bucketed/partitioned by cluster.
+
+    ``candidate_ids`` (optional, an ``id_col`` allow-list frame) is the
+    FILTERED-search form: the index is built over the full corpus (the
+    stored physical layout never changes per-query), and the metadata
+    predicate prunes the inverted lists with one semi-join BEFORE any
+    distance arithmetic — the PRE-filter strategy, which keeps recall
+    semantics honest at selective filters where post-filtering a
+    fixed-k result under-fills.  Broadcast when the allow-list is
+    small; a pure column predicate can instead be pushed to the
+    corpus scan.
     """
     if centroid_ids is None:
         # spread through the id space (present at every SF), away from
@@ -284,8 +295,14 @@ def ivf_topk(
         for r in emb.filter(F.col(id_col).isin(centroid_ids)).collect()
     )
 
+    cand_src = emb.filter(~F.col(id_col).isin(query_ids))
+    if candidate_ids is not None:
+        # metadata pre-filter: prune inverted lists before distances
+        cand_src = cand_src.join(
+            candidate_ids.select(F.col(id_col)), id_col, "left_semi"
+        )
     corpus = ivf_assign(
-        emb.filter(~F.col(id_col).isin(query_ids)), centroids, n_probe=1, id_col=id_col
+        cand_src, centroids, n_probe=1, id_col=id_col
     ).select(
         F.col(id_col).alias("cand_id"),
         F.col("v").alias("cv"),

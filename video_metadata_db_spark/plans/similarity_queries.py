@@ -114,7 +114,10 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, QUERY_IDS, k=K, dim=64).orderBy("query_id", "rank")
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(cand_pred: str = "") -> str:
+    """IVF replay SQL; ``cand_pred`` is an extra predicate ANDed onto
+    the corpus side (the filtered-search form — the index CTEs are
+    unchanged, only the inverted-list scan is pruned)."""
     from ..operators.similarity import N_CENTROIDS, N_PROBE
 
     cent_ids = ", ".join(str(10 + 25 * i) for i in range(N_CENTROIDS))
@@ -127,7 +130,7 @@ corpus_assign AS (
            row_number() OVER (PARTITION BY x.vec_id
                               ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
                                        cent.cid) AS rn
-    FROM e x CROSS JOIN cent WHERE x.vec_id NOT IN ({_IDS})
+    FROM e x CROSS JOIN cent WHERE x.vec_id NOT IN ({_IDS}) {cand_pred}
   ) WHERE rn = 1
 ),
 query_probe AS (
@@ -167,6 +170,31 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     force stays pinned in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, QUERY_IDS, k=K).orderBy("query_id", "rank")
+
+
+@query(
+    "knn_ivf_filtered_topk",
+    oracle=_ivf_oracle(
+        cand_pred="AND x.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 4 = 1)"
+    ),
+)
+def q_knn_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: IVF top-10 restricted to candidates
+    whose metadata matches a predicate (label % 4 = 1 — a 25% slice).
+    The index is built over the FULL corpus (per-query predicates must
+    never re-layout the stored inverted lists); the predicate prunes
+    the lists with one semi-join BEFORE any distance arithmetic — the
+    PRE-filter strategy.  Post-filtering a fixed-k result under-fills
+    at selective predicates (filter-then-rank ≠ rank-then-filter);
+    pre-filtering keeps exactly-k semantics over the allowed set, and
+    at scale the allow-list is a broadcast semi-join (or the predicate
+    pushes straight into the bucketed corpus scan).  The oracle
+    replays assignment, probing, pruning, and re-scoring in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("label") % 4 == 1).select("vec_id")
+    return ivf_topk(emb, QUERY_IDS, k=K, candidate_ids=allowed).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query("pca_project_2d", oracle=None)
