@@ -236,6 +236,7 @@ HEADLINE = [
     "dow_revenue_anova",
     "multimodal_audio_windows",
     "knn_ivf_filtered_topk",
+    "poisson_quantity_model",
 ]
 
 REPEATS = 2

@@ -128,3 +128,28 @@ def test_logistic_newton_recovers_effect_direction(spark):
     )
     _, b1f = logistic_newton(flat, n_iter=6)
     assert abs(b1f) < 1e-6
+
+
+def test_poisson_newton_recovers_rate_effect(spark):
+    """On constructed counts with a rising rate the fitted log-link
+    slope must be positive and reproduce the endpoint rates; flat
+    counts give slope ~0 and intercept ln(rate)."""
+    import math
+
+    from video_metadata_db_spark.operators.glm import poisson_newton
+
+    rising = spark.createDataFrame(
+        [(0, 1000, 2000), (5, 1000, 4000), (10, 1000, 8000)],
+        "x int, n long, s long",
+    )
+    b0, b1 = poisson_newton(rising, n_iter=6)
+    assert b1 > 0.05
+    assert abs(math.exp(b0) - 2.0) < 0.1          # rate at x=0
+    assert abs(math.exp(b0 + 10 * b1) - 8.0) < 0.4  # rate at x=10
+
+    flat = spark.createDataFrame(
+        [(0, 1000, 3000), (5, 1000, 3000), (10, 1000, 3000)],
+        "x int, n long, s long",
+    )
+    b0f, b1f = poisson_newton(flat, n_iter=6)
+    assert abs(b1f) < 1e-6 and abs(math.exp(b0f) - 3.0) < 1e-6

@@ -1,13 +1,16 @@
 """Distributed GLM training via sufficient statistics — logistic
-regression (IRLS/Newton) where the corpus is touched ONCE.
+(logit link) and Poisson (log link) Newton/IRLS where the corpus is
+touched ONCE.
 
-The scale insight: a single-feature logistic model needs only the
-per-distinct-x counts (x, n, s=Σy) — for a bounded integer feature
-(discount basis points: 11 values) that is an 11-row table, so the
-corpus prices exactly one partial-aggregatable GROUP BY and every
-Newton step runs on the tiny sufficient-statistic frame.  At 100 TB
-the iteration cost is independent of corpus size — the same reason
-`lloyds_centroids` iterates over k×dim numbers, not vectors.
+The scale insight: a single-feature GLM needs only the per-distinct-x
+counts (x, n, s=Σy) — for a bounded integer feature (discount basis
+points: 11 values) that is an 11-row table, so the corpus prices
+exactly one partial-aggregatable GROUP BY and every Newton step runs
+on the tiny sufficient-statistic frame.  At 100 TB the iteration cost
+is independent of corpus size — the same reason `lloyds_centroids`
+iterates over k×dim numbers, not vectors.  Families differ only in
+the per-row mean/weight expressions; adding one is a ~30-line pair of
+functions (see the logistic/Poisson pairs below).
 
 Determinism contract (the k-means discipline): β is quantized to
 ``round_dp`` decimals IN SQL at the end of every step before the
@@ -106,6 +109,84 @@ def newton_step_sql(prev_cte: str, suff_cte: str) -> str:
                      {P_DP}) AS p
         FROM {suff_cte} t CROSS JOIN {prev_cte} prev
       )
+    )
+  ) m
+"""
+
+
+def _poisson_step_exprs(b0: float, b1: float) -> list[F.Column]:
+    """One Newton step's sums for the log-link Poisson family: the
+    canonical-link score is Σ(y − n·λ)·[1,x] with information
+    Σ n·λ·[1,x][1,x]ᵀ, λ = exp(b0 + b1·x) quantized like p in the
+    logistic step."""
+    lam = F.round(F.exp(F.lit(float(b0)) + F.lit(float(b1)) * F.col("x")), P_DP)
+    resid = F.col("s") - F.col("n") * lam
+    return [
+        F.sum(resid).alias("u0"),
+        F.sum(F.col("x") * resid).alias("u1"),
+        F.sum(F.col("n") * lam).alias("i00"),
+        F.sum(F.col("n") * F.col("x") * lam).alias("i01"),
+        F.sum(F.col("n") * F.col("x") * F.col("x") * lam).alias("i11"),
+    ]
+
+
+def poisson_newton(suff: DataFrame, n_iter: int = 3) -> tuple[float, float]:
+    """Fit (intercept, slope) of a log-link Poisson rate model by
+    ``n_iter`` Newton steps over the (x, n, s) sufficient statistics.
+
+    Unlike the logistic fit, Newton on the canonical log link DIVERGES
+    from β = 0 when the mean response is far from 1 (the first step
+    lands at e^Σ… scale), so β starts at the saturated-intercept point
+    (ln(Σs/Σn), 0) — computed IN SQL with the same 9-dp quantization,
+    so the oracle's CTE chain replays the identical trajectory."""
+    suff = suff.persist()
+    try:
+        row = suff.agg(
+            F.round(F.log(F.sum("s") / F.sum("n")), BETA_DP).alias("b0")
+        ).collect()[0]
+        b0, b1 = float(row["b0"]), 0.0
+        for _ in range(n_iter):
+            sums = suff.agg(*_poisson_step_exprs(b0, b1))
+            det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+            row = sums.select(
+                F.round(
+                    F.lit(b0)
+                    + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
+                    / det,
+                    BETA_DP,
+                ).alias("b0"),
+                F.round(
+                    F.lit(b1)
+                    + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
+                    / det,
+                    BETA_DP,
+                ).alias("b1"),
+            ).collect()[0]
+            b0, b1 = float(row["b0"]), float(row["b1"])
+        return b0, b1
+    finally:
+        suff.unpersist()
+
+
+def poisson_step_sql(prev_cte: str, suff_cte: str) -> str:
+    """DuckDB replay of one Poisson-Newton step (see
+    :func:`newton_step_sql` for the structure)."""
+    return f"""
+  SELECT round(m.b0 + (m.i11 * m.u0 - m.i01 * m.u1)
+               / (m.i00 * m.i11 - m.i01 * m.i01), {BETA_DP}) AS b0,
+         round(m.b1 + (m.i00 * m.u1 - m.i01 * m.u0)
+               / (m.i00 * m.i11 - m.i01 * m.i01), {BETA_DP}) AS b1
+  FROM (
+    SELECT any_value(b0) AS b0, any_value(b1) AS b1,
+           SUM(s - n * lam) AS u0,
+           SUM(x * (s - n * lam)) AS u1,
+           SUM(n * lam) AS i00,
+           SUM(n * x * lam) AS i01,
+           SUM(n * x * x * lam) AS i11
+    FROM (
+      SELECT prev.b0, prev.b1, t.x, t.n, t.s,
+             round(exp(prev.b0 + prev.b1 * t.x), {P_DP}) AS lam
+      FROM {suff_cte} t CROSS JOIN {prev_cte} prev
     )
   ) m
 """

@@ -738,3 +738,69 @@ def q_dow_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (ss_tot - s_tot * s_tot / n_tot), 9) AS DOUBLE)"
         ).alias("eta_sq"),
     )
+
+
+def _poisson_oracle() -> str:
+    from ..operators.glm import poisson_step_sql
+
+    return f"""
+WITH suff AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INT) AS x,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM lineitem GROUP BY 1
+),
+i0 AS (
+  SELECT round(ln(SUM(s) / SUM(n)), 9) AS b0, CAST(0.0 AS DOUBLE) AS b1
+  FROM suff
+),
+i1 AS ({poisson_step_sql("i0", "suff")}),
+i2 AS ({poisson_step_sql("i1", "suff")}),
+i3 AS ({poisson_step_sql("i2", "suff")})
+SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM suff) AS n_lines,
+       (SELECT CAST(SUM(s) AS BIGINT) FROM suff) AS total_qty,
+       b0 AS intercept,
+       b1 AS slope_per_bp,
+       CAST(round(exp(b0), 6) AS DOUBLE) AS rate_at_0bp,
+       CAST(round(exp(b1), 6) AS DOUBLE) AS rate_ratio_per_bp
+FROM i3
+"""
+
+
+@query("poisson_quantity_model", oracle=_poisson_oracle())
+def q_poisson_quantity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson (log-link) regression of line quantity on discount depth
+    — the count-data demand model beside `logistic_return_model`'s
+    binary one, proving ``operators/glm.py`` generalizes across GLM
+    families: same one-corpus-scan sufficient statistics, same
+    quantized Newton trajectory, different link.
+
+    The Poisson wrinkle (documented at `poisson_newton`): canonical
+    Newton diverges from β = 0 when the mean count is far from 1, so
+    the trajectory starts at the saturated intercept ln(Σy/Σn) —
+    itself SQL-computed and 9-dp-quantized, so the oracle CTE chain
+    replays initialization and all three steps bit-identically.
+    Output includes the interpretable forms: expected quantity at
+    zero discount and the multiplicative rate ratio per basis point."""
+    from ..operators.glm import poisson_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("x"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("y"),
+    )
+    suff = obs.groupBy("x").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    b0, b1 = poisson_newton(suff, n_iter=3)
+    return suff.agg(
+        F.sum("n").alias("n_lines"),
+        F.sum("s").alias("total_qty"),
+    ).select(
+        "n_lines",
+        "total_qty",
+        F.lit(b0).alias("intercept"),
+        F.lit(b1).alias("slope_per_bp"),
+        F.round(F.exp(F.lit(b0)), 6).alias("rate_at_0bp"),
+        F.round(F.exp(F.lit(b1)), 6).alias("rate_ratio_per_bp"),
+    )
