@@ -237,6 +237,7 @@ HEADLINE = [
     "multimodal_audio_windows",
     "knn_ivf_filtered_topk",
     "poisson_quantity_model",
+    "ab_test_power",
 ]
 
 REPEATS = 2

@@ -64,7 +64,7 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: padding_waste_by_bucket, revenue_variance_ratio,
 #: logistic_return_model, dow_revenue_anova,
 #: multimodal_audio_windows, knn_ivf_filtered_topk,
-#: poisson_quantity_model.  Rotate ~12 in
+#: poisson_quantity_model, ab_test_power.  Rotate ~12 in
 #: next round once the r6 window members have their CORRECTNESS row,
 #: keeping ≥1 green representative per family as usual.
 CHECKED_FIRST = [

@@ -804,3 +804,84 @@ def q_poisson_quantity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.lit(b0)), 6).alias("rate_at_0bp"),
         F.round(F.exp(F.lit(b1)), 6).alias("rate_ratio_per_bp"),
     )
+
+
+#: Two-sided alpha=0.05 and power=0.80 normal quantiles, baked as the
+#: same literals on both engines (the return_rate_wilson discipline).
+_Z_ALPHA = "1.959963985"
+_Z_BETA = "0.841621234"
+
+
+@query(
+    "ab_test_power",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM events
+),
+rates AS (
+  SELECT n, k,
+         CAST(k AS DOUBLE) / n AS p1,
+         1.1 * (CAST(k AS DOUBLE) / n) AS p2
+  FROM base
+)
+SELECT n AS n_events, k AS n_purchases,
+       CAST(round(p1, 6) AS DOUBLE) AS base_rate,
+       CAST(round(p2, 6) AS DOUBLE) AS target_rate,
+       CAST(ceil(round(
+         pow({_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                               * (1.0 - (p1 + p2) / 2.0))
+             + {_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+         / pow(p2 - p1, 2), 6)) AS BIGINT) AS n_per_arm
+FROM rates
+""",
+)
+def q_ab_test_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size planning: observations per arm needed to detect
+    a 10% relative lift over the observed purchase rate at two-sided
+    α = 0.05 with power 0.80 (the pooled-variance normal approximation
+    every experimentation platform quotes) — the PLANNING sibling of
+    `ab_test_proportions`' after-the-fact z-test.
+
+    Determinism: the base rate comes from exact integer counts and is
+    an EXPLICIT double column on both sides (in a Spark SQL string the
+    literal 1.0 is DECIMAL(2,1) — `k / (1.0 * n)` silently runs the
+    whole formula in decimal arithmetic, 0.003 off the oracle's double
+    at sf0.1: enough to flip the ceil); both engines then evaluate the
+    textually identical closed-form tree with the z quantiles baked as
+    literals, and the raw sample size is 6-dp-quantized before the
+    ceil so residual 1-ulp pow/sqrt differences can't straddle an
+    integer.  Scale shape: one partial-aggregatable corpus rollup to
+    2 integers; the formula is constant-time."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k"),
+    )
+    # p1/p2 as explicit DOUBLE columns: in a Spark SQL string the
+    # literal 1.0 is DECIMAL(2,1), so `k / (1.0 * n)` silently runs in
+    # decimal arithmetic and lands 0.003 away from the oracle's double
+    # at sf0.1 — enough to flip the ceil
+    rates = base.select(
+        "n",
+        "k",
+        (F.col("k").cast("double") / F.col("n")).alias("p1"),
+        (F.lit(1.1) * (F.col("k").cast("double") / F.col("n"))).alias("p2"),
+    )
+    return rates.select(
+        F.col("n").alias("n_events"),
+        F.col("k").alias("n_purchases"),
+        F.round("p1", 6).alias("base_rate"),
+        F.round("p2", 6).alias("target_rate"),
+        F.expr(
+            f"""CAST(ceil(round(
+              pow({_Z_ALPHA} * sqrt(2.0 * ((p1 + p2) / 2.0)
+                                    * (1.0 - (p1 + p2) / 2.0))
+                  + {_Z_BETA} * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)), 2)
+              / pow(p2 - p1, 2), 6)) AS BIGINT)"""
+        ).alias("n_per_arm"),
+    )
