@@ -426,3 +426,57 @@ def test_corpus_diff_patch_roundtrip(spark, old_rows, new_rows):
     want = {tuple(r) for r in new.collect()}
     got = {tuple(r) for r in rebuilt.collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(10 ** 20, 10 ** 30),  # n  (or any exact sum)
+            st.integers(10 ** 20, 10 ** 30),  # sxy
+            st.integers(10 ** 20, 10 ** 30),  # sx
+            st.integers(10 ** 20, 10 ** 30),  # sy
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@SETTINGS
+def test_comoment_double_combination_survives_overflow_regime(spark, sums):
+    """Property: the r7 co-moment discipline — exact DECIMAL(38,0)
+    sums cast to DOUBLE BEFORE the ``n·Σxy − Σx·Σy`` products — yields
+    the IEEE value Python computes from the same integers, at
+    magnitudes where the pre-r7 decimal-product form provably
+    overflowed (every product here needs ≥ 40 digits, past the
+    38-digit width Spark's non-ANSI decimal arithmetic silently NULLs).
+
+    Guards the fix for the scale-dependent divergence VERDICT r6
+    flagged in discount_quantity_corr / degree_assortativity /
+    text_zipf_fit (and siblings): the old expression fails in this
+    regime (raises under ANSI — the Spark 4 default — or silently
+    NULLs under legacy decimal arithmetic), the new one stays finite
+    and exact-to-the-ulp."""
+    import math
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [tuple(Decimal(v) for v in row) for row in sums],
+        "n decimal(38,0), sxy decimal(38,0), sx decimal(38,0), sy decimal(38,0)",
+    )
+    rows = df.select(
+        F.expr("CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy").alias("new")
+    ).collect()
+    for (n, sxy, sx, sy), row in zip(sums, rows):
+        want = float(n) * float(sxy) - float(sx) * float(sy)
+        assert row["new"] is not None and math.isfinite(row["new"])
+        assert row["new"] == want
+    # the pre-fix decimal-product form is WRONG here either way:
+    # NUMERIC_VALUE_OUT_OF_RANGE under ANSI, all-NULL under legacy
+    try:
+        old = df.select(
+            F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("old")
+        ).collect()
+    except Exception:
+        pass  # ANSI: overflow raises — the loud failure mode
+    else:
+        assert all(r["old"] is None for r in old)

@@ -970,8 +970,10 @@ agg AS (
   FROM ed
 )
 SELECT CAST(m AS BIGINT) AS m_edges,
-       CAST(round((4 * m * sjk - sjpk * sjpk)
-                  / NULLIF(1.0 * (2 * m * ssq - sjpk * sjpk), 0), 6) AS DOUBLE)
+       CAST(round((4 * CAST(m AS DOUBLE) * sjk
+                   - CAST(sjpk AS DOUBLE) * sjpk)
+                  / NULLIF(2 * CAST(m AS DOUBLE) * ssq
+                           - CAST(sjpk AS DOUBLE) * sjpk, 0), 6) AS DOUBLE)
          AS assortativity
 FROM agg
 """,
@@ -994,12 +996,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     size), one 4-cell global aggregate — linear in edges, no window,
     no self-join.
 
-    Widening limit: the co-moment products run in Spark's non-ANSI
-    DECIMAL(38,0) arithmetic, which silently NULLs past 38 digits
-    while the oracle's HUGEINT stays exact — ample here (degrees are
-    bounded by the node domain), but at extreme-scale graphs move the
-    differences to DOUBLE after the exact sums (the
-    `cusum_changepoint` discipline)."""
+    Overflow-safe at any graph scale: the moment SUMS stay exact
+    DECIMAL(38,0)/HUGEINT and are cast to DOUBLE before the
+    4·m·Σjk − (Σ(j+k))² products (the `cusum_changepoint`
+    discipline), so the combination can never breach the 38-digit
+    decimal width Spark's non-ANSI arithmetic silently NULLs past;
+    both engines combine identical IEEE operands."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     trade = (
@@ -1026,11 +1028,13 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").cast(dec) * F.col("j") + F.col("k").cast(dec) * F.col("k")
         ).alias("ssq"),
     )
-    num = 4 * F.col("m") * F.col("sjk") - F.col("sjpk") * F.col("sjpk")
-    den = 2 * F.col("m") * F.col("ssq") - F.col("sjpk") * F.col("sjpk")
+    m_d = F.col("m").cast("double")
+    sjpk_d = F.col("sjpk").cast("double")
+    num = 4 * m_d * F.col("sjk") - sjpk_d * F.col("sjpk")
+    den = 2 * m_d * F.col("ssq") - sjpk_d * F.col("sjpk")
     return agg.select(
         F.col("m").cast("long").alias("m_edges"),
-        F.round(num / F.nullif(F.lit(1.0) * den, F.lit(0.0)), 6)
+        F.round(num / F.nullif(den, F.lit(0.0)), 6)
         .cast("double")
         .alias("assortativity"),
     )

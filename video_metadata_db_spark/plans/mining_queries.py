@@ -2587,12 +2587,13 @@ m AS (
   FROM pts
 )
 SELECT n AS n_terms,
-       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)
+       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                  6) AS DOUBLE)
          AS zipf_slope,
        CAST(round((CAST(sy AS DOUBLE)
-                   - CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
                      * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE)
          AS ln_c0
 FROM m
@@ -2613,12 +2614,12 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary frame, never the corpus; the corpus prices one
     token-count aggregate.
 
-    Widening limit: the OLS co-moment products run in Spark's
-    non-ANSI decimal arithmetic, which silently NULLs past 38 digits
-    while the oracle's HUGEINT stays exact — the 12-dp quantization
-    leaves ~26 integer digits of headroom (vocabulary would need
-    ~1e13 terms to breach); past that, re-center ln(rank) or compute
-    the differences in DOUBLE after the exact sums."""
+    Overflow-safe at any vocabulary scale: the exact DECIMAL(38,12)
+    sums are cast to DOUBLE BEFORE the OLS co-moment products (the
+    `cusum_changepoint` discipline), so the combination step can
+    never breach the 38-digit decimal width that Spark's non-ANSI
+    decimal arithmetic would silently NULL past; both engines combine
+    the same IEEE operands with the same tree."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(tokens_of(F.col("text"))).alias("term"))
@@ -2641,13 +2642,14 @@ def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").cast("long").alias("n_terms"),
         F.expr(
-            "CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)"
+            "CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),"
+            " 6) AS DOUBLE)"
         ).alias("zipf_slope"),
         F.expr(
             "CAST(round((CAST(sy AS DOUBLE)"
-            " - CAST(n * sxy - sx * sy AS DOUBLE)"
-            "   / CAST(n * sxx - sx * sx AS DOUBLE)"
+            " - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            "   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
             "   * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE)"
         ).alias("ln_c0"),
     )
@@ -2678,8 +2680,8 @@ m AS (
   FROM tc GROUP BY term
 )
 SELECT term, df, CAST(sc AS BIGINT) AS n_tokens,
-       CAST(round(CAST(nd * scc - sc * sc AS DOUBLE)
-                  / CAST(nd * sc AS DOUBLE), 6) AS DOUBLE) AS burstiness
+       CAST(round((CAST(nd AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)
+                  / (CAST(nd AS DOUBLE) * sc), 6) AS DOUBLE) AS burstiness
 FROM m CROSS JOIN n
 WHERE df >= {_BURST_MIN_DF}
 ORDER BY burstiness DESC, term
@@ -2698,8 +2700,10 @@ def q_term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     just the NONZERO rows — VMR = (N·Σc² − (Σc)²)/(N·Σc) — so absent
     documents never need materializing (the corpus-sized zero-fill the
     naive form implies).  One (doc, term) count aggregate, one
-    vocabulary rollup, one HUGEINT/DECIMAL(38,0) division per output
-    row rounded at 6 dp with the term as tiebreak."""
+    vocabulary rollup; the exact HUGEINT/DECIMAL(38,0) sums are cast
+    to DOUBLE before the N·Σc² − (Σc)² products (overflow-safe at any
+    scale), one division per output row rounded at 6 dp with the term
+    as tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
     tc = (
         docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
@@ -2721,8 +2725,8 @@ def q_term_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("df").cast("long").alias("df"),
             F.col("sc").cast("long").alias("n_tokens"),
             F.expr(
-                "CAST(round(CAST(nd * scc - sc * sc AS DOUBLE)"
-                " / CAST(nd * sc AS DOUBLE), 6) AS DOUBLE)"
+                "CAST(round((CAST(nd AS DOUBLE) * scc - CAST(sc AS DOUBLE) * sc)"
+                " / (CAST(nd AS DOUBLE) * sc), 6) AS DOUBLE)"
             ).alias("burstiness"),
         )
         .orderBy(F.col("burstiness").desc(), "term")

@@ -1168,7 +1168,8 @@ WITH s AS (
 ),
 w AS (
   SELECT source, nh,
-         COALESCE(round(nh * sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)
+         COALESCE(round(nh * sqrt((CAST(nh AS DOUBLE) * sxx
+                                   - CAST(sx AS DOUBLE) * sx)
                                   / NULLIF(1.0 * nh * (nh - 1), 0)), 6), 0)
            AS wh
   FROM s
@@ -1231,7 +1232,8 @@ def q_sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "nh",
         F.expr(
-            "COALESCE(round(nh * sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)"
+            "COALESCE(round(nh * sqrt((CAST(nh AS DOUBLE) * sxx"
+            " - CAST(sx AS DOUBLE) * sx)"
             " / NULLIF(1.0D * nh * (nh - 1), 0)), 6), 0) AS wh"
         ),
     )

@@ -383,7 +383,7 @@ m AS (
 )
 SELECT label, n_vectors,
        CAST(round(s / (1.0 * n_vectors), 1) AS DOUBLE) AS mean_sq_norm,
-       CAST(round(CAST(n_vectors * ss - s * s AS DOUBLE)
+       CAST(round((CAST(n_vectors AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)
                   / (1.0 * n_vectors * NULLIF(n_vectors - 1, 0)), 1) AS DOUBLE)
          AS var_sq_norm,
        min_sq, max_sq
@@ -399,9 +399,10 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry) with the per-vector magnitude axis.
 
     Vector elements quantize to the family's integer micro-units, so
-    every squared norm is an exact BIGINT and the moments are exact
-    HUGEINT/DECIMAL(38,0) sums; mean/variance are single guarded
-    divisions at output.  One positional-explode aggregate keyed on
+    every squared norm is an exact BIGINT and the moment SUMS are
+    exact HUGEINT/DECIMAL(38,0), cast to DOUBLE before the
+    n·Σs² − (Σs)² products (overflow-safe at any corpus scale);
+    mean/variance are single guarded divisions at output.  One positional-explode aggregate keyed on
     (vec_id, label), one |labels|-row rollup."""
     emb = load_table(spark, sf_dir, "embeddings")
     m_unit = F.round(F.col("x").cast("double") * 1000000, 0).cast("long")
@@ -426,7 +427,7 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_sq_norm"
         ),
         F.expr(
-            "CAST(round(CAST(n_vectors * ss - s * s AS DOUBLE)"
+            "CAST(round((CAST(n_vectors AS DOUBLE) * ss - CAST(s AS DOUBLE) * s)"
             " / (1.0D * n_vectors * NULLIF(n_vectors - 1, 0)), 1) AS DOUBLE)"
         ).alias("var_sq_norm"),
         "min_sq",

@@ -194,9 +194,9 @@ m AS (
   FROM base GROUP BY p_brand
 )
 SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
-       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
+       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / NULLIF(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0),
                   6) AS DOUBLE) AS corr_discount_qty
 FROM m ORDER BY p_brand
 """,
@@ -216,13 +216,14 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast dim join + one partial-aggregatable (brand) rollup —
     no window, no second pass.
 
-    Widening limit (the `cusum_changepoint` discipline): the
-    `n*sxy - sx*sy` products run in Spark's non-ANSI DECIMAL(38,0)
-    arithmetic, which silently NULLs past 38 digits while the oracle's
-    HUGEINT stays exact — safe to ~1e12 lines per brand at these value
-    ranges (x,y ≤ ~1e4 ⇒ sxy ≤ ~1e20, n*sxy ≤ ~1e32); beyond that,
-    pre-center per group or move the differences to DOUBLE after the
-    exact sums."""
+    Overflow-safe at any corpus scale (the `cusum_changepoint`
+    discipline): the five co-moment SUMS stay exact DECIMAL(38,0) /
+    HUGEINT — order-free under any parallelism — and each sum is cast
+    to DOUBLE BEFORE the `n·Σxy − Σx·Σy` products, so the combination
+    step can never breach the 38-digit decimal width (Spark's
+    non-ANSI decimal arithmetic silently NULLs past it).  Both
+    engines combine the same IEEE operands with the same operation
+    tree, so the 6-dp round still hash-matches."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     dec = "decimal(38,0)"
@@ -246,9 +247,9 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.col("n").cast("long").alias("n_lines"),
         F.expr(
-            "CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)"
-            " / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
-            "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),"
+            "CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / NULLIF(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0),"
             " 6) AS DOUBLE)"
         ).alias("corr_discount_qty"),
     ).orderBy("p_brand")
@@ -467,9 +468,9 @@ SELECT n0 AS n_weekday, n1 AS n_weekend,
        CAST(round(s1 / (100.0 * n1), 2) AS DOUBLE) AS mean_weekend_dollars,
        CAST(round(
          (s1 / (1.0 * n1) - s0 / (1.0 * n0))
-         / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+         / sqrt((CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)
                   / (1.0 * n1 * (n1 - 1) * n1)
-                + CAST(n0 * ss0 - s0 * s0 AS DOUBLE)
+                + (CAST(n0 AS DOUBLE) * ss0 - CAST(s0 AS DOUBLE) * s0)
                   / (1.0 * n0 * (n0 - 1) * n0)), 4) AS DOUBLE) AS welch_t
 FROM w CROSS JOIN d
 """,
@@ -524,9 +525,9 @@ def q_weekend_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round("
             " (s1 / (1.0D * n1) - s0 / (1.0D * n0))"
-            " / sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)"
+            " / sqrt((CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)"
             "          / (1.0D * n1 * (n1 - 1) * n1)"
-            "        + CAST(n0 * ss0 - s0 * s0 AS DOUBLE)"
+            "        + (CAST(n0 AS DOUBLE) * ss0 - CAST(s0 AS DOUBLE) * s0)"
             "          / (1.0D * n0 * (n0 - 1) * n0)), 4) AS DOUBLE)"
         ).alias("welch_t"),
     )

@@ -572,11 +572,11 @@ m AS (
 )
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
-       CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS DOUBLE)
+       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS DOUBLE)
          AS slope_cents_per_hour,
-       CAST(round(CAST(sy * sxx - sx * sxy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS DOUBLE)
+       CAST(round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                  / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS DOUBLE)
          AS intercept_cents
 FROM m
 ORDER BY event_type
@@ -590,13 +590,14 @@ def q_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism upgrade over the co-moment family (`agg_corr_stats`
     relies on both engines' single-pass co-moments agreeing to 4 dp):
     here the five moments (n, Σx, Σy, Σxy, Σx²) are EXACT INTEGERS
-    (x = whole hours from a fixed origin, y = cents), combined into
-    slope/intercept numerators in 128-bit-exact arithmetic
-    (DECIMAL(38,0) / HUGEINT), so each statistic is one deterministic
-    double division of exactly-agreed integers — no accumulation
-    order anywhere.  Shuffle: one hash exchange on event_type with
-    map-side partials; at 100 TB the moment magnitudes (~1e19 ≪ 1e38)
-    still fit the decimal width."""
+    (x = whole hours from a fixed origin, y = cents) summed in
+    128-bit-exact arithmetic (DECIMAL(38,0) / HUGEINT, order-free at
+    any parallelism), then each sum is cast to DOUBLE BEFORE the
+    slope/intercept products so the combination step can never breach
+    the 38-digit decimal width at extreme scale — both engines combine
+    the same IEEE operands with the same tree, so the rounds agree to
+    the last digit.  Shuffle: one hash exchange on event_type with
+    map-side partials."""
     events = load_table(spark, sf_dir, "events")
     xy = events.select(
         "event_type",
@@ -613,19 +614,27 @@ def q_trend_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    den = F.col("n").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
     return m.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
         F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
             / den,
             6,
         )
         .cast("double")
         .alias("slope_cents_per_hour"),
         F.round(
-            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            (
+                F.col("sy").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sxy")
+            )
             / den,
             4,
         )
@@ -951,11 +960,13 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def _corr_pair_sql(a: str, b: str) -> str:
     """DuckDB corr text for one type pair from the wide hourly frame —
-    exact HUGEINT moments, one double division + sqrt, 6-dp round."""
+    exact HUGEINT moments cast to DOUBLE before the co-moment products
+    (overflow-safe at any scale), one division + sqrt, 6-dp round."""
+    n, sa, sb = "CAST(n AS DOUBLE)", f"CAST(sx_{a} AS DOUBLE)", f"CAST(sx_{b} AS DOUBLE)"
     return (
-        f"CAST(round((n * sxy_{a}_{b} - sx_{a} * sx_{b})"
-        f" / NULLIF(sqrt((1.0 * (n * sq_{a} - sx_{a} * sx_{a}))"
-        f"               * (n * sq_{b} - sx_{b} * sx_{b})), 0.0),"
+        f"CAST(round(({n} * sxy_{a}_{b} - {sa} * sx_{b})"
+        f" / NULLIF(sqrt(({n} * sq_{a} - {sa} * sx_{a})"
+        f"               * ({n} * sq_{b} - {sb} * sx_{b})), 0.0),"
         f" 6) AS DOUBLE)"
     )
 
@@ -1000,9 +1011,11 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     every correlation upward), the same grid technique as
     `resample_forward_fill`.  All 5 + 5 + 10 moments (Σx, Σx², Σxy) are
     EXACT integer sums in one aggregate over the wide frame, ridden in
-    DECIMAL(38,0)/HUGEINT (the OLS discipline); each of the 10
-    correlations is then one IEEE division + sqrt on exactly-agreed
-    operands, 6-dp rounded, NULLIF-guarded against zero variance.
+    DECIMAL(38,0)/HUGEINT (the OLS discipline), each cast to DOUBLE
+    BEFORE the co-moment products so the combination can never breach
+    the 38-digit decimal width at scale; each of the 10 correlations
+    is then one IEEE division + sqrt on exactly-agreed operands, 6-dp
+    rounded, NULLIF-guarded against zero variance.
     Scale shape: one corpus scan → one (hour, type) aggregate → a
     |hours|-row wide frame → ONE moment aggregate; the pair expansion
     happens on a single 26-column row, never on data."""
@@ -1059,9 +1072,12 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.lit(a).alias("type_a"),
                         F.lit(b).alias("type_b"),
                         F.expr(
-                            f"CAST(round((n * sxy_{a}_{b} - sx_{a} * sx_{b})"
-                            f" / NULLIF(sqrt((1.0D * (n * sq_{a} - sx_{a} * sx_{a}))"
-                            f"               * (n * sq_{b} - sx_{b} * sx_{b})), 0.0D),"
+                            f"CAST(round((CAST(n AS DOUBLE) * sxy_{a}_{b}"
+                            f" - CAST(sx_{a} AS DOUBLE) * sx_{b})"
+                            f" / NULLIF(sqrt((CAST(n AS DOUBLE) * sq_{a}"
+                            f"                - CAST(sx_{a} AS DOUBLE) * sx_{a})"
+                            f"               * (CAST(n AS DOUBLE) * sq_{b}"
+                            f"                  - CAST(sx_{b} AS DOUBLE) * sx_{b})), 0.0D),"
                             f" 6) AS DOUBLE)"
                         ).alias("corr"),
                     )
@@ -3344,12 +3360,16 @@ m AS (
   FROM lagged
 )
 SELECT n1 AS n_diff1, n5 AS n_diff5,
-       CAST(round(sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE)) / (100.0 * n1), 2)
+       CAST(round(sqrt(CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)
+                  / (100.0 * n1), 2)
             AS DOUBLE) AS sd_diff1_dollars,
-       CAST(round(sqrt(CAST(n5 * ss5 - s5 * s5 AS DOUBLE)) / (100.0 * n5), 2)
+       CAST(round(sqrt(CAST(n5 AS DOUBLE) * ss5 - CAST(s5 AS DOUBLE) * s5)
+                  / (100.0 * n5), 2)
             AS DOUBLE) AS sd_diff5_dollars,
-       CAST(round((CAST(n5 * ss5 - s5 * s5 AS DOUBLE) / (1.0 * n5 * n5))
-                  / (5.0 * CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (1.0 * n1 * n1)),
+       CAST(round(((CAST(n5 AS DOUBLE) * ss5 - CAST(s5 AS DOUBLE) * s5)
+                   / (1.0 * n5 * n5))
+                  / (5.0 * (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)
+                     / (1.0 * n1 * n1)),
                   6) AS DOUBLE) AS variance_ratio
 FROM m
 """,
@@ -3365,8 +3385,10 @@ def q_revenue_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: daily revenue is integer cents; both difference series
     are exact integers from positional lags over the day order; the
-    two variances are exact integer co-moments (DECIMAL(38,0) on the
-    Spark side, HUGEINT in the oracle).  Dispersion is reported as
+    co-moment SUMS are exact (DECIMAL(38,0) on the Spark side, HUGEINT
+    in the oracle) and are cast to DOUBLE before the n·Σd² − (Σd)²
+    combinations so the products can never breach the 38-digit decimal
+    width at scale (both engines combine identical IEEE operands).  Dispersion is reported as
     STDDEV IN DOLLARS, not raw cent² variance — the co-moments reach
     ~1e15 cent², where one double ulp is 0.125 and engines legitimately
     disagree below the comparator's 6-dp grain; sqrt brings the
@@ -3404,16 +3426,18 @@ def q_revenue_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("long").alias("n_diff1"),
         F.col("n5").cast("long").alias("n_diff5"),
         F.expr(
-            "CAST(round(sqrt(CAST(n1 * ss1 - s1 * s1 AS DOUBLE))"
+            "CAST(round(sqrt(CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)"
             " / (100.0 * n1), 2) AS DOUBLE)"
         ).alias("sd_diff1_dollars"),
         F.expr(
-            "CAST(round(sqrt(CAST(n5 * ss5 - s5 * s5 AS DOUBLE))"
+            "CAST(round(sqrt(CAST(n5 AS DOUBLE) * ss5 - CAST(s5 AS DOUBLE) * s5)"
             " / (100.0 * n5), 2) AS DOUBLE)"
         ).alias("sd_diff5_dollars"),
         F.expr(
-            "CAST(round((CAST(n5 * ss5 - s5 * s5 AS DOUBLE) / (1.0 * n5 * n5))"
-            " / (5.0 * CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (1.0 * n1 * n1)),"
+            "CAST(round(((CAST(n5 AS DOUBLE) * ss5 - CAST(s5 AS DOUBLE) * s5)"
+            " / (1.0 * n5 * n5))"
+            " / (5.0 * (CAST(n1 AS DOUBLE) * ss1 - CAST(s1 AS DOUBLE) * s1)"
+            " / (1.0 * n1 * n1)),"
             " 6) AS DOUBLE)"
         ).alias("variance_ratio"),
     )
