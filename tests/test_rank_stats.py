@@ -153,3 +153,35 @@ def test_poisson_newton_recovers_rate_effect(spark):
     )
     b0f, b1f = poisson_newton(flat, n_iter=6)
     assert abs(b1f) < 1e-6 and abs(math.exp(b0f) - 3.0) < 1e-6
+
+
+def test_glm_newton_degenerate_inputs_fail_loudly(spark):
+    """Singular information matrices must raise, not bake NaN/Inf into
+    query output (ADVICE r6): a single distinct x gives det == 0 for
+    the logistic solve; saturated data (9-dp p pinned at exactly 0/1)
+    zeroes every weight; an all-zero response breaks the Poisson
+    ln(mean) init."""
+    import pytest
+
+    from video_metadata_db_spark.operators.glm import (
+        logistic_newton,
+        poisson_newton,
+    )
+
+    single_x = spark.createDataFrame([(5, 1000, 300)], "x int, n long, s long")
+    with pytest.raises(ValueError, match="degenerate"):
+        logistic_newton(single_x, n_iter=2)
+
+    # perfectly separated data: beta diverges until the 9-dp p pins at
+    # exactly 0/1, zeroing every weight and the determinant (~25 steps)
+    saturated = spark.createDataFrame(
+        [(0, 1000, 0), (10, 1000, 1000)], "x int, n long, s long"
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        logistic_newton(saturated, n_iter=40)
+
+    zero_rate = spark.createDataFrame(
+        [(0, 1000, 0), (10, 1000, 0)], "x int, n long, s long"
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        poisson_newton(zero_rate, n_iter=2)

@@ -30,6 +30,31 @@ P_DP = 9
 BETA_DP = 9
 
 
+def _finite_beta(row, which: str) -> tuple[float, float]:
+    """Validate one collected Newton step — degenerate sufficient
+    statistics (a single distinct x, or a saturated fit whose 9-dp
+    p hits exactly 0/1 so w and the information determinant are 0)
+    make the 2×2 solve divide by zero; fail LOUDLY instead of baking
+    NaN/Inf βs into query output (ADVICE r6)."""
+    import math
+
+    b0 = row["b0"]
+    b1 = row["b1"]
+    if (
+        b0 is None
+        or b1 is None
+        or not math.isfinite(float(b0))
+        or not math.isfinite(float(b1))
+    ):
+        raise ValueError(
+            f"{which} Newton step degenerate (singular information "
+            f"matrix or saturated fit): beta=({b0}, {b1}); the "
+            "sufficient statistics need >=2 distinct x values with "
+            "non-degenerate response rates"
+        )
+    return float(b0), float(b1)
+
+
 def _step_exprs(b0: float, b1: float) -> list[F.Column]:
     """One Newton step's five sufficient sums over the (x, n, s) frame,
     with the current β baked as literals.  p and w are quantized before
@@ -62,21 +87,29 @@ def logistic_newton(suff: DataFrame, n_iter: int = 3) -> tuple[float, float]:
         for _ in range(n_iter):
             sums = suff.agg(*_step_exprs(b0, b1))
             det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+            # try_divide: a singular information matrix (det == 0)
+            # yields NULL instead of an ANSI divide-by-zero, and
+            # _finite_beta turns it into a clear ValueError; on a
+            # non-zero det the quotient is bit-identical to `/`.
             row = sums.select(
                 F.round(
                     F.lit(b0)
-                    + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
-                    / det,
+                    + F.try_divide(
+                        F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"),
+                        det,
+                    ),
                     BETA_DP,
                 ).alias("b0"),
                 F.round(
                     F.lit(b1)
-                    + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
-                    / det,
+                    + F.try_divide(
+                        F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"),
+                        det,
+                    ),
                     BETA_DP,
                 ).alias("b1"),
             ).collect()[0]
-            b0, b1 = float(row["b0"]), float(row["b1"])
+            b0, b1 = _finite_beta(row, "logistic")
         return b0, b1
     finally:
         suff.unpersist()
@@ -144,25 +177,36 @@ def poisson_newton(suff: DataFrame, n_iter: int = 3) -> tuple[float, float]:
         row = suff.agg(
             F.round(F.log(F.sum("s") / F.sum("n")), BETA_DP).alias("b0")
         ).collect()[0]
+        if row["b0"] is None:
+            raise ValueError(
+                "poisson Newton init degenerate: mean response is zero "
+                "or the sufficient-statistic frame is empty"
+            )
         b0, b1 = float(row["b0"]), 0.0
         for _ in range(n_iter):
             sums = suff.agg(*_poisson_step_exprs(b0, b1))
             det = F.col("i00") * F.col("i11") - F.col("i01") * F.col("i01")
+            # try_divide: see logistic_newton — NULL on det == 0,
+            # bit-identical quotient otherwise.
             row = sums.select(
                 F.round(
                     F.lit(b0)
-                    + (F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"))
-                    / det,
+                    + F.try_divide(
+                        F.col("i11") * F.col("u0") - F.col("i01") * F.col("u1"),
+                        det,
+                    ),
                     BETA_DP,
                 ).alias("b0"),
                 F.round(
                     F.lit(b1)
-                    + (F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"))
-                    / det,
+                    + F.try_divide(
+                        F.col("i00") * F.col("u1") - F.col("i01") * F.col("u0"),
+                        det,
+                    ),
                     BETA_DP,
                 ).alias("b1"),
             ).collect()[0]
-            b0, b1 = float(row["b0"]), float(row["b1"])
+            b0, b1 = _finite_beta(row, "poisson")
         return b0, b1
     finally:
         suff.unpersist()
