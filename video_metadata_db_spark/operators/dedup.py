@@ -239,10 +239,18 @@ def jaccard_prefix_pairs(
     doc's (df, s) pairs in an array and slices the prefix in place
     (replacing the r5 window-rank + prefix-length join: the per-doc
     sort is bounded by doc size either way, but the array form saves
-    the rank window's exchange and the plen re-aggregate+join —
-    measured 5.2 → 4.0 s warm at sf0.1), a prefix×prefix equi-join on
-    the shingle, then verification joins that fan out only over
-    candidate pairs.
+    the rank window's exchange and the plen re-aggregate+join — two
+    exchanges fewer in the plan), a prefix×prefix equi-join on the
+    shingle, then verification joins that fan out only over candidate
+    pairs.
+
+    Reconciled r7 measurement (VERDICT r6 "what's wrong" #2): warm
+    best-of-5 in bench context (noop sink, local[32], quiet box,
+    sf0.1) is 5.6 s at BOTH 32 and 128 shuffle partitions, matching
+    BENCH_DETAIL's 5.67 s headline entry; the r6 standalone claims of
+    3.3 s / 4.0 s did not reproduce and are superseded — the rewrite's
+    verified benefit is structural (fewer exchanges), inside the
+    ±25-30% warm-run envelope on wall clock at this SF.
     """
     t10 = int(threshold_tenths)
 
