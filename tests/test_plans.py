@@ -378,9 +378,19 @@ def test_variance_ratio_windows_are_day_bounded(spark):
     """The lag windows must run AFTER the daily rollup (date-domain
     frame, calendar-bounded) — a corpus-sized unpartitioned window
     would be the classic global-sort trap."""
+    import re
+
     p = plan_of(spark, "revenue_variance_ratio")
     assert p.count("Scan parquet") == 2  # one scan, tree + detail listing
-    # the daily aggregate must sit below the window in the plan tree:
-    # exactly one pre-window exchange pair (partial+final agg), then
-    # the single-partition window over ~2.4k day rows
-    assert p.index("HashAggregate") < p.index("Window")
+    # the daily aggregate must sit BELOW the window in the plan tree.
+    # Formatted explain prints top-down with ids increasing toward the
+    # root, so "below" means a SMALLER node id: the lag Window's input
+    # chain must contain a HashAggregate (the partial+final daily
+    # rollup), i.e. min(aggregate ids) < window id.  (A raw string
+    # p.index() compare is vacuous — the FINAL 6-cell aggregate prints
+    # before 'Window' even when the window runs over the raw corpus.)
+    window_id = int(re.search(r"Window \((\d+)\)", p).group(1))
+    agg_ids = [int(x) for x in re.findall(r"HashAggregate \((\d+)\)", p)]
+    assert agg_ids and min(agg_ids) < window_id, (
+        "lag window must consume the day-domain rollup, not the corpus"
+    )
