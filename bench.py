@@ -238,6 +238,8 @@ HEADLINE = [
     "knn_ivf_filtered_topk",
     "poisson_quantity_model",
     "ab_test_power",
+    # round-7 addition: MERGE with schema evolution (lake family)
+    "merge_schema_evolution",
 ]
 
 REPEATS = 2

@@ -109,3 +109,53 @@ def test_snapshot_read_delete_beats_upsert(spark):
     dels = spark.createDataFrame([(2,), (9,)], "id long")
     cur = snapshot_read(base, ["id"], delete_keys=dels, upserts=ups)
     assert sorted(r["id"] for r in cur.collect()) == [1, 3]
+
+
+def test_merge_schema_evolution_add_and_preserve(spark):
+    """Delta autoMerge semantics (VERDICT r6 item 7): the changefeed
+    adds `score` (base rows backfill NULL) and omits `name` (matched
+    rows PRESERVE the base value; inserts get NULL)."""
+    upd = spark.createDataFrame(
+        [(2, 200, 0.9), (9, 900, 0.1)], "id long, v long, score double"
+    )
+    out = merge_upsert(
+        _base(spark), upd, ["id"], mark_col="merge_action", evolve_schema=True
+    )
+    assert out.columns == ["id", "name", "v", "score", "merge_action"]
+    got = {
+        r["id"]: (r["name"], r["v"], r["score"], r["merge_action"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: ("a", 10, None, "base"),
+        2: ("b", 200, 0.9, "updated"),    # name preserved, v + score updated
+        3: ("c", 30, None, "base"),
+        9: (None, 900, 0.1, "inserted"),  # no base name to preserve
+    }
+
+
+def test_merge_schema_evolution_strict_mode_unchanged(spark):
+    """Without evolve_schema the strict contract holds: a missing
+    payload column still raises, and extra changefeed columns are
+    ignored (no silent schema widening)."""
+    upd = spark.createDataFrame(
+        [(2, 200, 0.9)], "id long, v long, score double"
+    )
+    with pytest.raises(ValueError, match="missing payload"):
+        merge_upsert(_base(spark), upd, ["id"])
+    full = spark.createDataFrame(
+        [(2, "B", 200, 0.9)], "id long, name string, v long, score double"
+    )
+    out = merge_upsert(_base(spark), full, ["id"])
+    assert out.columns == ["id", "name", "v"]
+
+
+def test_merge_schema_evolution_duplicate_keys_still_raise(spark):
+    """The dup-key assert survives the evolved projection."""
+    upd = spark.createDataFrame(
+        [(2, 200, 0.9), (2, 300, 0.2)], "id long, v long, score double"
+    )
+    with pytest.raises(Exception, match="duplicate update key"):
+        merge_upsert(
+            _base(spark), upd, ["id"], evolve_schema=True
+        ).collect()

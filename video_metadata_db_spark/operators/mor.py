@@ -36,6 +36,7 @@ def merge_upsert(
     updates: DataFrame,
     key_cols: Sequence[str],
     mark_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """SQL ``MERGE INTO base USING updates ON key``: WHEN MATCHED THEN
     UPDATE SET * / WHEN NOT MATCHED THEN INSERT * — as one full-outer
@@ -48,12 +49,32 @@ def merge_upsert(
     through the join is never acceptable.  When ``mark_col`` is given,
     an extra string column records each row's provenance: 'updated',
     'inserted', or 'base'.
+
+    ``evolve_schema=True`` is Delta's ``mergeSchema`` / autoMerge
+    (delta.io MERGE schema-evolution semantics, public docs):
+
+    - a column only in ``updates`` is ADDED to the output schema;
+      base-only rows backfill NULL, matched/inserted rows take the
+      update value;
+    - a base column missing from ``updates`` is PRESERVED — matched
+      rows keep their base value (``UPDATE SET *`` only sets what the
+      source carries), inserted rows get NULL.
+
+    Without it, missing payload columns raise (the strict contract)
+    and extra update columns are ignored.
     """
     keys = list(key_cols)
     payload = [c for c in base.columns if c not in set(keys)]
     missing = [c for c in payload if c not in updates.columns]
-    if missing:
+    if missing and not evolve_schema:
         raise ValueError(f"updates missing payload columns: {missing}")
+    #: payload columns the changefeed can overwrite vs base-preserved
+    upd_payload = [c for c in payload if c in updates.columns]
+    new_cols = (
+        [c for c in updates.columns if c not in base.columns and c not in keys]
+        if evolve_schema
+        else []
+    )
     b = base.select(*keys, F.lit(1).alias("_in_base"), *payload)
     # Per-key cardinality check over the CHANGEFEED only (one shuffle of
     # the small side, never the base); folded into ``_in_upd`` so the
@@ -65,7 +86,8 @@ def merge_upsert(
     )
     u = (
         updates.select(
-            *keys, *[F.col(c).alias(f"_u_{c}") for c in payload]
+            *keys,
+            *[F.col(c).alias(f"_u_{c}") for c in upd_payload + new_cols],
         )
         .withColumn(
             "_k_cnt", F.count(F.lit(1)).over(Window.partitionBy(*keys))
@@ -76,19 +98,25 @@ def merge_upsert(
                 F.assert_true(F.col("_k_cnt") == 1, dup_msg).isNull(),
                 F.lit(1),
             ).alias("_in_upd"),
-            *[f"_u_{c}" for c in payload],
+            *[f"_u_{c}" for c in upd_payload + new_cols],
         )
     )
     joined = b.join(u, on=keys, how="full_outer")
     out = [
         *keys,
-        # gate on the match flag, not COALESCE: NULL payloads overwrite
+        # gate on the match flag, not COALESCE: NULL payloads overwrite;
+        # base columns the changefeed doesn't carry are preserved
         *[
             F.when(F.col("_in_upd").isNotNull(), F.col(f"_u_{c}"))
             .otherwise(F.col(c))
             .alias(c)
+            if c in set(upd_payload)
+            else F.col(c).alias(c)
             for c in payload
         ],
+        # evolved columns: update value where the changefeed has the
+        # key (matched/inserted), NULL backfill on base-only rows
+        *[F.col(f"_u_{c}").alias(c) for c in new_cols],
     ]
     if mark_col is not None:
         out.append(
