@@ -345,3 +345,26 @@ def test_corrupt_json_ingest_dead_letters(spark, tmp_path):
         assert len(bad_rows) == 2 and any("not json" in b for b in bad_rows)
     finally:
         df.unpersist()
+
+
+def test_probe_fields_for_narrows_to_video_streams():
+    """Sink-schema-driven elision (VERDICT r6 item 5): a sink without
+    audio columns yields a field set that makes ffprobe_args choose
+    `-select_streams v`; the full sink keeps the full probe."""
+    from video_metadata_db_spark.operators.probe import (
+        ffprobe_args,
+        probe_fields_for,
+    )
+    from video_metadata_db_spark.schemas import METADATA_SCHEMA
+
+    full_cols = [f.name for f in METADATA_SCHEMA.fields]
+    assert "audio_codec" in probe_fields_for(full_cols)
+    args_full = ffprobe_args("/x.mkv", frozenset(probe_fields_for(full_cols)))
+    assert "-select_streams" not in args_full
+
+    no_audio = [c for c in full_cols if c not in ("audio_codec", "audio_channels")]
+    fields = probe_fields_for(no_audio)
+    assert "audio_codec" not in fields and "video_codec" in fields
+    args = ffprobe_args("/x.mkv", frozenset(fields))
+    i = args.index("-select_streams")
+    assert args[i + 1] == "v"

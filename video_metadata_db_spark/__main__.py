@@ -76,26 +76,59 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
         "--format", default="tsv", choices=("tsv", "parquet"), dest="sink_format",
         help="Database sink format (tsv = reference parity; parquet = native)",
     )
+    parser.add_argument(
+        "--ffprobe-bin", default="ffprobe", dest="ffprobe_bin",
+        help="ffprobe executable to invoke (name on PATH or absolute path)",
+    )
+    parser.add_argument(
+        "--no-audio", action="store_true", dest="no_audio",
+        help=(
+            "Omit audio columns from the db; the ffprobe call itself "
+            "narrows to video streams (-select_streams v) — probe "
+            "elision at the process boundary"
+        ),
+    )
     parser.add_argument("paths", nargs="+", help="Directories to scan (or TSV dbs with -m)")
-    return parser.parse_args(argv)
+    ns = parser.parse_args(argv)
+    if ns.no_audio and ns.sink_format != "parquet":
+        # the reference TSV db is a FIXED 18-column format (audio
+        # columns included) — elision only narrows the native sink
+        parser.error("--no-audio requires --format parquet "
+                     "(the TSV db format is fixed by reference parity)")
+    return ns
 
 
-def _probe(spark: SparkSession, candidates: DataFrame, fixture: str | None) -> DataFrame:
-    from .operators.probe import ffprobe_available, probe_from_fixture, probe_videos
+def _probe(
+    spark: SparkSession,
+    candidates: DataFrame,
+    fixture: str | None,
+    fields: tuple[str, ...] | None = None,
+    ffprobe_bin: str = "ffprobe",
+) -> DataFrame:
+    import shutil
+
+    from .operators.probe import probe_from_fixture, probe_videos
 
     if fixture:
-        return probe_from_fixture(candidates, spark.read.parquet(fixture))
-    if not ffprobe_available():
+        probed = probe_from_fixture(candidates, spark.read.parquet(fixture))
+        if fields is not None:  # fixture rows carry every column; narrow
+            probed = probed.select("path", *fields, "error")
+        return probed
+    if shutil.which(ffprobe_bin) is None:
         print(
-            "warning: ffprobe not on PATH — all rows will dead-letter "
+            f"warning: {ffprobe_bin} not found — all rows will dead-letter "
             "(pass --probe-fixture for a fixture-driven run)",
             file=sys.stderr,
         )
-    return probe_videos(candidates)
+    return probe_videos(candidates, fields=fields, ffprobe_bin=ffprobe_bin)
 
 
 def _build_records(
-    spark: SparkSession, roots: list[str], fixture: str | None
+    spark: SparkSession,
+    roots: list[str],
+    fixture: str | None,
+    no_audio: bool = False,
+    ffprobe_bin: str = "ffprobe",
 ) -> tuple[DataFrame, DataFrame, "Observation"]:
     """list → filter → probe → sidecar join → (records, dead_letter,
     probe-stats observation).
@@ -104,16 +137,32 @@ def _build_records(
     summary + ``-p`` progress counters, video_metadata_db.py:456-535,
     :1293-1315): total/failed counts come back WITH the sink action —
     no second pass over the corpus to report statistics.
+
+    ``no_audio`` drops the audio columns from the sink schema and
+    propagates the narrowed field set down to the ffprobe invocation
+    (probe elision — ``probe_fields_for``): the audio dissection the
+    reference always pays is skipped at the process boundary.
     """
     from pyspark.sql import Observation
 
     from .operators.pipeline import build_metadata_records, filter_candidates
+    from .operators.probe import probe_fields_for
+    from .schemas import METADATA_SCHEMA
     from .sources.listing import list_files
+
+    fields = None
+    if no_audio:
+        sink_cols = [
+            f.name
+            for f in METADATA_SCHEMA.fields
+            if f.name not in ("audio_codec", "audio_channels")
+        ]
+        fields = probe_fields_for(sink_cols)
 
     listing = list_files(spark, roots, volume_label=_volume_label(roots)).cache()
     candidates = filter_candidates(listing, assume_pruned=True)
     obs = Observation("probe_stats")
-    probed = _probe(spark, candidates, fixture).observe(
+    probed = _probe(spark, candidates, fixture, fields, ffprobe_bin).observe(
         obs,
         F.count(F.lit(1)).alias("n_probed"),
         F.count(F.col("error")).alias("n_failed"),
@@ -206,7 +255,13 @@ def main(argv: list[str] | None = None) -> int:
         total = filter_candidates(list_files(spark, args.paths), assume_pruned=True).count()
         print(f"files to probe: {total}")
 
-    records, dead, obs = _build_records(spark, args.paths, args.probe_fixture)
+    records, dead, obs = _build_records(
+        spark,
+        args.paths,
+        args.probe_fixture,
+        no_audio=args.no_audio,
+        ffprobe_bin=args.ffprobe_bin,
+    )
 
     if args.update_mode:
         # update mode (:579-582, :1529-1532): anti-join against the

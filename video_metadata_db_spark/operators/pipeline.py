@@ -78,6 +78,16 @@ def build_metadata_records(
     dead_letter = joined.filter(F.col("error").isNotNull()).select("path", "error")
     ok = joined.filter(F.col("error").isNull())
     with_subs = join_sidecars(ok, sidecars)
-    record_cols = [f.name for f in METADATA_SCHEMA.fields]
-    records = with_subs.withColumnRenamed("size_bytes", "raw_size").select(*record_cols, "name")
+    # a NARROWED probe (probe_videos(fields=...), the elision path)
+    # legitimately shrinks the record schema by the elided probe
+    # fields; anything else missing is a wiring bug and raises
+    elidable = {"audio_codec", "audio_channels", "video_codec", "width", "height"}
+    renamed = with_subs.withColumnRenamed("size_bytes", "raw_size")
+    available = set(renamed.columns)
+    record_cols = [f.name for f in METADATA_SCHEMA.fields if f.name in available]
+    missing = [f.name for f in METADATA_SCHEMA.fields if f.name not in available]
+    bad = [c for c in missing if c not in elidable]
+    if bad:
+        raise ValueError(f"records missing non-elidable columns: {bad}")
+    records = renamed.select(*record_cols, "name")
     return records, dead_letter

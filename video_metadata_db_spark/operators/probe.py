@@ -43,6 +43,23 @@ def ffprobe_available() -> bool:
     return shutil.which("ffprobe") is not None
 
 
+def probe_fields_for(sink_cols) -> tuple[str, ...]:
+    """The probe-elision field set for a sink schema: every
+    PROBE_SCHEMA metadata field the sink actually keeps (``path`` and
+    ``error`` always ride along).  Feeding the result to
+    :func:`probe_videos` narrows the ffprobe invocation itself
+    (:func:`ffprobe_args`): a sink without audio columns skips audio
+    stream dissection at the process boundary (``-select_streams v``)
+    — SURVEY §4's probe-call-elision rule wired from the sink schema
+    down (VERDICT r6 item 5)."""
+    keep = set(sink_cols)
+    return tuple(
+        f.name
+        for f in PROBE_SCHEMA.fields
+        if f.name not in ("path", "error") and f.name in keep
+    )
+
+
 def ffprobe_args(
     path: str,
     fields: frozenset[str] | None = None,
