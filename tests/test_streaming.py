@@ -261,7 +261,12 @@ def test_transform_with_state_api(spark, tmp_path):
     docstring records the constraint."""
     pytest.importorskip(
         "google.protobuf.descriptor",
-        reason="transformWithState runner needs a working protobuf",
+        reason=(
+            "transformWithState runner needs protobuf; this container "
+            "ships none at all — `import google.protobuf` raises "
+            "ModuleNotFoundError: No module named 'google' "
+            "(re-probed r7, 2026-08-15; pip install is out of contract)"
+        ),
     )
     from video_metadata_db_spark.sources.tables import load_table
     from video_metadata_db_spark.streaming.runner import file_stream, run_available_now

@@ -93,11 +93,14 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
 
     CONTAINER CONSTRAINT: the TWS Python runner needs a working
     ``google.protobuf`` (its state server speaks protobuf); this CI
-    image ships a broken protobuf install, so the API can only be
-    smoke-checked where protobuf imports
+    image ships NO protobuf at all (``import google.protobuf`` →
+    ModuleNotFoundError: No module named 'google'; re-probed each
+    round, last r7 2026-08-15), so the API can only be smoke-checked
+    where protobuf imports
     (``tests/test_streaming.py::test_transform_with_state_api`` skips
-    otherwise, recording the reason).  The ``applyInPandasWithState``
-    implementation above is the one the driver gate exercises."""
+    otherwise, recording the exact reason).  The
+    ``applyInPandasWithState`` implementation above is the one the
+    driver gate exercises."""
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class _RunningTotals(StatefulProcessor):
