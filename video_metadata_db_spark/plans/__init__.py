@@ -20,53 +20,62 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
+#: Round-7 rotation (VERDICT r6 item 1, the judge's exact picks): 13
+#: first driver checks — the 8 round-6 additions
+#: (padding_waste_by_bucket, revenue_variance_ratio,
+#: logistic_return_model, dow_revenue_anova, multimodal_audio_windows,
+#: knn_ivf_filtered_topk, poisson_quantity_model, ab_test_power — all
+#: independently oracle-checked by the r6 judge at sf0.01), the 4
+#: suggested queue picks (dedup_lsh_recall, chi_square_independence,
+#: markov_transitions, skyline_pareto), and the new-this-round
+#: merge_schema_evolution (VERDICT item 7).  Out (all r6-green, each
+#: family keeps ≥1 green representative, all still oracle-verified
+#: every test run): correlation_matrix, lorenz_curve,
+#: kaplan_meier_conversion, nation_trade_balance,
+#: window_rank_functions, rfm_segments, functional_dependency_audit,
+#: khop_reach, variant_json_path, join_anti, q3_shipping_priority,
+#: split_train_val_test, contamination_check.  Green anchors staying:
+#: gini_revenue (stats), triangle_count (graph), heavy_hitters_cms
+#: (sketch), scd2_point_snapshot (lake), explode_tokens
+#: (semi-structured), update_anti_join + update_bloom_prefilter
+#: (membership/anti joins).
+#:
 #: Round-6 rotation (VERDICT r5 item 3, the judge's exact 12 picks):
 #: first driver checks for the stats/graph/sketch/lake analytics
 #: families — triangle_count, khop_reach, heavy_hitters_cms,
 #: gini_revenue, correlation_matrix, window_rank_functions,
 #: scd2_point_snapshot, rfm_segments, kaplan_meier_conversion,
-#: lorenz_curve, nation_trade_balance, functional_dependency_audit.
-#: Out (all r5-green, each family keeps ≥1 green representative, all
-#: still oracle-verified every test run): q2_min_cost_supplier,
-#: q6_forecast_revenue, q21_waiting_supplier, topk_global,
-#: map_functions, dedup_keep_best, source_divergence,
-#: shuffle_global_order, chunk_sliding_tokens, quality_expectations,
-#: dedup_incremental_minhash, agg_percentiles.  variant_json_path
-#: STAYS in the window: its r5 red row was an oracle HUGEINT typing
-#: artifact (values identical), fixed this round — it needs its green.
+#: lorenz_curve, nation_trade_balance, functional_dependency_audit;
+#: all 12 came back green in CORRECTNESS_r06, as did the
+#: post-oracle-fix variant_json_path.
 #:
-#: Round-7 rotation candidates (never driver-checked, all green in
+#: Round-8 rotation candidates (never driver-checked, all green in
 #: every test-run oracle sweep and verified at sf0.001/0.01/0.1 via
-#: tools/drive_entry.py in r5/r6): dedup_lsh_recall,
-#: chi_square_independence, ab_test_proportions, entropy_by_source,
-#: markov_transitions, peak_concurrency, skyline_pareto,
-#: funnel_time_to_convert, rolling_median_values,
-#: stream_cms_heavy_hitters, distinctive_terms_logodds,
-#: phrase_search_positional, sample_weighted_aes,
-#: rolling_active_users, referential_integrity_audit,
-#: frequent_brand_triples, audience_overlap, twap_event_values,
-#: brand_affinity_jaccard, bpe_fertility, cusum_changepoint,
-#: centroid_cosine_matrix, degree_assortativity,
-#: seasonal_decompose_dow, markov_entropy_rate, term_pmi_top,
-#: repeat_purchase_interval, text_zipf_fit, discount_quantity_corr,
-#: fulfillment_latency, embedding_outlier_counts,
-#: term_burstiness_top, seasonal_residual_outliers,
-#: dedup_source_matrix, simpson_diversity_by_source,
-#: collocation_pmi_bigrams, reach_curve_daily, k_anonymity_audit,
-#: user_feature_matrix, sample_neyman_allocation, stream_reach_curve,
-#: burst_hours_scan, sample_negative_brands, state_occupancy_share,
-#: class_separability, region_nation_share, return_rate_wilson,
+#: tools/drive_entry.py in r5-r7): ab_test_proportions,
+#: entropy_by_source, peak_concurrency, funnel_time_to_convert,
+#: rolling_median_values, stream_cms_heavy_hitters,
+#: distinctive_terms_logodds, phrase_search_positional,
+#: sample_weighted_aes, rolling_active_users,
+#: referential_integrity_audit, frequent_brand_triples,
+#: audience_overlap, twap_event_values, brand_affinity_jaccard,
+#: bpe_fertility, cusum_changepoint, centroid_cosine_matrix,
+#: degree_assortativity, seasonal_decompose_dow, markov_entropy_rate,
+#: term_pmi_top, repeat_purchase_interval, text_zipf_fit,
+#: discount_quantity_corr, fulfillment_latency,
+#: embedding_outlier_counts, term_burstiness_top,
+#: seasonal_residual_outliers, dedup_source_matrix,
+#: simpson_diversity_by_source, collocation_pmi_bigrams,
+#: reach_curve_daily, k_anonymity_audit, user_feature_matrix,
+#: sample_neyman_allocation, stream_reach_curve, burst_hours_scan,
+#: sample_negative_brands, state_occupancy_share, class_separability,
+#: region_nation_share, return_rate_wilson,
 #: price_volume_decomposition, weekend_welch_ttest,
 #: basket_size_histogram, lang_mismatch_audit, embedding_norm_profile,
 #: shingle_df_histogram, repeat_revenue_share_monthly,
-#: lsh_threshold_sweep, spend_decile_mobility; plus the round-6
-#: additions (each verified at sf0.001/0.01/0.1 in fresh processes):
-#: padding_waste_by_bucket, revenue_variance_ratio,
-#: logistic_return_model, dow_revenue_anova,
-#: multimodal_audio_windows, knn_ivf_filtered_topk,
-#: poisson_quantity_model, ab_test_power.  Rotate ~12 in
-#: next round once the r6 window members have their CORRECTNESS row,
-#: keeping ≥1 green representative per family as usual.
+#: lsh_threshold_sweep, spend_decile_mobility; plus any round-7
+#: additions.  Rotate ~12 in next round once the r7 window members
+#: have their CORRECTNESS row, keeping ≥1 green representative per
+#: family as usual.
 CHECKED_FIRST = [
     # reference parity (the three modes of the original tool)
     "variant_report",
@@ -76,58 +85,57 @@ CHECKED_FIRST = [
     "q1_pricing_summary",
     "agg_grouping_sets",
     "curation_pipeline",
-    # joins (semi/outer shapes rotate to test-only; anti keeps the
-    # membership-join family green, star keeps broadcast, q3 keeps the
-    # multi-join shape)
+    # joins (anti/semi/outer + q3 rotate to test-only, all r6-green;
+    # update_anti_join + update_bloom_prefilter keep the
+    # membership/anti family green, star keeps broadcast)
     "join_star_revenue",
-    "join_anti",
     "join_range_binned",
     "join_asof_attribution",
     "join_salted_skew",
-    "q3_shipping_priority",
-    # TPC-H gap analytics — bilateral trade flows (first driver check)
-    "nation_trade_balance",
-    # windows / ranking (rank-function battery gets its first check)
+    # windows / ranking
     "window_topk_per_group",
     "window_frames",
-    "window_rank_functions",
     # set ops
     "set_ops",
-    # semi-structured: VARIANT stays for its post-oracle-fix green
-    # (r5 red was a HUGEINT typing artifact, values identical)
+    # semi-structured (variant_json_path rotated out r6-green)
     "explode_tokens",
-    "variant_json_path",
-    # distinct / split
+    # distinct
     "distinct_users_exact",
-    "split_train_val_test",
     # reference formatters
     "fmt_scalars",
     # text / quality
     "text_metrics",
     "filter_quality_rules",
-    "contamination_check",
-    # stats / distribution analytics (all first driver checks)
+    # stats / distribution analytics — gini stays as the green anchor;
+    # the r6 GLM/ANOVA/power/variance additions get first checks
     "gini_revenue",
-    "correlation_matrix",
-    "lorenz_curve",
-    "kaplan_meier_conversion",
-    # graph analytics (first driver checks)
+    "chi_square_independence",
+    "dow_revenue_anova",
+    "ab_test_power",
+    "revenue_variance_ratio",
+    "logistic_return_model",
+    "poisson_quantity_model",
+    # graph analytics (triangle_count stays green anchor)
     "triangle_count",
-    "khop_reach",
-    # sketches (first driver check; full value oracle)
+    # sketches (r6-green anchor)
     "heavy_hitters_cms",
-    # lake / SCD2 / audit / segmentation (first driver checks)
+    # lake / SCD2 (scd2 green anchor; schema evolution first check)
     "scd2_point_snapshot",
-    "rfm_segments",
-    "functional_dependency_audit",
-    # dedup
+    "merge_schema_evolution",
+    # sequence / behavior analytics (first checks)
+    "markov_transitions",
+    "skyline_pareto",
+    "padding_waste_by_bucket",
+    # dedup (+ the LSH recall-audit first check)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    # similarity search / clustering
+    "dedup_lsh_recall",
+    # similarity search / clustering (+ filtered IVF first check)
     "knn_cosine_topk",
     "kmeans_clusters",
+    "knn_ivf_filtered_topk",
     # sequence packing (distributed prefix sum)
     "pack_sequences",
     # streaming
@@ -136,9 +144,10 @@ CHECKED_FIRST = [
     "stream_stateful_user_totals",
     "stream_interval_join",
     "stream_dedup",
-    # UDF / multimodal / membership
+    # UDF / multimodal / membership (+ audio-window first check)
     "udf_grouped_zscore",
     "multimodal_features",
+    "multimodal_audio_windows",
     "update_bloom_prefilter",
 ]
 
