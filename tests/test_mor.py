@@ -159,3 +159,48 @@ def test_merge_schema_evolution_duplicate_keys_still_raise(spark):
         merge_upsert(
             _base(spark), upd, ["id"], evolve_schema=True
         ).collect()
+
+
+def test_cdc_apply_semantics(spark):
+    """I/U/D in one batch: delete removes, update replaces, insert
+    appends, untouched base carries through, absent-key delete no-ops."""
+    from video_metadata_db_spark.operators.mor import cdc_apply
+
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "B", 200),
+            (9, "I", "z", 900),
+            (3, "D", None, None),
+            (77, "D", None, None),  # absent key: no-op
+        ],
+        "id long, op string, name string, v long",
+    )
+    got = {
+        r["id"]: (r["name"], r["v"], r["cdc_action"])
+        for r in cdc_apply(
+            _base(spark), changes, ["id"], mark_col="cdc_action"
+        ).collect()
+    }
+    assert got == {
+        1: ("a", 10, "base"),
+        2: ("B", 200, "updated"),
+        9: ("z", 900, "inserted"),
+    }
+
+
+def test_cdc_apply_rejects_bad_batches(spark):
+    """Duplicate keys and unknown ops fail loudly at execution."""
+    from video_metadata_db_spark.operators.mor import cdc_apply
+
+    dup = spark.createDataFrame(
+        [(2, "U", "B", 200), (2, "D", None, None)],
+        "id long, op string, name string, v long",
+    )
+    with pytest.raises(Exception, match="duplicate change key"):
+        cdc_apply(_base(spark), dup, ["id"]).collect()
+
+    badop = spark.createDataFrame(
+        [(2, "X", "B", 200)], "id long, op string, name string, v long"
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        cdc_apply(_base(spark), badop, ["id"]).collect()

@@ -156,3 +156,88 @@ def snapshot_read(
             delete_keys.select(*keys).distinct(), on=keys, how="left_anti"
         )
     return cur
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    op_col: str = "op",
+    mark_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changefeed with explicit row operations in ONE pass:
+    ``changes`` carries ``op_col`` ∈ {'I','U','D'} plus the full
+    payload — the Debezium/Delta-CDF-shaped batch every replication
+    pipeline lands (the reference's update mode,
+    video_metadata_db.py:443-476, is the I-only special case).
+
+    Semantics (one full-outer equi-join on the key, the merge_upsert
+    plan shape):
+
+    - 'D' removes the key (a delete for an absent key is a no-op);
+    - 'I'/'U' both upsert — the payload replaces the base row or
+      inserts a new one (idempotent re-delivery safe: replaying the
+      same changefeed yields the same table);
+    - base rows untouched by the changefeed carry through;
+    - duplicate keys in one batch raise, exactly like merge_upsert —
+      a changefeed must be key-netted before apply (CDC compaction),
+      silently applying two ops to one key in an unordered batch is
+      never deterministic.
+
+    ``mark_col`` tags survivors 'base' / 'updated' / 'inserted'
+    (deleted rows are gone, so no tag).  Scale: one hash shuffle on
+    the key (zero when both sides are bucketed on it); the op filter
+    is a projection, not a second join.
+    """
+    keys = list(key_cols)
+    payload = [c for c in base.columns if c not in set(keys)]
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing payload columns: {missing}")
+    b = base.select(*keys, F.lit(1).alias("_in_base"), *payload)
+    dup_msg = F.concat(
+        F.lit("cdc_apply: duplicate change key ("),
+        F.concat_ws(",", *[F.col(k).cast("string") for k in keys]),
+        F.lit(")"),
+    )
+    op_msg = F.concat(F.lit("cdc_apply: unknown op '"), F.col("_op"), F.lit("'"))
+    c = (
+        changes.select(
+            *keys, F.col(op_col).alias("_op"),
+            *[F.col(x).alias(f"_u_{x}") for x in payload],
+        )
+        .withColumn("_k_cnt", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .select(
+            *keys,
+            # both asserts folded into the flag so the optimizer can't
+            # prune them (the merge_upsert discipline)
+            F.when(
+                F.assert_true(F.col("_k_cnt") == 1, dup_msg).isNull()
+                & F.assert_true(F.col("_op").isin("I", "U", "D"), op_msg).isNull(),
+                F.lit(1),
+            ).alias("_in_chg"),
+            "_op",
+            *[f"_u_{x}" for x in payload],
+        )
+    )
+    joined = b.join(c, on=keys, how="full_outer")
+    survivors = joined.filter(
+        F.col("_in_chg").isNull() | (F.col("_op") != "D")
+    )
+    out = [
+        *keys,
+        *[
+            F.when(F.col("_in_chg").isNotNull(), F.col(f"_u_{x}"))
+            .otherwise(F.col(x))
+            .alias(x)
+            for x in payload
+        ],
+    ]
+    if mark_col is not None:
+        out.append(
+            F.when(F.col("_in_chg").isNull(), "base")
+            .when(F.col("_in_base").isNull(), "inserted")
+            .otherwise("updated")
+            .alias(mark_col)
+        )
+    return survivors.select(*out)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.mor import merge_upsert, snapshot_read
+from ..operators.mor import cdc_apply, merge_upsert, snapshot_read
 from ..sources.tables import load_table
 from .registry import query
 
@@ -207,6 +207,95 @@ def q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_order_day",
         "merge_action",
     ).orderBy("c_custkey")
+
+
+@query(
+    "merge_cdc_apply",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS k, count(*) AS cnt,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+chg AS (
+  SELECT k AS c_custkey, 'U' AS op,
+         'upd_' || CAST(k AS VARCHAR) AS c_name, cents AS acctbal_cents
+  FROM spend WHERE cnt > 10 AND k % 89 <> 0
+  UNION ALL
+  SELECT k + 10000000, 'I', 'new_' || CAST(k AS VARCHAR), cents
+  FROM spend WHERE k % 97 = 0
+  UNION ALL
+  SELECT k, 'D', NULL, NULL FROM spend WHERE k % 89 = 0
+),
+b AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+            ELSE b.c_name END AS c_name,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.acctbal_cents
+            ELSE b.acctbal_cents END AS acctbal_cents,
+       CASE WHEN c.c_custkey IS NULL THEN 'base'
+            WHEN b.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS cdc_action
+FROM b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+WHERE c.op IS NULL OR c.op <> 'D'
+ORDER BY c_custkey
+""",
+)
+def q_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a full CDC batch — inserts, updates AND deletes in one
+    changefeed (``operators/mor.cdc_apply``): heavy buyers not in the
+    delete slice get their row updated, a shifted key slice inserts,
+    and every custkey % 89 == 0 is tombstoned away.  The
+    Debezium-shaped op-column batch `merge_upsert` (I/U only) and
+    `mor_snapshot_read` (separate delete files) bracket from each
+    side; one operator, one full-outer hash join, op filter as a
+    projection.
+
+    Delete rows carry NULL payload (tombstones have no after-image);
+    the oracle replays the identical join + op filter in plain SQL and
+    checks every surviving row's action tag."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+    )
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    upd = spend.filter((F.col("cnt") > 10) & (F.col("k") % 89 != 0)).select(
+        F.col("k").alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("upd_"), F.col("k").cast("string")).alias("c_name"),
+        F.col("cents").alias("acctbal_cents"),
+    )
+    ins = spend.filter(F.col("k") % 97 == 0).select(
+        (F.col("k") + 10000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new_"), F.col("k").cast("string")).alias("c_name"),
+        F.col("cents").alias("acctbal_cents"),
+    )
+    dels = spend.filter(F.col("k") % 89 == 0).select(
+        F.col("k").alias("c_custkey"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("long").alias("acctbal_cents"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    applied = cdc_apply(base, changes, ["c_custkey"], mark_col="cdc_action")
+    return applied.orderBy("c_custkey")
 
 
 @query(
