@@ -343,3 +343,111 @@ def q_sq8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _recall_oracle() -> str:
+    """Flat-ADC recall@k vs the exact sq-L2 ground truth: the full ADC
+    replay (`_adc_oracle`'s CTE chain) joined against a brute-force
+    exact top-k, recall = overlap / k per query."""
+    ctes = ",".join(_sub_ctes(s) for s in range(_M))
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    qd = _qd_ctes(ids)
+    code_joins = " ".join(
+        f"JOIN code{s} x{s} ON x0.vec_id = x{s}.vec_id" for s in range(1, _M)
+    )
+    qd_joins = " ".join(
+        f"JOIN qd{s} ON qd{s}.code = x{s}.code AND qd{s}.query_id = qd0.query_id"
+        for s in range(1, _M)
+    )
+    total = " + ".join(f"qd{s}.d" for s in range(_M))
+    return f"""
+WITH {ctes},{qd},
+scored AS (
+  SELECT qd0.query_id, x0.vec_id AS cand_id,
+         round({total}, 6) AS approx_sq_dist
+  FROM code0 x0 {code_joins}
+  JOIN qd0 ON qd0.code = x0.code {qd_joins}
+  WHERE x0.vec_id NOT IN ({ids})
+),
+approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx_sq_dist, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_TOPK}
+),
+ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, 65),
+               i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i]))), x.vec_id) AS rn
+    FROM (SELECT * FROM ef WHERE vec_id IN ({ids})) q
+    CROSS JOIN (SELECT * FROM ef WHERE vec_id NOT IN ({ids})) x
+  ) WHERE rn <= {_TOPK}
+)
+SELECT a.query_id,
+       CAST(count(e.cand_id) AS BIGINT) AS n_hits,
+       CAST(round(count(e.cand_id) / {float(_TOPK)}, 2) AS DOUBLE) AS recall_at_k
+FROM approx a LEFT JOIN exact e
+  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY a.query_id ORDER BY a.query_id
+"""
+
+
+@query("adc_recall_audit", oracle=_recall_oracle())
+def q_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the compressed flat-ADC search against the EXACT
+    squared-L2 top-{k} — the one metric every production ANN
+    deployment monitors per release (compression that silently drops
+    recall poisons downstream retrieval; FAISS benchmarks report
+    exactly this).  Composes two already-verified pipelines: the PQ/ADC
+    ranking of `pq_adc_topk` and a brute-force ground truth using the
+    SAME left-to-right distance fold both engines replay
+    bit-identically.
+
+    Scale shape: the approx side touches only the m-byte code table
+    (broadcast distance tables); the exact side is one broadcast-query
+    corpus scan with a WindowGroupLimit top-k — the expensive-but-
+    linear audit you run on a SAMPLE of queries, not per request.  The
+    final recall is a |queries|-row join + count."""
+    from ..operators.quantization import _sq_dist_cols, pq_adc_topk
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = pq_adc_topk(emb, _QUERY_IDS, topk=_TOPK).select(
+        "query_id", "cand_id"
+    )
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.filter(~F.col("vec_id").isin(_QUERY_IDS))
+    w = Window.partitionBy("query_id").orderBy("d", "cand_id")
+    exact = (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _sq_dist_cols(F.col("qv"), F.col("v")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOPK)
+        .select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    )
+    return (
+        approx.join(exact, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(_TOPK)), 2)
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
