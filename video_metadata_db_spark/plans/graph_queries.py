@@ -197,6 +197,145 @@ def q_frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Minimum confidence for an emitted rule (the A-Priori rule filter).
+#: 12%: with ~25 near-uniform brands a basket's conditional brand rate
+#: tops out near 16-32% depending on SF (measured at sf0.001/0.01/0.1),
+#: so the floor prunes the undifferentiated tail while staying
+#: non-vacuous at every test SF; the top-25-by-confidence LIMIT is the
+#: actual deliverable.
+_RULE_MIN_CONF_PCT = 12
+
+
+@query(
+    "association_rules_confidence",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS order_id, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+item_counts AS (
+  SELECT item, count(*) AS n_item FROM baskets GROUP BY item
+),
+freq_items AS (
+  SELECT item, n_item FROM item_counts WHERE n_item >= {_PAIR_MIN_SUPPORT}
+),
+fb AS (
+  SELECT b.order_id, b.item, f.n_item
+  FROM baskets b JOIN freq_items f USING (item)
+),
+pairs AS (
+  SELECT a.item AS brand_a, b.item AS brand_b,
+         count(*) AS n_both,
+         any_value(a.n_item) AS n_a, any_value(b.n_item) AS n_b
+  FROM fb a JOIN fb b ON a.order_id = b.order_id AND a.item < b.item
+  GROUP BY 1, 2
+),
+total AS (SELECT count(DISTINCT order_id) AS n_baskets FROM baskets),
+rules AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent,
+         n_both, n_a AS n_antecedent, n_b AS n_consequent FROM pairs
+  UNION ALL
+  SELECT brand_b, brand_a, n_both, n_b, n_a FROM pairs
+)
+SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both,
+       CAST(round(n_both / (1.0 * n_antecedent), 6) AS DOUBLE) AS confidence,
+       CAST(round((n_both * 1.0 * n_baskets)
+                  / (n_antecedent * 1.0 * n_consequent), 6) AS DOUBLE) AS lift
+FROM rules CROSS JOIN total
+WHERE n_both >= {_PAIR_MIN_SUPPORT}
+  AND 100 * n_both >= {_RULE_MIN_CONF_PCT} * n_antecedent
+ORDER BY confidence DESC, antecedent, consequent
+LIMIT 25
+""",
+)
+def q_association_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RULES step of A-Priori on top of `frequent_brand_pairs`'
+    support mining: each frequent pair emits both directed rules
+    a→b and b→a, confidence = P(consequent | antecedent) =
+    n_both/n_antecedent, filtered at ≥{_RULE_MIN_CONF_PCT}% — what a
+    recommender actually deploys (lift says the pair co-occurs more
+    than chance; confidence says which DIRECTION predicts).
+
+    The confidence filter runs as an exact integer cross-multiply
+    (100·n_both ≥ conf·n_ant — no float threshold boundary to disagree
+    on), the direction expansion is a 2× union of the pair frame
+    (output-sized, never the corpus), and the two reported ratios are
+    single divisions of exactly-agreed integers rounded at 6 dp.
+    Scale shape identical to `frequent_brand_pairs`: item prune →
+    per-basket pair expansion → one pair count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("item")
+        )
+        .distinct()
+    )
+    item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    freq_items = item_counts.filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
+    fb = baskets.join(F.broadcast(freq_items), "item").select(
+        "order_id", "item", "n_item"
+    )
+    a = fb.alias("a")
+    b = fb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.order_id") == F.col("b.order_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("brand_a"), F.col("b.item").alias("brand_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_both"),
+            F.any_value(F.col("a.n_item")).alias("n_a"),
+            F.any_value(F.col("b.n_item")).alias("n_b"),
+        )
+        .filter(F.col("n_both") >= _PAIR_MIN_SUPPORT)
+    )
+    rules = pairs.select(
+        F.col("brand_a").alias("antecedent"),
+        F.col("brand_b").alias("consequent"),
+        "n_both",
+        F.col("n_a").alias("n_antecedent"),
+        F.col("n_b").alias("n_consequent"),
+    ).unionByName(
+        pairs.select(
+            F.col("brand_b").alias("antecedent"),
+            F.col("brand_a").alias("consequent"),
+            "n_both",
+            F.col("n_b").alias("n_antecedent"),
+            F.col("n_a").alias("n_consequent"),
+        )
+    )
+    total = baskets.agg(F.count_distinct(F.col("order_id")).alias("n_baskets"))
+    return (
+        rules.filter(
+            100 * F.col("n_both") >= _RULE_MIN_CONF_PCT * F.col("n_antecedent")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.round(F.col("n_both") / (F.lit(1.0) * F.col("n_antecedent")), 6)
+            .cast("double")
+            .alias("confidence"),
+            F.round(
+                (F.col("n_both") * F.lit(1.0) * F.col("n_baskets"))
+                / (F.col("n_antecedent") * F.lit(1.0) * F.col("n_consequent")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+        .orderBy(F.col("confidence").desc(), "antecedent", "consequent")
+        .limit(25)
+    )
+
+
 def _supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (s1 < s2) supplier co-occurrence edges: pairs sharing
     at least max(pair_count)/2 orders (the scale-adaptive threshold of
