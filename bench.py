@@ -238,8 +238,13 @@ HEADLINE = [
     "knn_ivf_filtered_topk",
     "poisson_quantity_model",
     "ab_test_power",
-    # round-7 addition: MERGE with schema evolution (lake family)
+    # round-7 additions: lake schema evolution + CDC apply, ANN recall
+    # audit, directed association rules, lead-lag CCF
     "merge_schema_evolution",
+    "merge_cdc_apply",
+    "adc_recall_audit",
+    "association_rules_confidence",
+    "ccf_click_purchase",
 ]
 
 REPEATS = 2

@@ -3441,3 +3441,131 @@ def q_revenue_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 6) AS DOUBLE)"
         ).alias("variance_ratio"),
     )
+
+
+@query(
+    "ccf_click_purchase",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT CAST((epoch(h) - epoch(b.lo)) // 3600 AS BIGINT) AS i
+  FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds) g CROSS JOIN bounds b
+),
+hourly AS (
+  SELECT CAST((epoch(date_trunc('hour', ts)) - epoch(b.lo)) // 3600 AS BIGINT)
+           AS i,
+         event_type, count(*) AS c
+  FROM events CROSS JOIN bounds b GROUP BY 1, 2
+),
+wide AS (
+  SELECT g.i,
+         COALESCE(MAX(CASE WHEN event_type = 'click' THEN c END), 0) AS x,
+         COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN c END), 0) AS y
+  FROM grid g LEFT JOIN hourly ON hourly.i = g.i
+  GROUP BY g.i
+),
+lagged AS (
+  SELECT l.lag, a.x, b.y
+  FROM (SELECT unnest(range(-3, 4)) AS lag) l
+  JOIN wide a ON TRUE
+  JOIN wide b ON b.i = a.i + l.lag
+),
+m AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM lagged GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_pairs,
+       CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                  / NULLIF(sqrt(CAST(n AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                           * sqrt(CAST(n AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy), 0),
+                  6) AS DOUBLE) AS ccf
+FROM m ORDER BY lag_hours
+""",
+)
+def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between hourly click and purchase
+    volumes at lags −3..+3 hours — the attribution-lag diagnostic
+    `correlation_matrix` (lag 0 only) can't answer: a CCF peaking at
+    +1 says clicks LEAD purchases by an hour, the input to campaign
+    attribution windows and demand nowcasting.
+
+    Dense hour grid (empty buckets count 0 — the `correlation_matrix`
+    discipline), hour index as exact epoch arithmetic (no window), the
+    7 lags expanded from a literal array and matched with ONE
+    aggregate-domain equi-join (b.i = a.i + lag); per-lag moments are
+    exact HUGEINT/DECIMAL(38,0) sums cast to DOUBLE before the
+    co-moment products (the r7 overflow-safe combination).  Scale: the
+    corpus prices one (hour, type) rollup; everything after runs on
+    the calendar-bounded grid."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"),
+            "lo",
+        )
+        .select(
+            F.expr("(unix_seconds(h) - unix_seconds(lo)) div 3600").alias("i")
+        )
+    )
+    hourly = (
+        events.crossJoin(F.broadcast(bounds.select("lo")))
+        .groupBy(
+            F.expr(
+                "(unix_seconds(date_trunc('hour', ts)) - unix_seconds(lo))"
+                " div 3600"
+            ).alias("i"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = (
+        grid.join(hourly, "i", "left")
+        .groupBy("i")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "click", F.col("c"))),
+                F.lit(0),
+            ).alias("x"),
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "purchase", F.col("c"))),
+                F.lit(0),
+            ).alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = wide.select("i", "x").crossJoin(F.broadcast(lags))
+    b = wide.select(F.col("i").alias("j"), "y")
+    lagged = a.join(b, F.col("j") == F.col("i") + F.col("lag"))
+    dec = "decimal(38,0)"
+    m = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / NULLIF(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            "          * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),"
+            " 0), 6) AS DOUBLE)"
+        ).alias("ccf"),
+    ).orderBy("lag_hours")
