@@ -394,3 +394,33 @@ def test_variance_ratio_windows_are_day_bounded(spark):
     assert agg_ids and min(agg_ids) < window_id, (
         "lag window must consume the day-domain rollup, not the corpus"
     )
+
+
+def test_cdc_apply_is_single_join(spark):
+    """One full-outer hash join on the key; the op filter must be a
+    projection/filter, never a second join against the changefeed."""
+    p = plan_of(spark, "merge_cdc_apply")
+    tree = p.partition("\n\n")[0]
+    assert tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin") <= 2, (
+        "base-vs-changefeed apply must not multiply joins "
+        "(1 merge join + at most 1 for the spend rollup side)"
+    )
+    assert "FullOuter" in p
+
+
+def test_recall_audit_exact_side_is_broadcast_topk(spark):
+    """The ground-truth side must broadcast the 5 queries onto one
+    corpus scan and push the per-query top-k down as a group limit —
+    a shuffled corpus self-join here would be the scale killer."""
+    p = plan_of(spark, "adc_recall_audit")
+    assert "WindowGroupLimit" in p, "exact top-k must push a group limit"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_ccf_windows_stay_on_grid_domain(spark):
+    """The lag expansion must run on the calendar-bounded hour grid
+    (one aggregate-domain equi-join), with the corpus priced by a
+    single (hour, type) rollup — no window operator at all."""
+    p = plan_of(spark, "ccf_click_purchase")
+    assert "Window" not in p.partition("\n\n")[0]
+    assert p.count("Scan parquet") <= 6  # events scanned for bounds+hourly, tree+detail

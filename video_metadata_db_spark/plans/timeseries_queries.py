@@ -3545,6 +3545,10 @@ def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("y"),
         )
+        # the lag match self-joins this frame: checkpoint the
+        # calendar-bounded grid so the corpus rollup prices ONCE, not
+        # once per side (the pagerank lineage-cut discipline)
+        .localCheckpoint(eager=True)
     )
     lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
     a = wide.select("i", "x").crossJoin(F.broadcast(lags))
