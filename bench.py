@@ -289,6 +289,16 @@ def main() -> None:
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Phase-split measurements (tools/ann_phases.py +
+    # tools/components_phases.py write PHASES.json): queries whose
+    # registered form prices a one-time premise/index build carry their
+    # steady-state phase cost here, next to the headline number.
+    phases_path = Path(__file__).resolve().parent / "PHASES.json"
+    if phases_path.exists():
+        try:
+            detail["phases"] = json.loads(phases_path.read_text())
+        except (OSError, ValueError):
+            pass
     print(json.dumps(detail), file=sys.stderr)
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
