@@ -245,6 +245,8 @@ HEADLINE = [
     "adc_recall_audit",
     "association_rules_confidence",
     "ccf_click_purchase",
+    "graph_peeling_profile",
+    "mrl_prefix_recall",
 ]
 
 REPEATS = 2

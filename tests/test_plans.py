@@ -424,3 +424,11 @@ def test_ccf_windows_stay_on_grid_domain(spark):
     p = plan_of(spark, "ccf_click_purchase")
     assert "Window" not in p.partition("\n\n")[0]
     assert p.count("Scan parquet") <= 6  # events scanned for bounds+hourly, tree+detail
+
+
+def test_mrl_prefix_scans_share_broadcast_topk_shape(spark):
+    """Every prefix pass must keep the knn shape: broadcast queries,
+    pushed per-query group limit, no cartesian."""
+    p = plan_of(spark, "mrl_prefix_recall")
+    assert p.count("WindowGroupLimit") >= 3, "each prefix needs a group limit"
+    assert "BroadcastNestedLoopJoin" in p

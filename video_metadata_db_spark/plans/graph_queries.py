@@ -1177,3 +1177,117 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("assortativity"),
     )
+
+
+#: Peeling rounds in the degeneracy profile (thresholds escalate
+#: (r+1)·k/2 for r = 1..4 around the graph's mean degree k).
+_PEEL_ROUNDS = 4
+
+
+def _peeling_oracle() -> str:
+    """Unrolled escalating-threshold peeling: MATERIALIZED CTEs keep
+    DuckDB from re-evaluating the whole chain once per scalar
+    subquery (it re-inlines non-materialized CTEs)."""
+    ctes = [
+        """trade AS MATERIALIZED (
+  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)""",
+        """e0 AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM trade UNION ALL SELECT b, a FROM trade
+)""",
+        """kv AS MATERIALIZED (
+  SELECT CAST(count(*) // (2 * count(DISTINCT src)) AS BIGINT) AS k FROM e0
+)""",
+    ]
+    for r in range(1, _PEEL_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"d{r} AS MATERIALIZED "
+            f"(SELECT src, count(*) AS d FROM {prev} GROUP BY src)"
+        )
+        ctes.append(
+            f"keep{r} AS MATERIALIZED (SELECT src FROM d{r} CROSS JOIN kv "
+            f"WHERE d >= ({r} + 1) * k // 2)"
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep{r} a ON e.src = a.src JOIN keep{r} b ON e.dst = b.src
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(DISTINCT src) AS BIGINT) FROM e{r}) AS n_nodes,"
+        f" (SELECT CAST(count(*) // 2 AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, _PEEL_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY round"
+
+
+@query("graph_peeling_profile", oracle=_peeling_oracle())
+def q_graph_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degeneracy/peeling profile of the trade graph: four rounds of
+    k-core-style peeling at escalating degree thresholds
+    ((r+1)·k/2 around the mean degree k), reporting surviving
+    (nodes, edges) per round — the cohesion fingerprint community
+    detection and spam-cluster triage read (a graph whose profile
+    collapses early has no dense core; one that plateaus has a
+    hub backbone).  On THIS bipartite graph the small supplier side
+    caps customer degrees, so late rounds legitimately empty — the
+    collapse point IS the diagnostic and scales with the supplier
+    count.
+
+    Determinism: the base threshold k is exact integer division of
+    exact counts (2|E| div 2|V|), per-round thresholds are integer
+    arithmetic, and every peel is an exact degree filter — no floats
+    anywhere.  Scale shape: each round is one degree aggregate + two
+    semi-joins on the surviving edge set (monotonically shrinking),
+    with an eager localCheckpoint lineage cut per round (the pagerank
+    discipline); k is the only driver-side value (one scalar).  The
+    oracle unrolls the same four rounds as MATERIALIZED CTEs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    trade = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    e0 = (
+        trade.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionByName(
+            trade.select(
+                F.col("snode").alias("src"), F.col("cnode").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    k = int(
+        e0.agg(
+            F.expr("count(1) div (2 * count(DISTINCT src))").alias("k")
+        ).collect()[0]["k"]
+    )
+    cur = e0
+    rounds = []
+    for r in range(1, _PEEL_ROUNDS + 1):
+        thr = (r + 1) * k // 2
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= thr).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        rounds.append(
+            cur.agg(
+                F.count_distinct("src").cast("long").alias("n_nodes"),
+                F.expr("CAST(count(1) div 2 AS BIGINT)").alias("n_edges"),
+            ).select(F.lit(r).cast("long").alias("round"), "n_nodes", "n_edges")
+        )
+    out = rounds[0]
+    for frame in rounds[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("round")

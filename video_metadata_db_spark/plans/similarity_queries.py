@@ -433,3 +433,110 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_sq",
         "max_sq",
     ).orderBy("label")
+
+
+#: Matryoshka prefix dimensions evaluated against the full-width truth.
+_MRL_PREFIXES = (16, 32, 64)
+
+
+def _mrl_oracle() -> str:
+    """Per-prefix exact sq-L2 top-K vs the 64-dim truth; recall is the
+    overlap count / K.  One CTE pair per prefix, all on the same
+    double-cast corpus."""
+    parts = []
+    for p in _MRL_PREFIXES:
+        parts.append(f"""
+top{p} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(range(1, {p} + 1),
+               i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i]))), x.vec_id) AS rn
+    FROM qv q CROSS JOIN cv x
+  ) WHERE rn <= {K}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {p} AS prefix_dim, a.query_id,"
+        f" CAST(count(t.cand_id) AS BIGINT) AS n_hits,"
+        f" CAST(round(count(t.cand_id) / {float(K)}, 2) AS DOUBLE) AS recall"
+        f" FROM top{p} a LEFT JOIN top64 t"
+        f" ON a.query_id = t.query_id AND a.cand_id = t.cand_id"
+        f" GROUP BY a.query_id"
+        for p in _MRL_PREFIXES
+    )
+    return f"""
+WITH ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+qv AS (SELECT * FROM ef WHERE vec_id IN ({_IDS})),
+cv AS (SELECT * FROM ef WHERE vec_id NOT IN ({_IDS})),
+{",".join(parts)}
+{unions}
+ORDER BY prefix_dim, query_id
+"""
+
+
+@query("mrl_prefix_recall", oracle=_mrl_oracle())
+def q_mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka evaluation: recall@{K} of truncated-prefix exact
+    search (first 16 / 32 / 64 dims) against the full-width ground
+    truth — the dimension-vs-quality curve MRL-trained embeddings are
+    deployed on (serve short prefixes cheaply, re-rank with the full
+    vector; Kusupati et al. 2022).  The 64-prefix row is the identity
+    anchor (recall 1.0 by construction), so a drift there flags the
+    harness, not the embeddings.
+
+    Per prefix: one broadcast-queries corpus scan with the prefix
+    slice folded left-to-right (bit-identical on both engines) and a
+    pushed per-query group limit; the recall join runs on K·|queries|
+    rows.  At corpus scale the prefix scans share the one cached
+    vector column — cost is |prefixes| linear passes over a SAMPLE of
+    queries, the same audit shape as `adc_recall_audit`."""
+    from pyspark.sql import Window
+
+    from ..operators.quantization import _sq_dist_cols
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = e.filter(~F.col("vec_id").isin(QUERY_IDS))
+    w = Window.partitionBy("query_id").orderBy("d", "cand_id")
+
+    def topk(prefix: int) -> DataFrame:
+        return (
+            cand.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("cand_id"),
+                _sq_dist_cols(
+                    F.slice(F.col("qv"), 1, prefix),
+                    F.slice(F.col("v"), 1, prefix),
+                ).alias("d"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K)
+            .select("query_id", "cand_id")
+        )
+
+    truth = topk(64).withColumn("_hit", F.lit(1))
+    per_prefix = [
+        topk(p)
+        .join(truth, ["query_id", "cand_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            F.lit(p).cast("long").alias("prefix_dim"),
+            "query_id",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(float(K)), 2)
+            .cast("double")
+            .alias("recall"),
+        )
+        for p in _MRL_PREFIXES
+    ]
+    out = per_prefix[0]
+    for frame in per_prefix[1:]:
+        out = out.unionByName(frame)
+    return out.orderBy("prefix_dim", "query_id")
