@@ -247,6 +247,8 @@ HEADLINE = [
     "ccf_click_purchase",
     "graph_peeling_profile",
     "mrl_prefix_recall",
+    "stream_cdc_apply",
+    "l_diversity_audit",
 ]
 
 REPEATS = 2

@@ -1321,3 +1321,71 @@ def q_class_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: l-diversity floor: a quasi-identifier group whose sensitive
+#: attribute takes fewer than this many distinct values is linkable
+#: even when k-anonymous (Machanavajjhala et al. 2007).
+_L_DIVERSITY = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS group_size,
+         CAST(count(DISTINCT (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                              + 10000000) // 200000) AS BIGINT) AS l_distinct
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, group_size, l_distinct,
+       l_distinct >= {_L_DIVERSITY} AS l_ok
+FROM g
+ORDER BY l_distinct, group_size DESC, c_nationkey, c_mktsegment
+LIMIT 20
+""",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attack k-anonymity misses: a
+    (nation, segment) group can be large (k-anonymous,
+    `k_anonymity_audit`) yet have every member in the SAME balance
+    band, so the sensitive value leaks by membership alone.  Reports
+    the 20 least-diverse quasi-identifier groups with their distinct
+    sensitive-band count and the ≥{_L_DIVERSITY} flag — the release
+    gate a privacy review runs next to the k check.
+
+    Sensitive attribute = $2000 account-balance bands from exact
+    integer cents, domain-shifted non-negative before the integer
+    division (Spark `div` truncates toward zero, DuckDB `//` floors —
+    they disagree on negatives; the shift makes them identical).  One
+    partial-aggregatable rollup (count + count-distinct over the QI
+    key); the distinct is bounded per group by the band domain, and
+    the worst-20 ordering has full deterministic tiebreaks."""
+    cust = load_table(spark, sf_dir, "customer")
+    # +10,000,000 cents shifts the +-999,999 domain non-negative so
+    # Spark's truncating `div` and DuckDB's flooring `//` agree (they
+    # diverge on negative balances)
+    band = F.expr(
+        "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 10000000) div 200000"
+    )
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.count_distinct(band).cast("long").alias("l_distinct"),
+    )
+    return (
+        g.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") >= _L_DIVERSITY).alias("l_ok"),
+        )
+        .orderBy(
+            "l_distinct",
+            F.col("group_size").desc(),
+            "c_nationkey",
+            "c_mktsegment",
+        )
+        .limit(20)
+    )

@@ -268,3 +268,130 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
     )
     return run_available_now(enriched, f"{work}/cp").orderBy("event_id")
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey AS k, count(*) AS cnt,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+chg AS (
+  SELECT k AS c_custkey, 'U' AS op,
+         'upd_' || CAST(k AS VARCHAR) AS c_name, cents AS acctbal_cents
+  FROM spend WHERE cnt > 10 AND k % 89 <> 0
+  UNION ALL
+  SELECT k + 10000000, 'I', 'new_' || CAST(k AS VARCHAR), cents
+  FROM spend WHERE k % 97 = 0
+  UNION ALL
+  SELECT k, 'D', NULL, NULL FROM spend WHERE k % 89 = 0
+),
+b AS (
+  SELECT c_custkey, c_name,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name
+            ELSE b.c_name END AS c_name,
+       CASE WHEN c.c_custkey IS NOT NULL THEN c.acctbal_cents
+            ELSE b.acctbal_cents END AS acctbal_cents
+FROM b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+WHERE c.op IS NULL OR c.op <> 'D'
+ORDER BY c_custkey
+""",
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC replication: the `merge_cdc_apply` changefeed
+    arrives as a file stream in TWO key-disjoint batches
+    (maxFilesPerTrigger=1), and a ``foreachBatch`` callback applies
+    each batch to a copy-on-write versioned table via
+    ``operators/mor.cdc_apply`` — the Debezium→lakehouse replication
+    loop end to end.  Key-disjoint batches make sequential apply
+    equal one-shot apply, so the BATCH oracle verifies the streamed
+    result value-for-value.
+
+    Exactly-once: each batch commits to ``v{batch_id+1}`` with
+    overwrite semantics, so a retried batch rewrites the same version
+    instead of double-applying (the `materialized.py` idempotent-merge
+    discipline); reads resolve the highest committed version.  Scale:
+    per batch, ONE full-outer join of the current snapshot with the
+    (small) batch — the same cost the batch operator pays, amortized
+    over the stream."""
+    import os
+
+    from ..operators.mor import cdc_apply
+
+    work = tempfile.mkdtemp(prefix="vmdb_scdc_")
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
+    )
+    base.coalesce(1).write.mode("overwrite").parquet(f"{work}/table/v0")
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    upd = spend.filter((F.col("cnt") > 10) & (F.col("k") % 89 != 0)).select(
+        F.col("k").alias("c_custkey"),
+        F.lit("U").alias("op"),
+        F.concat(F.lit("upd_"), F.col("k").cast("string")).alias("c_name"),
+        F.col("cents").alias("acctbal_cents"),
+    )
+    ins = spend.filter(F.col("k") % 97 == 0).select(
+        (F.col("k") + 10000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new_"), F.col("k").cast("string")).alias("c_name"),
+        F.col("cents").alias("acctbal_cents"),
+    )
+    dels = spend.filter(F.col("k") % 89 == 0).select(
+        F.col("k").alias("c_custkey"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("long").alias("acctbal_cents"),
+    )
+    changes = upd.unionByName(ins).unionByName(dels)
+    # two key-disjoint batch files -> two micro-batches
+    changes.filter(F.col("c_custkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/chg")
+    changes.filter(F.col("c_custkey") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/chg")
+
+    def latest_version() -> str:
+        vs = sorted(
+            int(d[1:])
+            for d in os.listdir(f"{work}/table")
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        return f"{work}/table/v{vs[-1]}"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = spark.read.parquet(latest_version())
+        applied = cdc_apply(cur, batch_df, ["c_custkey"])
+        applied.coalesce(1).write.mode("overwrite").parquet(
+            f"{work}/table/v{batch_id + 1}"
+        )
+
+    stream = file_stream(
+        spark, f"{work}/chg", changes.schema, max_files_per_trigger=1
+    )
+    from ..streaming.runner import run_foreach_batch
+
+    run_foreach_batch(stream, f"{work}/cp", apply_batch)
+    return spark.read.parquet(latest_version()).orderBy("c_custkey")
