@@ -249,6 +249,8 @@ HEADLINE = [
     "mrl_prefix_recall",
     "stream_cdc_apply",
     "l_diversity_audit",
+    "arrow_byte_stats",
+    "stratified_kfold_assign",
 ]
 
 REPEATS = 2

@@ -1437,3 +1437,64 @@ def q_padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+#: Folds in the stratified cross-validation assignment.
+_KFOLDS = 5
+
+
+@query(
+    "stratified_kfold_assign",
+    oracle=f"""
+WITH assigned AS (
+  SELECT source,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2147483647 % {_KFOLDS} AS fold
+  FROM documents
+),
+g AS (
+  SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY source, fold
+)
+SELECT source, fold, n_docs,
+       CAST(round(n_docs / (1.0 * SUM(n_docs) OVER (PARTITION BY source)), 4)
+            AS DOUBLE) AS fold_share
+FROM g
+ORDER BY source, fold
+""",
+)
+def q_stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified {k}-fold cross-validation assignment: every document
+    lands in exactly one fold via a salted-md5 hash of its id — the
+    same stateless discipline as `split_train_val_test`, extended to
+    the k-fold rotation an evaluation harness needs.  Reported per
+    (source, fold) with the within-source share, so stratification
+    balance is auditable at a glance (a fold drifting from 1/k inside
+    a stratum flags id-space structure leaking into the hash).
+
+    Stateless and stable under corpus growth: a document's fold is a
+    pure function of its id (no shuffle to assign, no leakage when
+    data is appended — re-running on a grown corpus never moves an
+    existing doc between folds).  One partial-aggregatable rollup on
+    the tiny (source × fold) domain; the share window runs on that
+    ~{_KFOLDS}·|sources|-row frame."""
+    from ..operators.dedup import hash31
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "source",
+        (hash31(F.col("doc_id").cast("string")) % _KFOLDS).alias("fold"),
+    )
+    g = assigned.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "fold",
+        "n_docs",
+        F.round(F.col("n_docs") / (F.lit(1.0) * F.sum("n_docs").over(w)), 4)
+        .cast("double")
+        .alias("fold_share"),
+    ).orderBy("source", "fold")

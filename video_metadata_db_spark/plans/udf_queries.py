@@ -339,3 +339,65 @@ def q_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "arrow_byte_stats",
+    oracle="""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(MAX(strlen(text)) AS BIGINT) AS max_doc_bytes
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte/char accounting through ``mapInArrow`` — the
+    LOWEST-overhead Python boundary Spark offers (raw Arrow
+    RecordBatches, no pandas materialization): the per-row byte and
+    character lengths are computed by Arrow C++ compute kernels
+    (``binary_length``/``utf8_length``), then aggregated JVM-side.
+    Complements the pandas_udf / grouped-map / UDTF coverage with the
+    one UDF API the inventory lacked; storage accounting (bytes vs
+    chars ratio ≈ UTF-8 multibyte share) is the natural fit because
+    the kernel IS the operation — no per-row Python at any point.
+
+    Scale: embarrassingly parallel map over Arrow batches (zero-copy
+    from the columnar scan), then one partial-aggregatable rollup on
+    the tiny (source) domain.  Exactness: byte and char counts are
+    integers; the oracle's DuckDB twins are strlen (bytes) and length
+    (chars)."""
+    import pyarrow as pa
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def lengths(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            text = rb.column(rb.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("source")),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["source", "n_bytes", "n_chars"],
+            )
+
+    long = docs.mapInArrow(
+        lengths, "source string, n_bytes long, n_chars long"
+    )
+    return (
+        long.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_bytes").cast("long").alias("max_doc_bytes"),
+        )
+        .orderBy("source")
+    )
