@@ -251,6 +251,7 @@ HEADLINE = [
     "l_diversity_audit",
     "arrow_byte_stats",
     "stratified_kfold_assign",
+    "stream_late_data_drop",
 ]
 
 REPEATS = 2

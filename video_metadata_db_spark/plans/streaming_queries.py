@@ -395,3 +395,75 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_foreach_batch(stream, f"{work}/cp", apply_batch)
     return spark.read.parquet(latest_version()).orderBy("c_custkey")
+
+
+@query(
+    "stream_late_data_drop",
+    oracle="""
+WITH cutoff AS (SELECT max(ts) - INTERVAL 2 HOUR AS lo FROM events),
+recent AS (SELECT * FROM events, cutoff WHERE ts >= lo)
+SELECT make_timestamp(CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 * 1000000)
+         AS win_start,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM recent
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+)
+def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK SEMANTICS under real checkpointed runs: run 1 drains
+    the recent 2 hours of events, committing a 30-minute watermark
+    (max(ts) − 30 min) to the checkpoint; run 2 (same checkpoint)
+    drains everything older — ALL of it late, every 10-minute window
+    long closed — and must emit nothing.  The result is the union of
+    both runs' update-mode emissions, so the oracle is the tumbling
+    rollup over ONLY the recent slice: one surviving late row breaks
+    the hash match, upgrading the suite-level watermark tests to a
+    driver-checked value contract.
+
+    Why two RUNS, not two micro-batches (measured, Spark 4.1.2):
+    within a single AvailableNow trigger the late-data filter
+    evaluates against the TRIGGER-START watermark — a two-batch
+    single-trigger staging drops nothing
+    (``numRowsDroppedByWatermark=0``) even while the progress line
+    shows the advanced watermark; across triggers the commit log
+    persists the watermark and the drop fires
+    (``numRowsDroppedByWatermark`` = the late count).  The restart
+    path is exactly the `stream_parquet_sink` recovery discipline, so
+    this also pins watermark survival across restarts.  State stays
+    bounded by the watermark horizon regardless of how old the late
+    firehose is — the bound this query asserts."""
+    work = tempfile.mkdtemp(prefix="vmdb_slate_")
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("lo")
+    )
+    split = events.crossJoin(F.broadcast(bounds))
+
+    def drain() -> None:
+        stream = file_stream(spark, f"{work}/src", events.schema)
+        agg = tumbling_counts(stream, watermark="30 minutes")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                batch_df.coalesce(1).write.mode("append").parquet(
+                    f"{work}/out"
+                )
+
+        from ..streaming.runner import run_foreach_batch
+
+        run_foreach_batch(
+            agg, f"{work}/cp", sink, output_mode="update"
+        )
+
+    split.filter(F.col("ts") >= F.col("lo")).drop("lo").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    drain()  # run 1: recent slice; watermark committed to checkpoint
+    split.filter(F.col("ts") < F.col("lo")).drop("lo").coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/src")
+    drain()  # run 2: all-late slice; must emit nothing
+    return spark.read.parquet(f"{work}/out").orderBy("win_start", "event_type")
