@@ -245,12 +245,14 @@ def jaccard_prefix_pairs(
     pairs.
 
     Reconciled r7 measurement (VERDICT r6 "what's wrong" #2): warm
-    best-of-5 in bench context (noop sink, local[32], quiet box,
-    sf0.1) is 5.6 s at BOTH 32 and 128 shuffle partitions, matching
-    BENCH_DETAIL's 5.67 s headline entry; the r6 standalone claims of
+    best-of-5 standalone in bench context (noop sink, local[32],
+    quiet box, sf0.1) is 5.6 s at BOTH 32 and 128 shuffle partitions;
+    headline-sweep runs across r6-r7 record 4.9-5.7 s for the same
+    query — one number family inside the documented ±25-30% warm
+    envelope, which is the committed claim (a single pinned decimal
+    here would go stale every sweep).  The r6 standalone claims of
     3.3 s / 4.0 s did not reproduce and are superseded — the rewrite's
-    verified benefit is structural (fewer exchanges), inside the
-    ±25-30% warm-run envelope on wall clock at this SF.
+    verified benefit is structural (fewer exchanges).
     """
     t10 = int(threshold_tenths)
 
