@@ -252,6 +252,7 @@ HEADLINE = [
     "arrow_byte_stats",
     "stratified_kfold_assign",
     "stream_late_data_drop",
+    "dedup_cluster_size_histogram",
 ]
 
 REPEATS = 2
