@@ -258,6 +258,22 @@ HEADLINE = [
 REPEATS = 2
 
 
+def _git_short_head() -> str | None:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", str(Path(__file__).resolve().parent), "rev-parse",
+             "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return None
+
+
 def main() -> None:
     from video_metadata_db_spark.plans import QUERIES
     from video_metadata_db_spark.session import get_spark
@@ -301,12 +317,27 @@ def main() -> None:
     # tools/components_phases.py write PHASES.json): queries whose
     # registered form prices a one-time premise/index build carry their
     # steady-state phase cost here, next to the headline number.
+    # The tools stamp a provenance block (tools/phases_io.py); if the
+    # split was measured on a different commit than this bench run, the
+    # embedded copy is marked stale instead of silently riding along
+    # (ADVICE r7).
     phases_path = Path(__file__).resolve().parent / "PHASES.json"
     if phases_path.exists():
         try:
-            detail["phases"] = json.loads(phases_path.read_text())
+            phases = json.loads(phases_path.read_text())
         except (OSError, ValueError):
-            pass
+            phases = None
+        if isinstance(phases, dict):
+            prov = phases.get("provenance")
+            if isinstance(prov, dict):
+                head = _git_short_head()
+                prov["stale"] = bool(
+                    prov.get("commit") and head and prov["commit"] != head
+                )
+            else:
+                # pre-provenance PHASES.json: unknown origin → stale
+                phases["provenance"] = {"commit": None, "stale": True}
+            detail["phases"] = phases
     print(json.dumps(detail), file=sys.stderr)
     try:
         Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(

@@ -204,3 +204,37 @@ def test_cdc_apply_rejects_bad_batches(spark):
     )
     with pytest.raises(Exception, match="unknown op"):
         cdc_apply(_base(spark), badop, ["id"]).collect()
+
+
+def test_versioned_table_retry_replays_pre_batch_snapshot(spark, tmp_path):
+    """ADVICE r7: a foreachBatch retry of batch N after its own
+    v{N+1} commit must re-apply against the PRE-batch snapshot (it
+    would otherwise read its own output and double-apply), and a
+    half-written version directory must never be resolvable as the
+    latest snapshot (commits are staging-dir + atomic rename)."""
+    from video_metadata_db_spark.operators.mor import (
+        VersionedParquetTable,
+        cdc_apply,
+    )
+
+    t = VersionedParquetTable(spark, str(tmp_path / "tbl"))
+    t.init(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    batch = spark.createDataFrame([(1, "U", 11), (3, "I", 30)], "k int, op string, v int")
+
+    def run_batch(batch_id: int) -> None:
+        t.commit(cdc_apply(t.read_for_batch(batch_id), batch, ["k"]), batch_id)
+
+    run_batch(0)
+    after_first = sorted((r.k, r.v) for r in t.latest().collect())
+    run_batch(0)  # retry AFTER its own commit: base must be v0 again
+    assert sorted((r.k, r.v) for r in t.latest().collect()) == after_first
+    assert after_first == [(1, 11), (2, 20), (3, 30)]
+
+    # a crashed commit leaves only a staging dir, which reads ignore
+    (tmp_path / "tbl" / ".v2.staging").mkdir()
+    assert sorted((r.k, r.v) for r in t.latest().collect()) == after_first
+    # and read_for_batch(0) still resolves v0, not v1
+    assert sorted((r.k, r.v) for r in t.read_for_batch(0).collect()) == [
+        (1, 10),
+        (2, 20),
+    ]

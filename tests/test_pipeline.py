@@ -302,6 +302,21 @@ def test_probe_videos_fields_narrow_schema(spark):
         probe_videos(listing, fields=("nope",))
 
 
+def test_records_build_from_any_narrowed_probe(spark, parts):
+    """Every PROBE_SCHEMA metadata field is elidable (ADVICE r7): a
+    probe narrowed away from e.g. title/duration_s — legitimate output
+    of probe_fields_for for a sink without those columns — must still
+    build records, not raise 'missing non-elidable columns'."""
+    listing, probes, sidecars = parts
+    probed = probe_from_fixture(filter_candidates(listing), probes)
+    for dropped in (("title", "duration_s"), ("n_streams", "container")):
+        narrowed = probed.drop(*dropped)
+        records, dead = build_metadata_records(listing, narrowed, sidecars)
+        assert records.count() > 0
+        for col in dropped:
+            assert col not in records.columns
+
+
 def test_corrupt_json_ingest_dead_letters(spark, tmp_path):
     """Malformed ingest rows must become dead-letter rows, not job
     failures (§2.9 at the SOURCE boundary): PERMISSIVE json reading

@@ -74,6 +74,9 @@ def main() -> None:
                     "rep": rep,
                 }
     print(json.dumps({"sf_dir": SF_DIR, **results}))
+    from phases_io import record_phases
+
+    record_phases({"sf_dir": SF_DIR, **results})
     spark.stop()
 
 

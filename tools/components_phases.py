@@ -72,6 +72,11 @@ def main() -> None:
             }
     results["sf_dir"] = SF_DIR
     print(json.dumps(results))
+    from phases_io import record_phases
+
+    record_phases({"sf_dir": SF_DIR, "dedup_components_incremental": {
+        k: v for k, v in results.items() if k != "sf_dir"
+    }})
     spark.stop()
 
 

@@ -241,3 +241,73 @@ def cdc_apply(
             .alias(mark_col)
         )
     return survivors.select(*out)
+
+
+class VersionedParquetTable:
+    """Minimal versioned-table commit protocol for foreachBatch CDC
+    replication: ``{root}/v{N}`` directories, each a complete snapshot
+    (copy-on-write, the Delta/Iceberg snapshot discipline with the
+    manifest replaced by the version number itself).
+
+    Retry safety (ADVICE r7): ``read_for_batch(batch_id)`` resolves the
+    highest committed version <= batch_id, so a batch retried after (or
+    during) its own ``v{batch_id+1}`` commit re-applies against the
+    PRE-batch snapshot rather than its own output; ``commit`` writes to
+    a dot-prefixed staging directory and atomically renames, so a crash
+    mid-write never leaves a half-version that a later read resolves as
+    the latest snapshot.  Exactly-once therefore needs no idempotent
+    apply function — replay always recomputes the same v{batch_id+1}
+    from the same base.
+
+    Scale: versions are metadata-only bookkeeping; each commit costs
+    exactly the apply plan's write.  A production lake would layer file
+    pruning / compaction on top (``sources/maintenance.py``); the
+    protocol here is the part Structured Streaming's foreachBatch
+    contract actually requires.
+    """
+
+    def __init__(self, spark, root: str) -> None:
+        import os
+
+        self._spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _versions(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(d[1:])
+            for d in os.listdir(self.root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def init(self, df: DataFrame) -> None:
+        """Write the v0 snapshot."""
+        df.coalesce(1).write.mode("overwrite").parquet(f"{self.root}/v0")
+
+    def latest(self) -> DataFrame:
+        return self._spark.read.parquet(f"{self.root}/v{self._versions()[-1]}")
+
+    def read_for_batch(self, batch_id: int) -> DataFrame:
+        """The base snapshot batch `batch_id` must apply against: the
+        highest committed version <= batch_id (v0 for the first batch)."""
+        vs = [v for v in self._versions() if v <= batch_id]
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed version <= {batch_id} under {self.root}"
+            )
+        return self._spark.read.parquet(f"{self.root}/v{vs[-1]}")
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        """Stage + atomically rename ``v{batch_id + 1}``; a re-commit of
+        the same batch id replaces the previous attempt."""
+        import os
+        import shutil
+
+        stage = f"{self.root}/.v{batch_id + 1}.staging"
+        final = f"{self.root}/v{batch_id + 1}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(stage, final)

@@ -314,25 +314,25 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal one-shot apply, so the BATCH oracle verifies the streamed
     result value-for-value.
 
-    Exactly-once: each batch commits to ``v{batch_id+1}`` with
-    overwrite semantics, so a retried batch rewrites the same version
-    instead of double-applying (the `materialized.py` idempotent-merge
-    discipline); reads resolve the highest committed version.  Scale:
+    Exactly-once (``operators/mor.VersionedParquetTable``): each batch
+    reads the highest committed version <= batch_id — never its own
+    output — applies, and commits ``v{batch_id+1}`` via staging dir +
+    atomic rename, so both a retry after its own commit and a crash
+    mid-write replay to the identical snapshot.  Scale:
     per batch, ONE full-outer join of the current snapshot with the
     (small) batch — the same cost the batch operator pays, amortized
     over the stream."""
-    import os
-
-    from ..operators.mor import cdc_apply
+    from ..operators.mor import VersionedParquetTable, cdc_apply
 
     work = tempfile.mkdtemp(prefix="vmdb_scdc_")
+    table = VersionedParquetTable(spark, f"{work}/table")
     cust = load_table(spark, sf_dir, "customer")
     base = cust.select(
         "c_custkey",
         "c_name",
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("acctbal_cents"),
     )
-    base.coalesce(1).write.mode("overwrite").parquet(f"{work}/table/v0")
+    table.init(base)
 
     spend = (
         load_table(spark, sf_dir, "orders")
@@ -371,22 +371,17 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(f"{work}/chg")
 
-    def latest_version() -> str:
-        vs = sorted(
-            int(d[1:])
-            for d in os.listdir(f"{work}/table")
-            if d.startswith("v") and d[1:].isdigit()
-        )
-        return f"{work}/table/v{vs[-1]}"
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cur = spark.read.parquet(latest_version())
-        applied = cdc_apply(cur, batch_df, ["c_custkey"])
-        applied.coalesce(1).write.mode("overwrite").parquet(
-            f"{work}/table/v{batch_id + 1}"
-        )
+        # retry safety (ADVICE r7): read_for_batch pins the base to the
+        # highest version <= batch_id, so a batch retried after (or
+        # during) its own v{batch_id+1} commit re-applies against the
+        # PRE-batch snapshot instead of its own output; commit stages +
+        # atomically renames so a crash mid-write never leaves a
+        # half-version a later read resolves as latest.
+        cur = table.read_for_batch(batch_id)
+        table.commit(cdc_apply(cur, batch_df, ["c_custkey"]), batch_id)
 
     stream = file_stream(
         spark, f"{work}/chg", changes.schema, max_files_per_trigger=1
@@ -394,7 +389,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.runner import run_foreach_batch
 
     run_foreach_batch(stream, f"{work}/cp", apply_batch)
-    return spark.read.parquet(latest_version()).orderBy("c_custkey")
+    return table.latest().orderBy("c_custkey")
 
 
 @query(
