@@ -20,6 +20,27 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
+#: Round-8 rotation: 12 first driver checks — the round-7 additions
+#: that had never had a CORRECTNESS row (merge_cdc_apply,
+#: stream_cdc_apply, stream_late_data_drop, adc_recall_audit,
+#: mrl_prefix_recall, association_rules_confidence,
+#: ccf_click_purchase, graph_peeling_profile, l_diversity_audit,
+#: arrow_byte_stats, stratified_kfold_assign,
+#: dedup_cluster_size_histogram), each fresh-process verified at
+#: sf0.001 / 0.01 / 0.1 via tools/drive_entry.py before this rotation
+#: was committed.  Out (all r7-green, every family keeps >=1 green
+#: representative, all still oracle-verified every test run):
+#: chi_square_independence, dow_revenue_anova, ab_test_power,
+#: revenue_variance_ratio, logistic_return_model,
+#: poisson_quantity_model, skyline_pareto, padding_waste_by_bucket,
+#: dedup_lsh_recall, knn_ivf_filtered_topk, multimodal_audio_windows,
+#: merge_schema_evolution.  Green anchors staying: gini_revenue
+#: (stats), markov_transitions (sequence/behavior), triangle_count
+#: (graph), heavy_hitters_cms (sketch), scd2_point_snapshot (lake),
+#: knn_cosine_topk + kmeans_clusters (similarity),
+#: multimodal_features (multimodal), the dedup four, the streaming
+#: five.
+#:
 #: Round-7 rotation (VERDICT r6 item 1, the judge's exact picks): 13
 #: first driver checks — the 8 round-6 additions
 #: (padding_waste_by_bucket, revenue_variance_ratio,
@@ -106,48 +127,47 @@ CHECKED_FIRST = [
     # text / quality
     "text_metrics",
     "filter_quality_rules",
-    # stats / distribution analytics — gini stays as the green anchor;
-    # the r6 GLM/ANOVA/power/variance additions get first checks
+    # stats / distribution analytics (gini anchor; privacy first check)
     "gini_revenue",
-    "chi_square_independence",
-    "dow_revenue_anova",
-    "ab_test_power",
-    "revenue_variance_ratio",
-    "logistic_return_model",
-    "poisson_quantity_model",
-    # graph analytics (triangle_count stays green anchor)
+    "l_diversity_audit",
+    # graph analytics (anchor + k-core peeling first check)
     "triangle_count",
+    "graph_peeling_profile",
     # sketches (r6-green anchor)
     "heavy_hitters_cms",
-    # lake / SCD2 (scd2 green anchor; schema evolution first check)
+    # lake / CDC (scd2 anchor; batch + streaming CDC first checks)
     "scd2_point_snapshot",
-    "merge_schema_evolution",
-    # sequence / behavior analytics (first checks)
+    "merge_cdc_apply",
+    "stream_cdc_apply",
+    # sequence / behavior / mining (anchor + first checks)
     "markov_transitions",
-    "skyline_pareto",
-    "padding_waste_by_bucket",
-    # dedup (+ the LSH recall-audit first check)
+    "association_rules_confidence",
+    "ccf_click_purchase",
+    # dedup (+ cluster-size-histogram first check)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    "dedup_lsh_recall",
-    # similarity search / clustering (+ filtered IVF first check)
+    "dedup_cluster_size_histogram",
+    # similarity search / clustering (+ ADC recall / MRL first checks)
     "knn_cosine_topk",
     "kmeans_clusters",
-    "knn_ivf_filtered_topk",
-    # sequence packing (distributed prefix sum)
+    "adc_recall_audit",
+    "mrl_prefix_recall",
+    # sequence packing (distributed prefix sum) + sampling first check
     "pack_sequences",
-    # streaming
+    "stratified_kfold_assign",
+    # streaming (+ watermark late-drop first check)
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_stateful_user_totals",
     "stream_interval_join",
     "stream_dedup",
-    # UDF / multimodal / membership (+ audio-window first check)
+    "stream_late_data_drop",
+    # UDF / multimodal / membership (+ Arrow byte-accounting first check)
     "udf_grouped_zscore",
     "multimodal_features",
-    "multimodal_audio_windows",
+    "arrow_byte_stats",
     "update_bloom_prefilter",
 ]
 
