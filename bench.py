@@ -253,6 +253,12 @@ HEADLINE = [
     "stratified_kfold_assign",
     "stream_late_data_drop",
     "dedup_cluster_size_histogram",
+    "span_dedup_crossdoc",
+    "record_linkage_blocking",
+    "zorder_skipping_audit",
+    "t_closeness_audit",
+    "theil_sen_trend",
+    "dsir_importance_weights",
 ]
 
 REPEATS = 2

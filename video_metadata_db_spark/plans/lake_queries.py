@@ -14,7 +14,7 @@ round-trip tested in tests/test_mor.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.mor import cdc_apply, merge_upsert, snapshot_read
@@ -359,4 +359,176 @@ def q_mor_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _zbit(shift_fmt: str, x: str, i: int) -> str:
+    return f"(({shift_fmt.format(x=x, i=i)}) % 2)"
+
+
+def _z16(x: str, y: str, shift_fmt: str) -> str:
+    """16-bit Morton (z-order) interleave of two 8-bit dims — the same
+    arithmetic emitted for both engines; only the shift syntax differs
+    (Spark `shiftright`, DuckDB `>>`)."""
+    terms = []
+    for i in range(8):
+        terms.append(f"{_zbit(shift_fmt, x, i)} * {1 << (2 * i + 1)}")
+        terms.append(f"{_zbit(shift_fmt, y, i)} * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+#: Box predicate on the quantized dims: a quarter of each axis.
+_ZBOX = (64, 95, 128, 191)
+
+
+def _zorder_oracle() -> str:
+    lo_x, hi_x, lo_y, hi_y = _ZBOX
+    z = _z16("px", "py", "({x} >> {i})")
+    return f"""
+WITH q AS (
+  SELECT l_orderkey, l_linenumber,
+         least(255, CAST(floor(l_partkey * 256.0
+               / ((SELECT max(l_partkey) FROM lineitem) + 1)) AS INT)) AS px,
+         least(255, CAST(floor(l_suppkey * 256.0
+               / ((SELECT max(l_suppkey) FROM lineitem) + 1)) AS INT)) AS py
+  FROM lineitem
+),
+laid AS (
+  SELECT px, py,
+         ntile(64) OVER (ORDER BY l_orderkey, l_linenumber) AS f_nat,
+         ntile(64) OVER (ORDER BY {z}, l_orderkey, l_linenumber) AS f_z
+  FROM q
+),
+files AS (
+  SELECT 'natural' AS layout, f_nat AS file_id, px, py FROM laid
+  UNION ALL
+  SELECT 'zorder' AS layout, f_z AS file_id, px, py FROM laid
+),
+stats AS (
+  SELECT layout, file_id,
+         min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py,
+         count(*) AS n_rows,
+         sum(CASE WHEN px BETWEEN {lo_x} AND {hi_x}
+                   AND py BETWEEN {lo_y} AND {hi_y}
+                  THEN 1 ELSE 0 END) AS hit_rows
+  FROM files GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN max_px >= {lo_x} AND min_px <= {hi_x}
+                      AND max_py >= {lo_y} AND min_py <= {hi_y}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+       CAST(sum(CASE WHEN max_px >= {lo_x} AND min_px <= {hi_x}
+                      AND max_py >= {lo_y} AND min_py <= {hi_y}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(hit_rows) AS BIGINT) AS rows_matching,
+       round(1.0 - sum(CASE WHEN max_px >= {lo_x} AND min_px <= {hi_x}
+                             AND max_py >= {lo_y} AND min_py <= {hi_y}
+                            THEN n_rows ELSE 0 END)
+                   / CAST(sum(n_rows) AS DOUBLE), 6) AS scan_saved
+FROM stats
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query("zorder_skipping_audit", oracle=_zorder_oracle())
+def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER data-skipping audit — the lakehouse layout decision
+    (Delta OPTIMIZE ZORDER BY / Iceberg sort orders) measured instead
+    of assumed: quantize (l_partkey, l_suppkey) to 8 bits each,
+    interleave into a 16-bit Morton code, split the table into 64
+    equal "files" under (a) natural insertion order and (b) z-order,
+    collect per-file min/max zone maps, and evaluate a quarter×quarter
+    box predicate against them.  Output per layout: files that zone
+    maps CANNOT skip, rows those files scan, true matching rows, and
+    the scan fraction saved — natural order reads ~everything (both
+    dims uncorrelated with insertion order), z-order confines the box
+    to the files whose Morton range intersects it.
+
+    Scale: this IS the 100 TB strategy — zone-map pruning is how a
+    petabyte scan skips; the z-sort here is `ntile` over the Morton
+    code for oracle parity, in production `repartitionByRange(z)` +
+    sortWithinPartitions gives the identical layout with no global
+    window.  The Morton code is pure integer arithmetic
+    (whole-stage-codegen'd), and the audit itself is one pass + a
+    64×2-row aggregate."""
+    lo_x, hi_x, lo_y, hi_y = _ZBOX
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    q = li.join(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(
+            F.lit(255),
+            F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1)),
+        )
+        .cast("int")
+        .alias("px"),
+        F.least(
+            F.lit(255),
+            F.floor(F.col("l_suppkey") * 256.0 / (F.col("maxs") + 1)),
+        )
+        .cast("int")
+        .alias("py"),
+    )
+    z = F.expr(_z16("px", "py", "shiftright({x}, {i})"))
+    laid = q.select(
+        "px",
+        "py",
+        F.ntile(64)
+        .over(Window.orderBy("l_orderkey", "l_linenumber"))
+        .alias("f_nat"),
+        F.ntile(64)
+        .over(Window.orderBy(z, F.col("l_orderkey"), F.col("l_linenumber")))
+        .alias("f_z"),
+    )
+    files = laid.select(
+        F.lit("natural").alias("layout"),
+        F.col("f_nat").alias("file_id"),
+        "px",
+        "py",
+    ).unionByName(
+        laid.select(
+            F.lit("zorder").alias("layout"),
+            F.col("f_z").alias("file_id"),
+            "px",
+            "py",
+        )
+    )
+    hit = F.when(
+        F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
+    ).otherwise(0)
+    stats = files.groupBy("layout", "file_id").agg(
+        F.min("px").alias("min_px"),
+        F.max("px").alias("max_px"),
+        F.min("py").alias("min_py"),
+        F.max("py").alias("max_py"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(hit).alias("hit_rows"),
+    )
+    must_read = (
+        (F.col("max_px") >= lo_x)
+        & (F.col("min_px") <= hi_x)
+        & (F.col("max_py") >= lo_y)
+        & (F.col("min_py") <= hi_y)
+    )
+    read_rows = F.when(must_read, F.col("n_rows")).otherwise(0)
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(must_read, 1).otherwise(0))
+            .cast("long")
+            .alias("files_read"),
+            F.sum(read_rows).cast("long").alias("rows_scanned"),
+            F.sum("hit_rows").cast("long").alias("rows_matching"),
+            F.round(
+                1.0 - F.sum(read_rows) / F.sum("n_rows").cast("double"), 6
+            ).alias("scan_saved"),
+        )
+        .orderBy("layout")
     )

@@ -2895,3 +2895,85 @@ def q_collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "record_linkage_blocking",
+    oracle="""
+WITH clean AS (
+  SELECT c_custkey, c_name, c_mktsegment, right(c_name, 3) AS blk
+  FROM customer
+),
+dirty AS (
+  SELECT c_custkey AS d_custkey,
+         replace(c_name, 'Customer#', 'Custmer#') AS d_name,
+         right(c_name, 3) AS blk
+  FROM customer WHERE c_custkey % 7 = 0
+),
+cand AS (
+  SELECT c.c_custkey, c.c_mktsegment, d.d_custkey,
+         levenshtein(c.c_name, d.d_name) AS lev
+  FROM clean c JOIN dirty d USING (blk)
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN lev <= 2 AND c_custkey = d_custkey
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       round(sum(CASE WHEN lev <= 2 AND c_custkey = d_custkey
+                      THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN lev <= 2 THEN 1 ELSE 0 END) AS DOUBLE),
+             6) AS match_precision
+FROM cand
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def q_record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD LINKAGE with blocking — entity resolution, the
+    Fellegi-Sunter pipeline shape: a deterministically "dirtied"
+    re-registration feed (every 7th customer, name typo
+    Customer→Custmer) must be matched back to the master table.
+    Blocking key = the name's last 3 digits (typo-invariant), so the
+    O(n_clean × n_dirty) comparison space collapses to Σ_blk
+    |clean_blk|×|dirty_blk|; within a block, similarity =
+    Levenshtein distance, match iff lev <= 2.  Reports per-segment
+    candidate volume, matches, true matches (same custkey), and
+    precision — the threshold-tuning table a linkage run produces.
+    The lev<=2 band deliberately admits near-collisions (digit
+    neighbours inside a block), so precision is a real number, not 1.
+
+    Scale: ONE hash equi-join on the block key (broadcast when the
+    dirty feed is an incremental batch), comparisons bounded per block
+    by key design (~n/1000 here) — never a cross join; Levenshtein
+    runs JVM-side (Catalyst `levenshtein`), no Python boundary."""
+    cust = load_table(spark, sf_dir, "customer")
+    blk = F.expr("right(c_name, 3)").alias("blk")
+    clean = cust.select("c_custkey", "c_name", "c_mktsegment", blk)
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.regexp_replace("c_name", "Customer#", "Custmer#").alias("d_name"),
+        blk,
+    )
+    cand = clean.join(dirty, "blk").select(
+        "c_custkey",
+        "c_mktsegment",
+        "d_custkey",
+        F.levenshtein("c_name", "d_name").alias("lev"),
+    )
+    matched = F.when(F.col("lev") <= 2, 1).otherwise(0)
+    true_m = F.when(
+        (F.col("lev") <= 2) & (F.col("c_custkey") == F.col("d_custkey")), 1
+    ).otherwise(0)
+    return (
+        cand.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(matched).cast("long").alias("n_matched"),
+            F.sum(true_m).cast("long").alias("n_true"),
+            F.round(
+                F.sum(true_m) / F.sum(matched).cast("double"), 6
+            ).alias("match_precision"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1389,3 +1389,132 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+#: t-closeness ceiling: a quasi-identifier group whose sensitive-value
+#: distribution sits farther than this (ordered EMD) from the global
+#: distribution leaks the attribute by membership (Li et al. 2007).
+_T_CLOSENESS = 0.2
+
+_BAND_SQL = "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 10000000) // 200000"
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+WITH rows_b AS (
+  SELECT c_nationkey, c_mktsegment, {_BAND_SQL} AS band FROM customer
+),
+bands AS (SELECT DISTINCT band FROM rows_b),
+m AS (SELECT count(*) AS n_bands FROM bands),
+total AS (SELECT count(*) AS n_all FROM rows_b),
+global_d AS (
+  SELECT band, count(*) AS g_cnt FROM rows_b GROUP BY band
+),
+groups AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+  FROM rows_b GROUP BY 1, 2
+),
+group_d AS (
+  SELECT c_nationkey, c_mktsegment, band, count(*) AS q_cnt
+  FROM rows_b GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.group_size, b.band,
+         coalesce(d.q_cnt, 0) / CAST(g.group_size AS DOUBLE)
+           - gd.g_cnt / CAST(t.n_all AS DOUBLE) AS diff
+  FROM groups g
+  CROSS JOIN bands b
+  JOIN global_d gd ON gd.band = b.band
+  CROSS JOIN total t
+  LEFT JOIN group_d d ON d.c_nationkey = g.c_nationkey
+    AND d.c_mktsegment = g.c_mktsegment AND d.band = b.band
+),
+cum AS (
+  SELECT c_nationkey, c_mktsegment, group_size,
+         sum(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+                         ORDER BY band
+                         ROWS UNBOUNDED PRECEDING) AS cum_diff
+  FROM grid
+)
+SELECT c_nationkey, c_mktsegment, group_size,
+       round(sum(abs(cum_diff)) / ((SELECT n_bands FROM m) - 1), 6) AS emd,
+       round(sum(abs(cum_diff)) / ((SELECT n_bands FROM m) - 1), 6)
+         <= {_T_CLOSENESS} AS t_ok
+FROM cum
+GROUP BY c_nationkey, c_mktsegment, group_size
+ORDER BY emd DESC, c_nationkey, c_mktsegment
+LIMIT 20
+""",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the release ladder after
+    `k_anonymity_audit` and `l_diversity_audit`: a group can be large
+    (k) AND diverse (l) yet still leak if its sensitive-value
+    DISTRIBUTION is skewed far from the table's (e.g. a group whose
+    balances are diverse but all high).  Distance = ordered Earth
+    Mover's Distance over the $2000 balance bands — the cumulative
+    formulation sum|cum(Q - P)| / (m - 1) from Li et al. 2007 — with
+    the 20 farthest quasi-identifier groups and the <= {_T_CLOSENESS}
+    release flag.
+
+    Scale: rows aggregate once to (group, band) cells; the EMD grid is
+    groups x bands — quasi-identifier cardinality by band domain, both
+    bounded by design, never row count — so the cross join is a
+    broadcast of a ~10-row band table and the cumulative window runs
+    on the tiny grid.  Everything after the first aggregate is
+    metadata-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.expr(
+        "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 10000000) div 200000"
+    ).alias("band")
+    rows_b = cust.select("c_nationkey", "c_mktsegment", band)
+    bands = rows_b.select("band").distinct()
+    global_d = rows_b.groupBy("band").agg(F.count(F.lit(1)).alias("g_cnt"))
+    totals = rows_b.agg(F.count(F.lit(1)).alias("n_all"))
+    n_bands = bands.agg(F.count(F.lit(1)).alias("n_bands"))
+    groups = rows_b.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    group_d = rows_b.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("q_cnt")
+    )
+    grid = (
+        groups.join(F.broadcast(bands.join(global_d, "band")))
+        .join(F.broadcast(totals))
+        .join(group_d, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "band",
+            (
+                F.coalesce(F.col("q_cnt"), F.lit(0))
+                / F.col("group_size").cast("double")
+                - F.col("g_cnt") / F.col("n_all").cast("double")
+            ).alias("diff"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_diff", F.sum("diff").over(w))
+    emd = F.round(
+        F.sum(F.abs(F.col("cum_diff"))) / (F.first("n_bands") - 1), 6
+    )
+    return (
+        cum.join(F.broadcast(n_bands))
+        .groupBy("c_nationkey", "c_mktsegment", "group_size")
+        .agg(emd.alias("emd"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "emd",
+            (F.col("emd") <= _T_CLOSENESS).alias("t_ok"),
+        )
+        .orderBy(F.col("emd").desc(), "c_nationkey", "c_mktsegment")
+        .limit(20)
+    )

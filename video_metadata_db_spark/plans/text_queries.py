@@ -839,3 +839,129 @@ def q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "lang_guess")
     )
+
+
+#: DSIR hashed-feature dimensionality: buckets the unigram space is
+#: hashed into.  Small on purpose — the method (Xie et al. 2023,
+#: "Data Selection for Language Models via Importance Resampling")
+#: works with hash collisions; what matters is that target and raw
+#: distributions share the same buckets.
+_DSIR_BUCKETS = 64
+
+
+def _dsir_oracle() -> str:
+    h8 = "CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang, {h8} % {_DSIR_BUCKETS} AS bucket FROM toks
+),
+dist AS (
+  SELECT bucket,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t,
+         count(*) AS cnt_r
+  FROM b GROUP BY bucket
+),
+ratio AS (
+  SELECT bucket,
+         CAST(round((ln((cnt_t + 1.0)
+                        / (sum(cnt_t) OVER () + {_DSIR_BUCKETS}))
+                     - ln((cnt_r + 1.0)
+                          / (sum(cnt_r) OVER () + {_DSIR_BUCKETS})))
+                    * 1000000, 0) AS BIGINT) AS lr_micro
+  FROM dist
+),
+per_doc AS (
+  SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(sum(d.c) AS BIGINT) AS n_tokens,
+       round(sum(d.c * r.lr_micro) / 1000000.0, 4) AS dsir_weight
+FROM per_doc d JOIN ratio r USING (bucket)
+GROUP BY d.doc_id
+ORDER BY dsir_weight DESC, d.doc_id
+LIMIT 20
+"""
+
+
+@query("dsir_importance_weights", oracle=_dsir_oracle())
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): score every raw document
+    by how target-like its hashed n-gram profile is — weight =
+    Σ_buckets count · log(p_target / p_raw) with add-1 smoothing over
+    {_DSIR_BUCKETS} md5-hashed unigram buckets; target = the 'en'
+    slice, raw = the whole corpus.  Top-20 weights are the documents
+    importance resampling would keep first when building an
+    English-targeted training mix from a mixed-language crawl.
+
+    Float discipline: log-ratios are ln-derived, so they are quantized
+    to exact INTEGER micro-units before the per-doc sum — an integer
+    sum is partial-order-invariant, so cross-partition reduce order
+    (run to run AND engine to engine) cannot wiggle a value across the
+    4-dp output rounding; a double sum here flipped a boundary doc
+    between runs at sf0.001.
+
+    Scale: one token scan feeds BOTH distributions (conditional
+    aggregate — no second pass for the target), the bucket table is
+    {_DSIR_BUCKETS} rows and broadcasts, and the per-doc reduce
+    shuffles (doc, bucket) pairs — bounded by docs × buckets, not
+    token count.  This is the published DSIR architecture: hashed
+    features exist precisely so corpus-scale selection never
+    materializes a vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    b = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    dist = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+        F.count(F.lit(1)).alias("cnt_r"),
+    )
+    w_all = Window.partitionBy()
+    ratio = dist.select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("cnt_t") + 1.0)
+                    / (F.sum("cnt_t").over(w_all) + _DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cnt_r") + 1.0)
+                    / (F.sum("cnt_r").over(w_all) + _DSIR_BUCKETS)
+                )
+            )
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    per_doc = b.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("lr_micro")) / 1000000.0, 4
+            ).alias("dsir_weight"),
+        )
+        .orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(20)
+    )

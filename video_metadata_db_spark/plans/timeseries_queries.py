@@ -3573,3 +3573,73 @@ def q_ccf_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0), 6) AS DOUBLE)"
         ).alias("ccf"),
     ).orderBy("lag_hours")
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS y
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS DOUBLE)
+           AS x,
+         y
+  FROM daily
+),
+sl AS (
+  SELECT round(quantile_cont((b.y - a.y) / (b.x - a.x), 0.5), 6) AS slope
+  FROM pts a JOIN pts b ON a.x < b.x
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       (SELECT slope FROM sl) AS theil_slope,
+       round(quantile_cont(y - (SELECT slope FROM sl) * x, 0.5), 6)
+         AS theil_intercept,
+       round(regr_slope(y, x), 6) AS ols_slope
+FROM pts
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend of daily revenue — the median of all
+    pairwise slopes, the estimator that shrugs off the outlier days
+    that drag OLS around (29% breakdown point vs OLS's zero); both
+    slopes are reported so the gap itself is the outlier diagnostic.
+    Intercept = median of (y - slope·x) residuals (slope rounded to
+    6 dp before reuse, the mining-module float discipline).
+
+    Scale: the O(n²) pair space is over DAILY AGGREGATES, never rows —
+    a decade is ~3,650 points (~6.7M pairs) no matter how many billions
+    of order rows feed the first groupBy, so the pair join is a
+    broadcast nested-loop over a table that fits in L2.  Revenue sums
+    are exact integer cents, so the pair slopes are bit-identical
+    across engines before the median interpolates."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / 100.0
+        ).alias("y")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    pts = daily.join(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("double").alias("x"), "y"
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "slope"
+        )
+    )
+    sl = slopes.agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope")
+    )
+    return pts.join(F.broadcast(sl)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.first("slope").alias("theil_slope"),
+        F.round(
+            F.expr("percentile(y - slope * x, 0.5)"), 6
+        ).alias("theil_intercept"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("ols_slope"),
+    )
