@@ -259,6 +259,8 @@ HEADLINE = [
     "t_closeness_audit",
     "theil_sen_trend",
     "dsir_importance_weights",
+    "poisson_bootstrap_ci",
+    "conformal_interval_coverage",
 ]
 
 REPEATS = 2

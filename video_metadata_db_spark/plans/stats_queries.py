@@ -886,3 +886,281 @@ def q_ab_test_power(spark: SparkSession, sf_dir: str) -> DataFrame:
               / pow(p2 - p1, 2), 6)) AS BIGINT)"""
         ).alias("n_per_arm"),
     )
+
+
+#: Poisson-bootstrap replicate count.  30 replicates gives a stderr on
+#: the CI endpoints of ~13% of the interval width — the resolution a
+#: drift dashboard needs; production would use 200+.
+_BOOT_REPS = 30
+
+#: Poisson(1) CDF thresholds (k = 0..5; heavier counts are capped — at
+#: P(>5) ≈ 6e-4 the truncation bias is far below replicate noise).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+_U60 = 1152921504606846976.0  # 2^60, the hash60 domain
+
+
+def _poisson_bootstrap_oracle() -> str:
+    u = ("CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR), "
+         "':', CAST(rep AS VARCHAR))), 1, 15)) AS BIGINT)"
+         f" / {_U60}")
+    cases = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {_BOOT_REPS})) AS rep),
+w AS (
+  SELECT o_orderpriority, rep,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE {cases} ELSE 6 END AS wgt
+  FROM orders, reps, LATERAL (SELECT {u} AS u) h
+),
+boot AS (
+  SELECT o_orderpriority, rep,
+         sum(wgt * cents) / (100.0 * sum(wgt)) AS mean_r
+  FROM w GROUP BY 1, 2 HAVING sum(wgt) > 0
+)
+SELECT o_orderpriority,
+       (SELECT round(sum({_CENTS.replace('value', 'o_totalprice')})
+                     / (100.0 * count(*)), 4)
+        FROM orders o2
+        WHERE o2.o_orderpriority = boot.o_orderpriority) AS point_mean,
+       round(quantile_cont(mean_r, 0.025), 4) AS boot_lo,
+       round(quantile_cont(mean_r, 0.975), 4) AS boot_hi,
+       CAST(count(*) AS BIGINT) AS n_reps
+FROM boot
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("poisson_bootstrap_ci", oracle=_poisson_bootstrap_oracle())
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence intervals — the distributed
+    bootstrap (Chamandy et al., Google 2012): classical resampling
+    needs n draws WITH replacement from a corpus no executor holds,
+    but Poisson(1) per-row replicate weights are iid-independent per
+    row, so every replicate is one weighted aggregate over a single
+    scan.  Weights come from the 60-bit md5 hash of (row, rep) mapped
+    through the Poisson(1) inverse CDF — fully deterministic, zero
+    RNG state, identical in both engines.  Reports the 95% percentile
+    CI of mean order value per priority class.
+
+    Scale: one scan fans each row into {_BOOT_REPS} (row, rep) pairs
+    (a flat projection, no shuffle), then ONE map-side-combinable
+    groupBy over groups x reps cells; replicate means are exact
+    integer cent sums divided once.  No resample materialization, no
+    driver loop — this is why Poisson bootstrap is THE bootstrap that
+    survives 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / _U60
+    )
+    wgt = F.lit(6)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wgt = F.when(F.col("u") < _POIS_CDF[k], k).otherwise(wgt)
+    w = (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_BOOT_REPS - 1))
+            ).alias("rep"),
+        )
+        .withColumn("u", u)
+        .withColumn("wgt", wgt)
+    )
+    boot = (
+        w.groupBy("o_orderpriority", "rep")
+        .agg(
+            F.sum(F.col("wgt") * F.col("cents")).alias("wc"),
+            F.sum("wgt").alias("ws"),
+        )
+        .filter(F.col("ws") > 0)
+        .select(
+            "o_orderpriority", (F.col("wc") / (100.0 * F.col("ws"))).alias("mean_r")
+        )
+    )
+    point = orders.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            / (100.0 * F.count(F.lit(1))),
+            4,
+        ).alias("point_mean")
+    )
+    return (
+        boot.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(mean_r, 0.025)"), 4).alias("boot_lo"),
+            F.round(F.expr("percentile(mean_r, 0.975)"), 4).alias("boot_hi"),
+            F.count(F.lit(1)).cast("long").alias("n_reps"),
+        )
+        .join(F.broadcast(point), "o_orderpriority")
+        .select(
+            "o_orderpriority", "point_mean", "boot_lo", "boot_hi", "n_reps"
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+#: Split-conformal miscoverage level: intervals target 90% coverage.
+_CONF_ALPHA = 0.1
+
+
+def _conformal_oracle() -> str:
+    h = ("CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) "
+         "AS BIGINT)")
+    return f"""
+WITH rows_s AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         {h} % 2 AS fold
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+pred AS (
+  SELECT seg, sum(cents) / CAST(count(*) AS DOUBLE) AS mean_cents,
+         count(*) AS n_calib
+  FROM rows_s WHERE fold = 0 GROUP BY seg
+),
+scored AS (
+  SELECT r.seg, abs(r.cents - p.mean_cents) AS s, r.o_orderkey,
+         p.n_calib,
+         row_number() OVER (PARTITION BY r.seg
+                            ORDER BY abs(r.cents - p.mean_cents),
+                                     r.o_orderkey) AS rn
+  FROM rows_s r JOIN pred p USING (seg) WHERE r.fold = 0
+),
+q AS (
+  SELECT seg, s AS q_cents FROM scored
+  WHERE rn = CAST(ceil((n_calib + 1) * {1 - _CONF_ALPHA}) AS BIGINT)
+)
+SELECT r.seg,
+       CAST(p.n_calib AS BIGINT) AS n_calib,
+       CAST(count(*) AS BIGINT) AS n_test,
+       round(q.q_cents / 100.0, 4) AS q_width,
+       round(sum(CASE WHEN abs(r.cents - p.mean_cents) <= q.q_cents
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS coverage
+FROM rows_s r
+JOIN pred p USING (seg)
+JOIN q USING (seg)
+WHERE r.fold = 1
+GROUP BY r.seg, p.n_calib, q.q_cents
+ORDER BY r.seg
+"""
+
+
+@query("conformal_interval_coverage", oracle=_conformal_oracle())
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al. 2018):
+    the distribution-free coverage guarantee — predict each order's
+    value by its segment's calibration mean, take the
+    ceil((n+1)(1-alpha))-th smallest absolute residual on the
+    calibration fold as the interval half-width, and the test fold is
+    then guaranteed >= 90% coverage with NO model or distribution
+    assumption.  Reports per-segment width and realized test coverage
+    — the honesty check a prediction service publishes next to its
+    point forecasts.
+
+    Determinism: folds come from the 60-bit md5 key hash (no RNG); the
+    quantile is an EXACT order statistic (row_number = k with a total
+    tiebreak), never an interpolated percentile, so both engines pick
+    the identical calibration residual.
+
+    Scale: predictions are group means (broadcastable aggregate); the
+    k-th order statistic is one ranking window per segment over the
+    calibration fold only; coverage is a single conditional aggregate.
+    Nothing materializes beyond (rows x 1 window rank)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows_s = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("seg"),
+            ),
+            "o_custkey",
+        ).select(
+            "seg",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            ).alias("fold"),
+        )
+    )
+    calib = rows_s.filter(F.col("fold") == 0)
+    pred = calib.groupBy("seg").agg(
+        (F.sum("cents") / F.count(F.lit(1)).cast("double")).alias("mean_cents"),
+        F.count(F.lit(1)).alias("n_calib"),
+    )
+    scored = calib.join(F.broadcast(pred), "seg").select(
+        "seg",
+        F.abs(F.col("cents") - F.col("mean_cents")).alias("s"),
+        "o_orderkey",
+        "n_calib",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy("s", "o_orderkey")
+    )
+    q = (
+        scored.withColumn("rn", rn)
+        .filter(
+            F.col("rn")
+            == F.ceil((F.col("n_calib") + 1) * (1 - _CONF_ALPHA)).cast("long")
+        )
+        .select("seg", F.col("s").alias("q_cents"))
+    )
+    test = rows_s.filter(F.col("fold") == 1)
+    covered = F.when(
+        F.abs(F.col("cents") - F.col("mean_cents")) <= F.col("q_cents"), 1
+    ).otherwise(0)
+    return (
+        test.join(F.broadcast(pred), "seg")
+        .join(F.broadcast(q), "seg")
+        .groupBy("seg", "n_calib", "q_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(covered) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("coverage"),
+        )
+        .select(
+            "seg",
+            F.col("n_calib").cast("long").alias("n_calib"),
+            "n_test",
+            F.round(F.col("q_cents") / 100.0, 4).alias("q_width"),
+            "coverage",
+        )
+        .orderBy("seg")
+    )
