@@ -339,6 +339,7 @@ def main() -> None:
             prov = phases.get("provenance")
             if isinstance(prov, dict):
                 head = _git_short_head()
+                prov["bench_commit"] = head
                 prov["stale"] = bool(
                     prov.get("commit") and head and prov["commit"] != head
                 )

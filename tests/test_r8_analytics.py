@@ -1,0 +1,159 @@
+"""Semantic / property tests for the round-8 operators — the behavior
+the DuckDB oracles can't pin (oracles prove Spark == SQL; these prove
+the statistic itself does what it claims)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_metadata_db_spark.operators.analytics import theil_sen
+from video_metadata_db_spark.plans import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+def test_theil_sen_shrugs_off_outlier(spark):
+    """One corrupted point (2% contamination) must barely move the
+    Theil-Sen slope while visibly dragging OLS — the 29% breakdown
+    property that justifies the pair-median cost."""
+    pts = [(float(i), 2.0 * i + 1.0) for i in range(50)]
+    pts[49] = (49.0, 1000.0)  # corrupted day at max leverage
+    df = spark.createDataFrame(pts, "x double, y double")
+    row = theil_sen(df).collect()[0]
+    assert row.n_points == 50
+    assert abs(row.theil_slope - 2.0) < 0.05
+    assert row.ols_slope > 2.5  # OLS is dragged by the single outlier
+    assert abs(row.theil_intercept - 1.0) < 2.0
+
+
+def test_span_dedup_flags_exactly_the_shared_span(spark, tmp_path):
+    """Constructed corpus: doc0 and doc1 share one aligned 8-token
+    span, doc2 is unique -> exactly 2 of 6 spans flagged."""
+    shared = " ".join(f"s{i}" for i in range(8))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # noqa: E731
+    rows = [
+        (0, f"{shared} {uniq('a')}", "en", "web", 100),
+        (1, f"{shared} {uniq('b')}", "en", "web", 100),
+        (2, f"{uniq('c')} {uniq('d')}", "en", "web", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = QUERIES["span_dedup_crossdoc"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].source == "web"
+    assert out[0].n_spans == 6
+    assert out[0].n_dup_spans == 2  # the shared span, once per doc
+    assert out[0].dup_ratio == round(2 / 6, 6)  # output rounds at 6 dp
+
+
+def test_record_linkage_blocking_has_full_recall(spark):
+    """The blocking key (last-3 name digits) is typo-invariant and the
+    lev<=2 band admits the injected typo, so every dirty record's true
+    master must be recovered: sum(n_true) == |dirty feed|."""
+    out = QUERIES["record_linkage_blocking"](spark, SF_SMOKE).collect()
+    from video_metadata_db_spark.sources.tables import load_table
+
+    n_dirty = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .count()
+    )
+    assert sum(r.n_true for r in out) == n_dirty
+    # and blocking admits imposters, so precision is a real number
+    assert any(r.n_matched > r.n_true for r in out) or all(
+        r.match_precision == 1.0 for r in out
+    )
+
+
+def test_zorder_layout_actually_skips(spark):
+    """The audit must show the point: natural order skips ~nothing,
+    z-order confines the quarter-x-quarter box to a small file set,
+    and both layouts agree on the true matching rows."""
+    rows = {r.layout: r for r in QUERIES["zorder_skipping_audit"](spark, SF_SMOKE).collect()}
+    nat, z = rows["natural"], rows["zorder"]
+    assert nat.files_total == z.files_total == 64
+    assert z.files_read < nat.files_read / 2
+    assert z.rows_matching == nat.rows_matching
+    assert z.scan_saved > 0.5 and nat.scan_saved < 0.2
+
+
+def test_zorder_morton_code_bit_exactness(spark):
+    from video_metadata_db_spark.plans.lake_queries import _z16
+
+    expr = _z16("px", "py", "shiftright({x}, {i})")
+    df = spark.createDataFrame(
+        [(1, 0), (0, 1), (255, 255), (128, 0), (0, 128)], "px int, py int"
+    ).select(F.expr(expr).alias("z"))
+    assert [r.z for r in df.collect()] == [2, 1, 65535, 32768, 16384]
+
+
+def test_poisson_cdf_constants_are_poisson_one():
+    from video_metadata_db_spark.plans.stats_queries import _POIS_CDF
+
+    cum = 0.0
+    for k, c in enumerate(_POIS_CDF):
+        cum += math.exp(-1) / math.factorial(k)
+        assert abs(c - cum) < 1e-12, k
+
+
+def test_poisson_bootstrap_interval_brackets_point(spark):
+    """The 95% replicate interval must bracket the point estimate and
+    have sane width (a few percent of the mean at sf0.01 scale)."""
+    out = QUERIES["poisson_bootstrap_ci"](spark, SF_CORRECTNESS).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.boot_lo <= r.point_mean <= r.boot_hi
+        width = r.boot_hi - r.boot_lo
+        assert 0 < width < 0.25 * r.point_mean
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal marginal guarantee: realized test coverage per
+    segment stays near >= 90% (finite-sample slack only)."""
+    out = QUERIES["conformal_interval_coverage"](spark, SF_CORRECTNESS).collect()
+    assert len(out) == 5
+    for r in out:
+        slack = 3 * math.sqrt(0.1 * 0.9 / r.n_test)
+        assert r.coverage >= 0.9 - slack, (r.seg, r.coverage)
+    assert sum(r.coverage for r in out) / len(out) >= 0.89
+
+
+def test_dsir_targets_the_target_slice(spark):
+    """DSIR weights must rank the target ('en') slice first: the
+    top-20 selection should be majority-en even on this vocabulary-
+    shared synthetic corpus (en is ~44% of docs)."""
+    out = QUERIES["dsir_importance_weights"](spark, SF_CORRECTNESS)
+    from video_metadata_db_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select("doc_id", "lang")
+    top = out.join(docs, "doc_id")
+    n_en = top.filter(F.col("lang") == "en").count()
+    assert n_en > 10, n_en
+
+
+def test_versioned_table_is_used_by_stream_cdc(spark):
+    """stream_cdc_apply's final snapshot equals the batch cdc oracle's
+    shape: monotonically versioned directory with v0 + one version per
+    non-empty batch (2 here)."""
+    import os
+    import re
+
+    df = QUERIES["stream_cdc_apply"](spark, SF_SMOKE)
+    n = df.count()
+    assert n > 0
+    # the work dir is visible in the snapshot's input files
+    files = " ".join(df.inputFiles())
+    m = re.search(r"(/[^\s]*vmdb_scdc_[^/]*)/table/v(\d+)/", files)
+    assert m, files[:500]
+    root = m.group(1)
+    versions = sorted(
+        d for d in os.listdir(f"{root}/table") if re.fullmatch(r"v\d+", d)
+    )
+    assert versions == ["v0", "v1", "v2"]
+    assert not [
+        d for d in os.listdir(f"{root}/table") if d.endswith(".staging")
+    ]

@@ -212,3 +212,39 @@ def two_sample_rank_counts(
             (F.col("_ob") + F.sum("cnt_b").over(in_w)).cast("long").alias("cum_b"),
         )
     )
+
+
+def theil_sen(points: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Theil–Sen estimator over a POINTS frame (columns ``x``, ``y``):
+    slope = median of all pairwise slopes, intercept = median of
+    ``y − slope·x`` residuals (slope rounded to 6 dp before reuse so a
+    libm ulp can never leak into the residual ranking).  Returns one
+    row ``(n_points, theil_slope, theil_intercept, ols_slope)`` — the
+    OLS slope rides along as the outlier diagnostic.
+
+    Scale contract: callers aggregate to model-sized points FIRST
+    (days, buckets, groups — thousands, not rows), so the O(n²) pair
+    space is a broadcast nested-loop join over a frame that fits in a
+    single executor's cache; the medians are single aggregates.  The
+    29% breakdown point is the reason this exists next to
+    ``regr_slope``: one corrupted day drags OLS, not the pair median.
+    """
+    pts = points.select(F.col(x).cast("double").alias("x"),
+                        F.col(y).cast("double").alias("y"))
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).select(
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "slope"
+        )
+    )
+    sl = slopes.agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope")
+    )
+    return pts.join(F.broadcast(sl)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.first("slope").alias("theil_slope"),
+        F.round(
+            F.expr("percentile(y - slope * x, 0.5)"), 6
+        ).alias("theil_intercept"),
+        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("ols_slope"),
+    )

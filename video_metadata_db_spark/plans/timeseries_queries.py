@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.analytics import peak_concurrency
+from ..operators.analytics import peak_concurrency, theil_sen
 from ..sources.tables import load_table
 from .registry import query
 
@@ -3614,7 +3614,10 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     of order rows feed the first groupBy, so the pair join is a
     broadcast nested-loop over a table that fits in L2.  Revenue sums
     are exact integer cents, so the pair slopes are bit-identical
-    across engines before the median interpolates."""
+    across engines before the median interpolates.  Estimator core:
+    :func:`..operators.analytics.theil_sen` (robustness property
+    tested against an injected outlier in tests/test_r8_analytics.py).
+    """
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         (
@@ -3626,20 +3629,9 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = daily.join(F.broadcast(d0)).select(
         F.datediff("d", "d0").cast("double").alias("x"), "y"
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    slopes = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).select(
-        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
-            "slope"
-        )
-    )
-    sl = slopes.agg(
-        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("slope")
-    )
-    return pts.join(F.broadcast(sl)).agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.first("slope").alias("theil_slope"),
-        F.round(
-            F.expr("percentile(y - slope * x, 0.5)"), 6
-        ).alias("theil_intercept"),
-        F.round(F.covar_pop("y", "x") / F.var_pop("x"), 6).alias("ols_slope"),
+    return theil_sen(pts).select(
+        F.col("n_points").alias("n_days"),
+        "theil_slope",
+        "theil_intercept",
+        "ols_slope",
     )
