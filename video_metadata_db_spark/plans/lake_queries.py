@@ -486,19 +486,25 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(z, F.col("l_orderkey"), F.col("l_linenumber")))
         .alias("f_z"),
     )
+    # fan out (layout, file_id) via one explode instead of a union of
+    # two selects — a union re-executes the whole window subtree (and
+    # its scans) once per branch; the explode pays for the sorts once
     files = laid.select(
-        F.lit("natural").alias("layout"),
-        F.col("f_nat").alias("file_id"),
         "px",
         "py",
-    ).unionByName(
-        laid.select(
-            F.lit("zorder").alias("layout"),
-            F.col("f_z").alias("file_id"),
-            "px",
-            "py",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.col("f_nat").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("f_z").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    ).select("px", "py", F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"))
     hit = F.when(
         F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
     ).otherwise(0)
