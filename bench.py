@@ -261,6 +261,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "poisson_bootstrap_ci",
     "conformal_interval_coverage",
+    "calibration_return_model",
 ]
 
 REPEATS = 2

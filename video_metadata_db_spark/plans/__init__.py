@@ -70,6 +70,13 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: all 12 came back green in CORRECTNESS_r06, as did the
 #: post-oracle-fix variant_json_path.
 #:
+#: Round-9 rotation candidates, highest priority first: the 8 round-8
+#: additions (span_dedup_crossdoc, record_linkage_blocking,
+#: zorder_skipping_audit, t_closeness_audit, theil_sen_trend,
+#: dsir_importance_weights, poisson_bootstrap_ci,
+#: conformal_interval_coverage — all fresh-process verified at
+#: sf0.001/0.01/0.1 in r8), then the long never-checked queue below.
+#:
 #: Round-8 rotation candidates (never driver-checked, all green in
 #: every test-run oracle sweep and verified at sf0.001/0.01/0.1 via
 #: tools/drive_entry.py in r5-r7): ab_test_proportions,

@@ -1164,3 +1164,106 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("seg")
     )
+
+
+def _calibration_oracle() -> str:
+    from ..operators.glm import newton_step_sql
+
+    return f"""
+WITH suff AS (
+  SELECT CAST(round(l_discount * 100, 0) AS INT) AS x,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM lineitem GROUP BY 1
+),
+i0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),
+i1 AS ({newton_step_sql("i0", "suff")}),
+i2 AS ({newton_step_sql("i1", "suff")}),
+i3 AS ({newton_step_sql("i2", "suff")}),
+cal AS (
+  SELECT s.x, s.n,
+         CAST(round(1.0 / (1.0 + exp(-(i.b0 + i.b1 * s.x))), 6) AS DOUBLE)
+           AS p_pred,
+         CAST(round(s.s / CAST(s.n AS DOUBLE), 6) AS DOUBLE) AS p_obs
+  FROM suff s CROSS JOIN i3 i
+),
+g AS (
+  SELECT x, n, p_pred, p_obs,
+         CAST(round(abs(p_pred - p_obs) * 1000000, 0) AS BIGINT) AS gap_micro
+  FROM cal
+)
+SELECT x, n, p_pred, p_obs,
+       CAST(round(gap_micro / 1000000.0, 6) AS DOUBLE) AS abs_gap,
+       (SELECT CAST(round(SUM(n * gap_micro) / (1000000.0 * SUM(n)), 6)
+                    AS DOUBLE) FROM g) AS ece
+FROM g
+ORDER BY x
+"""
+
+
+@query("calibration_return_model", oracle=_calibration_oracle())
+def q_calibration_return_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELIABILITY DIAGRAM + ECE for the fitted return model — the
+    audit that decides whether `logistic_return_model`'s probabilities
+    can be USED as probabilities (thresholding, expected-cost pricing):
+    per discount cell, predicted P(return) vs observed return rate,
+    plus the expected calibration error Σ (n_cell/N)·|p̂ − p_obs|
+    repeated on every row as the headline number.
+
+    Determinism: the β trajectory is the 9-dp-quantized Newton chain
+    shared with `logistic_return_model` (the oracle replays the same
+    CTE chain); per-cell gaps round at 6 dp and ECE accumulates them
+    as exact integer micro-units, so reduce order cannot flip the
+    output rounding.
+
+    Scale: the calibration table IS the sufficient-statistics table —
+    11 discount cells regardless of corpus size — so everything after
+    the one corpus scan is metadata-sized; grouping by predicted-
+    probability deciles instead of x would add one small shuffle, not
+    a second scan."""
+    from ..operators.glm import logistic_newton
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.round(F.col("l_discount") * 100, 0).cast("int").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    suff = obs.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    b0, b1 = logistic_newton(suff, n_iter=3)
+    cal = suff.select(
+        "x",
+        "n",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x")))),
+            6,
+        ).alias("p_pred"),
+        F.round(F.col("s") / F.col("n").cast("double"), 6).alias("p_obs"),
+    ).withColumn(
+        "gap_micro",
+        F.round(F.abs(F.col("p_pred") - F.col("p_obs")) * 1000000, 0).cast(
+            "long"
+        ),
+    )
+    ece = cal.agg(
+        F.round(
+            F.sum(F.col("n") * F.col("gap_micro"))
+            / (1000000.0 * F.sum("n")),
+            6,
+        ).alias("ece")
+    )
+    return (
+        cal.join(F.broadcast(ece))
+        .select(
+            "x",
+            "n",
+            "p_pred",
+            "p_obs",
+            F.round(F.col("gap_micro") / 1000000.0, 6).alias("abs_gap"),
+            "ece",
+        )
+        .orderBy("x")
+    )
