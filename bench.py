@@ -262,6 +262,7 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "conformal_interval_coverage",
     "calibration_return_model",
+    "multimodal_frame_dedup",
 ]
 
 REPEATS = 2

@@ -401,3 +401,64 @@ def q_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "multimodal_frame_dedup",
+    oracle="""
+WITH frames AS (
+  SELECT doc_id AS asset_id,
+         upper(substr(repeat(md5(text), 4), i * 32 + 1, 32)) AS fp
+  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS i)
+  WHERE doc_id % 3 = 2
+),
+clusters AS (
+  SELECT fp, count(DISTINCT asset_id) AS n_assets, count(*) AS n_frames
+  FROM frames GROUP BY fp
+)
+SELECT CAST(n_assets AS BIGINT) AS n_assets_sharing,
+       CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(sum(n_frames) AS BIGINT) AS n_frames
+FROM clusters
+GROUP BY n_assets
+ORDER BY n_assets_sharing
+""",
+)
+def q_multimodal_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video FRAME dedup — the media-lake twin of
+    `span_dedup_crossdoc`: fingerprint every sampled frame (content
+    hex; a real pipeline would use a perceptual hash in the same
+    slot) and histogram how many distinct videos share each
+    fingerprint — the detector for re-uploads, intro/outro boilerplate
+    and test patterns that inflate a video training corpus.  Composes
+    the `sample_frames` mapInPandas stage (executor-side 1→N explode,
+    driver never sees frame bytes) with a plain relational tail.
+
+    Scale: fingerprints leave the Python boundary as fixed-width
+    strings, so the tail is dedup_exact's shape — one combinable
+    groupBy on the fingerprint + one tiny histogram aggregate; the
+    heavy (decode) stage stays in Arrow batches and is
+    embarrassingly parallel."""
+    from ..operators.multimodal import sample_frames, synthesize_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_assets(docs), n_frames=4).select(
+        "asset_id", F.hex("frame").alias("fp")
+    )
+    clusters = frames.groupBy("fp").agg(
+        F.count_distinct("asset_id").alias("n_assets"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
+    return (
+        clusters.groupBy("n_assets")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.sum("n_frames").cast("long").alias("n_frames"),
+        )
+        .select(
+            F.col("n_assets").cast("long").alias("n_assets_sharing"),
+            "n_fingerprints",
+            "n_frames",
+        )
+        .orderBy("n_assets_sharing")
+    )
