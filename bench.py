@@ -263,6 +263,7 @@ HEADLINE = [
     "conformal_interval_coverage",
     "calibration_return_model",
     "multimodal_frame_dedup",
+    "hilbert_skipping_audit",
 ]
 
 REPEATS = 2

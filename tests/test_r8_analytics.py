@@ -157,3 +157,59 @@ def test_versioned_table_is_used_by_stream_cdc(spark):
     assert not [
         d for d in os.listdir(f"{root}/table") if d.endswith(".staging")
     ]
+
+
+def _xy2d_reference(x: int, y: int) -> int:
+    # pure-Python mirror of plans/lake_queries._hilbert_stage chain
+    d, s = 0, 128
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = (s - 1) - x, (s - 1) - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_curve_is_bijective_and_adjacent():
+    """The 8-level transform must be a true Hilbert curve: a bijection
+    onto [0, 65536) whose consecutive d values are grid-adjacent
+    (Manhattan distance exactly 1) — the locality property the
+    skipping audit's claim rests on."""
+    cells = {}
+    for x in range(256):
+        for y in range(256):
+            cells[_xy2d_reference(x, y)] = (x, y)
+    assert len(cells) == 65536
+    for i in range(65535):
+        (x0, y0), (x1, y1) = cells[i], cells[i + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, i
+
+
+def test_hilbert_sql_chain_matches_reference(spark):
+    from video_metadata_db_spark.plans.lake_queries import (
+        _HILBERT_LEVELS,
+        _hilbert_stage,
+    )
+
+    pts = [(x, y) for x in (0, 1, 7, 63, 128, 200, 255) for y in (0, 5, 99, 255)]
+    df = spark.createDataFrame(pts, "px int, py int").selectExpr(
+        "px", "py", "px AS hx", "py AS hy", "0 AS hd"
+    )
+    for s in _HILBERT_LEVELS:
+        nx, ny, d = _hilbert_stage(s, lambda a, b: f"({a}) ^ ({b})")
+        df = df.selectExpr("px", "py", f"{nx} AS hx", f"{ny} AS hy", f"{d} AS hd")
+    got = {(r.px, r.py): r.hd for r in df.collect()}
+    assert got == {(x, y): _xy2d_reference(x, y) for x, y in pts}
+
+
+def test_hilbert_beats_or_ties_zorder_on_box_audit(spark):
+    rows = {
+        r.layout: r
+        for r in QUERIES["hilbert_skipping_audit"](spark, SF_SMOKE).collect()
+    }
+    assert rows["hilbert"].rows_matching == rows["zorder"].rows_matching
+    assert rows["hilbert"].files_read <= rows["zorder"].files_read

@@ -538,3 +538,218 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+def _hilbert_stage(s: int, xor_f) -> tuple[str, str, str]:
+    """One Hilbert xy2d refinement level (quadrant digit + frame
+    rotation) as SQL expressions over the previous stage's
+    (hx, hy, hd).  Emitted per dialect via ``xor_f`` (Spark ``^`` is
+    bitwise XOR; DuckDB's is exponent, so it uses ``xor()``)."""
+    rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+    d = f"hd + {s * s} * ({xor_f(f'3 * {rx}', ry)})"
+    nx = (
+        f"CASE WHEN {ry} = 1 THEN hx "
+        f"WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END"
+    )
+    ny = (
+        f"CASE WHEN {ry} = 1 THEN hy "
+        f"WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END"
+    )
+    return nx, ny, d
+
+
+_HILBERT_LEVELS = (128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def _hilbert_oracle() -> str:
+    lo_x, hi_x, lo_y, hi_y = _ZBOX
+    z = _z16("px", "py", "({x} >> {i})")
+    ctes = [
+        f"""h0 AS (
+  SELECT l_orderkey, l_linenumber, px, py, {z} AS z,
+         px AS hx, py AS hy, 0 AS hd
+  FROM q
+)"""
+    ]
+    for k, s in enumerate(_HILBERT_LEVELS):
+        nx, ny, d = _hilbert_stage(s, lambda a, b: f"xor({a}, {b})")
+        ctes.append(
+            f"""h{k + 1} AS (
+  SELECT l_orderkey, l_linenumber, px, py, z,
+         {nx} AS hx, {ny} AS hy, {d} AS hd
+  FROM h{k}
+)"""
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH q AS (
+  SELECT l_orderkey, l_linenumber,
+         least(255, CAST(floor(l_partkey * 256.0
+               / ((SELECT max(l_partkey) FROM lineitem) + 1)) AS INT)) AS px,
+         least(255, CAST(floor(l_suppkey * 256.0
+               / ((SELECT max(l_suppkey) FROM lineitem) + 1)) AS INT)) AS py
+  FROM lineitem
+),
+{chain},
+laid AS (
+  SELECT px, py,
+         ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f_z,
+         ntile(64) OVER (ORDER BY hd, l_orderkey, l_linenumber) AS f_h
+  FROM h{len(_HILBERT_LEVELS)}
+),
+files AS (
+  SELECT 'hilbert' AS layout, f_h AS file_id, px, py FROM laid
+  UNION ALL
+  SELECT 'zorder' AS layout, f_z AS file_id, px, py FROM laid
+),
+stats AS (
+  SELECT layout, file_id,
+         min(px) AS min_px, max(px) AS max_px,
+         min(py) AS min_py, max(py) AS max_py,
+         count(*) AS n_rows,
+         sum(CASE WHEN px BETWEEN {lo_x} AND {hi_x}
+                   AND py BETWEEN {lo_y} AND {hi_y}
+                  THEN 1 ELSE 0 END) AS hit_rows
+  FROM files GROUP BY layout, file_id
+)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS files_total,
+       CAST(sum(CASE WHEN max_px >= {lo_x} AND min_px <= {hi_x}
+                      AND max_py >= {lo_y} AND min_py <= {hi_y}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+       CAST(sum(CASE WHEN max_px >= {lo_x} AND min_px <= {hi_x}
+                      AND max_py >= {lo_y} AND min_py <= {hi_y}
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(hit_rows) AS BIGINT) AS rows_matching,
+       round(1.0 - sum(CASE WHEN max_px >= {lo_x} AND min_px <= {hi_x}
+                             AND max_py >= {lo_y} AND min_py <= {hi_y}
+                            THEN n_rows ELSE 0 END)
+                   / CAST(sum(n_rows) AS DOUBLE), 6) AS scan_saved
+FROM stats
+GROUP BY layout
+ORDER BY layout
+"""
+
+
+@query("hilbert_skipping_audit", oracle=_hilbert_oracle())
+def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT vs Z-ORDER head-to-head on the same zone-map audit as
+    `zorder_skipping_audit`: the Hilbert curve never takes the long
+    diagonal jumps Morton interleaving does (consecutive cells are
+    always grid-adjacent — property-tested against a bijection +
+    adjacency sweep of all 65,536 cells), so its files tile the box
+    predicate with less overhang.  This is the measured basis for
+    choosing a space-filling curve for OPTIMIZE/cluster-by at 100 TB —
+    Databricks liquid clustering made exactly this z->hilbert switch.
+
+    The xy2d transform is 8 chained quadrant-refinement stages, each a
+    pure integer projection (one SELECT per stage, whole-stage
+    codegen'd, no shuffle); both engines run the identical generated
+    arithmetic, differing only in XOR spelling.  Everything after the
+    curve value reuses the z-order audit's one-pass shape."""
+    lo_x, hi_x, lo_y, hi_y = _ZBOX
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+    )
+    q = li.join(F.broadcast(mx)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(
+            F.lit(255),
+            F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1)),
+        )
+        .cast("int")
+        .alias("px"),
+        F.least(
+            F.lit(255),
+            F.floor(F.col("l_suppkey") * 256.0 / (F.col("maxs") + 1)),
+        )
+        .cast("int")
+        .alias("py"),
+    )
+    z = F.expr(_z16("px", "py", "shiftright({x}, {i})"))
+    df = q.select(
+        "l_orderkey",
+        "l_linenumber",
+        "px",
+        "py",
+        z.alias("z"),
+        F.col("px").alias("hx"),
+        F.col("py").alias("hy"),
+        F.lit(0).alias("hd"),
+    )
+    for s in _HILBERT_LEVELS:
+        nx, ny, d = _hilbert_stage(s, lambda a, b: f"({a}) ^ ({b})")
+        df = df.selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "px",
+            "py",
+            "z",
+            f"{nx} AS hx",
+            f"{ny} AS hy",
+            f"{d} AS hd",
+        )
+    laid = df.select(
+        "px",
+        "py",
+        F.ntile(64)
+        .over(Window.orderBy("z", "l_orderkey", "l_linenumber"))
+        .alias("f_z"),
+        F.ntile(64)
+        .over(Window.orderBy("hd", "l_orderkey", "l_linenumber"))
+        .alias("f_h"),
+    )
+    files = laid.select(
+        "px",
+        "py",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.col("f_h").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("f_z").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    ).select(
+        "px", "py", F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    )
+    hit = F.when(
+        F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
+    ).otherwise(0)
+    stats = files.groupBy("layout", "file_id").agg(
+        F.min("px").alias("min_px"),
+        F.max("px").alias("max_px"),
+        F.min("py").alias("min_py"),
+        F.max("py").alias("max_py"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(hit).alias("hit_rows"),
+    )
+    must_read = (
+        (F.col("max_px") >= lo_x)
+        & (F.col("min_px") <= hi_x)
+        & (F.col("max_py") >= lo_y)
+        & (F.col("min_py") <= hi_y)
+    )
+    read_rows = F.when(must_read, F.col("n_rows")).otherwise(0)
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum(F.when(must_read, 1).otherwise(0))
+            .cast("long")
+            .alias("files_read"),
+            F.sum(read_rows).cast("long").alias("rows_scanned"),
+            F.sum("hit_rows").cast("long").alias("rows_matching"),
+            F.round(
+                1.0 - F.sum(read_rows) / F.sum("n_rows").cast("double"), 6
+            ).alias("scan_saved"),
+        )
+        .orderBy("layout")
+    )
