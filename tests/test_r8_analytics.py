@@ -213,3 +213,27 @@ def test_hilbert_beats_or_ties_zorder_on_box_audit(spark):
     }
     assert rows["hilbert"].rows_matching == rows["zorder"].rows_matching
     assert rows["hilbert"].files_read <= rows["zorder"].files_read
+
+
+def test_exact_median_matches_percentile(spark):
+    """exact_median (distributed kth selection) must equal the
+    interpolated `percentile` aggregate on odd/even sizes, heavy ties,
+    and a single-bucket frame."""
+    from video_metadata_db_spark.operators.analytics import exact_median
+
+    cases = [
+        [1.0],
+        [3.0, 1.0],
+        [5.0, 1.0, 3.0],
+        [2.0] * 10,
+        [float(v) for v in range(101)],
+        [float(v % 7) for v in range(1000)],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        want = df.agg(F.expr("percentile(v, 0.5)").alias("m")).collect()[0].m
+        got = exact_median(df, "v")
+        assert got == pytest.approx(want, abs=1e-12), vals[:5]
+    assert exact_median(
+        spark.createDataFrame([], "v double"), "v"
+    ) is None
