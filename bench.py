@@ -264,6 +264,7 @@ HEADLINE = [
     "calibration_return_model",
     "multimodal_frame_dedup",
     "hilbert_skipping_audit",
+    "stream_scd2_enrich",
 ]
 
 REPEATS = 2

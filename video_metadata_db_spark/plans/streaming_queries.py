@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -462,3 +462,146 @@ def q_stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(f"{work}/src")
     drain()  # run 2: all-late slice; must emit nothing
     return spark.read.parquet(f"{work}/out").orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_scd2_enrich",
+    oracle="""
+WITH dim_src AS (
+  SELECT * FROM events WHERE event_type <> 'purchase'
+),
+ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM dim_src
+),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (SELECT * FROM ordered)
+),
+intervals AS (
+  SELECT user_id, event_type, run_id, MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, event_type, run_id
+),
+scd2 AS (
+  SELECT user_id, event_type AS then_state,
+         CAST(run_id AS BIGINT) AS version, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+           AS valid_to
+  FROM intervals
+),
+facts AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts, f.cents, s.then_state, s.version
+FROM facts f
+LEFT JOIN scd2 s
+  ON s.user_id = f.user_id
+ AND s.valid_from <= f.ts
+ AND (s.valid_to IS NULL OR f.ts < s.valid_to)
+ORDER BY f.event_id
+""",
+)
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING DIMENSION ENRICHMENT against a versioned (SCD2) dim —
+    the Kappa-architecture composition every CDP runs: purchase facts
+    arrive as a file stream in two micro-batches, and each batch is
+    enriched via ``foreachBatch`` with the user's THEN-CURRENT state
+    (the SCD2 interval containing the fact's event time), not today's
+    state — the correctness property that separates as-of enrichment
+    from a naive dim join.  Enrichment is per-row, so the result is
+    batch-split-invariant and the BATCH oracle (same SCD2 build + one
+    containment join) verifies the streamed output value-for-value.
+
+    Scale: the dim builds ONCE outside the stream (run-length SCD2 —
+    one user_id exchange) and persists; each micro-batch pays one join
+    of the batch against it (broadcast when the batch is small, the
+    usual case).  Per-user intervals partition the timeline, so the
+    containment join matches at most one dim row per fact."""
+    import os
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_src = events.filter(F.col("event_type") != "purchase")
+    runs = dim_src.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wv = Window.partitionBy("user_id").orderBy("run_id")
+    scd2 = intervals.select(
+        "user_id",
+        F.col("event_type").alias("then_state"),
+        F.col("run_id").cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+    ).persist()
+    scd2.count()  # materialize the dim once, outside the stream
+
+    work = tempfile.mkdtemp(prefix="vmdb_sscd2_")
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    facts.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{work}/facts")
+    facts.filter(F.col("user_id") % 2 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{work}/facts")
+
+    os.makedirs(f"{work}/out", exist_ok=True)
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = batch_df.join(
+            F.broadcast(scd2),
+            (batch_df["user_id"] == scd2["user_id"])
+            & (scd2["valid_from"] <= batch_df["ts"])
+            & (
+                scd2["valid_to"].isNull()
+                | (batch_df["ts"] < scd2["valid_to"])
+            ),
+            "left",
+        ).select(
+            batch_df["event_id"],
+            batch_df["user_id"],
+            batch_df["ts"],
+            batch_df["cents"],
+            scd2["then_state"],
+            scd2["version"],
+        )
+        out.coalesce(1).write.mode("append").parquet(f"{work}/out")
+
+    stream = file_stream(
+        spark, f"{work}/facts", facts.schema, max_files_per_trigger=1
+    )
+    from ..streaming.runner import run_foreach_batch
+
+    run_foreach_batch(stream, f"{work}/cp", enrich_batch)
+    scd2.unpersist()
+    return spark.read.parquet(f"{work}/out").orderBy("event_id")
