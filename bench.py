@@ -265,6 +265,8 @@ HEADLINE = [
     "multimodal_frame_dedup",
     "hilbert_skipping_audit",
     "stream_scd2_enrich",
+    "horvitz_thompson_total",
+    "hits_hubs_authorities",
 ]
 
 REPEATS = 2

@@ -295,3 +295,88 @@ def label_propagation(
             F.col("seed_label").isNotNull().alias("is_seed"),
         )
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    *,
+    iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg) on a bipartite hub→authority edge set
+    ``(hub, auth)``: alternately gather authority scores from hub
+    scores and hub scores from authority scores, max-normalizing each
+    side per half-round.  Returns ``(hubs(hub, score),
+    auths(auth, score))`` after ``iterations`` full rounds.
+
+    Determinism discipline (= :func:`pagerank`): every gather casts
+    its 12-dp-quantized contributions to DECIMAL(24,12) so the SUM is
+    exact and partial-order-invariant; normalization divides by the
+    side's MAX (order-invariant, unlike an L1 float sum) and re-rounds
+    to 12 dp, so the unrolled SQL recurrence replays bit-for-bit.
+
+    Scale: edges persist once; each half-round is one equi-join +
+    one combinable aggregate + one broadcast scalar — linear in edges,
+    the pagerank scatter/gather with the node set split in two.
+    """
+    e = edges.select("hub", "auth").persist()
+    hubs = e.select("hub").distinct()
+    h = hubs.select("hub", F.lit(1.0).alias("score"))
+    a = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(h, "hub")
+            .select("auth", F.col("score").cast("decimal(24,12)").alias("c"))
+            .groupBy("auth")
+            .agg(F.sum("c").cast("double").alias("raw"))
+        )
+        a_max = a_raw.agg(F.max("raw").alias("m"))
+        a = a_raw.join(F.broadcast(a_max)).select(
+            "auth", F.round(F.col("raw") / F.col("m"), _RANK_DP).alias("score")
+        )
+        h_raw = (
+            e.join(a, "auth")
+            .select("hub", F.col("score").cast("decimal(24,12)").alias("c"))
+            .groupBy("hub")
+            .agg(F.sum("c").cast("double").alias("raw"))
+        )
+        h_max = h_raw.agg(F.max("raw").alias("m"))
+        h = h_raw.join(F.broadcast(h_max)).select(
+            "hub", F.round(F.col("raw") / F.col("m"), _RANK_DP).alias("score")
+        )
+    return h, a
+
+
+def hits_oracle_sql(edges_cte: str, *, iterations: int = 2) -> str:
+    """DuckDB CTE chain replaying :func:`hits_bipartite` exactly.
+
+    ``edges_cte`` must define ``edges(hub, auth)``.  Ends with
+    relations ``hub_final(hub, score)`` and ``auth_final(auth, score)``.
+    """
+    parts = [
+        edges_cte,
+        "h0 AS (SELECT DISTINCT hub, 1.0 AS score FROM edges)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.auth,"
+            f" CAST(SUM(CAST(h.score AS DECIMAL(24,12))) AS DOUBLE) AS raw"
+            f" FROM edges e JOIN h{i - 1} h USING (hub) GROUP BY e.auth)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT auth,"
+            f" round(raw / (SELECT max(raw) FROM ar{i}), 12) AS score"
+            f" FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.hub,"
+            f" CAST(SUM(CAST(a.score AS DECIMAL(24,12))) AS DOUBLE) AS raw"
+            f" FROM edges e JOIN a{i} a USING (auth) GROUP BY e.hub)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT hub,"
+            f" round(raw / (SELECT max(raw) FROM hr{i}), 12) AS score"
+            f" FROM hr{i})"
+        )
+    parts.append(f"hub_final AS (SELECT * FROM h{iterations})")
+    parts.append(f"auth_final AS (SELECT * FROM a{iterations})")
+    return ",\n".join(parts)

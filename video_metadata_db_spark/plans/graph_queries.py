@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank, pagerank_oracle_sql, triangle_counts
+from ..operators.graph import (
+    hits_bipartite,
+    hits_oracle_sql,
+    pagerank,
+    pagerank_oracle_sql,
+    triangle_counts,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -1291,3 +1297,97 @@ def q_graph_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in rounds[1:]:
         out = out.unionByName(frame)
     return out.orderBy("round")
+
+
+_HITS_EDGES_CTE = """
+edges AS (
+  SELECT DISTINCT o_custkey AS hub, p_brand AS auth
+  FROM orders
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN part ON l_partkey = p_partkey
+)"""
+
+
+def _hits_oracle() -> str:
+    return f"""
+WITH {hits_oracle_sql(_HITS_EDGES_CTE, iterations=2)},
+a_rk AS (
+  SELECT auth, CAST(round(score, 6) AS DOUBLE) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, auth) AS rn
+  FROM auth_final
+),
+h_rk AS (
+  SELECT hub, CAST(round(score, 6) AS DOUBLE) AS score,
+         row_number() OVER (ORDER BY round(score, 6) DESC, hub) AS rn
+  FROM hub_final
+)
+SELECT kind, id, score FROM (
+  SELECT 'authority' AS kind, auth AS id, score, rn FROM a_rk
+  UNION ALL
+  SELECT 'hub', CAST(hub AS VARCHAR), score, rn FROM h_rk
+)
+WHERE rn <= 10
+ORDER BY kind, score DESC, id
+"""
+
+
+@query("hits_hubs_authorities", oracle=_hits_oracle())
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the customer→brand purchase bipartite graph
+    — the OTHER eigenvector centrality beside `pagerank_copurchase`:
+    authorities are brands bought by well-connected customers, hubs
+    are customers whose baskets concentrate on authoritative brands
+    (mutually recursive, 2 max-normalized power rounds).  Top-10 of
+    each side.
+
+    Determinism = the pagerank discipline (`operators/graph.py`):
+    per-gather DECIMAL(24,12) exact sums, max-normalization (an
+    order-invariant scalar, unlike a float L1 sum), 12-dp re-quantize
+    per half-round; the oracle unrolls the identical recurrence.
+    Scale: linear scatter/gather per half-round over a persisted edge
+    set; the only scalars are the two per-round maxima."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .select(F.col("o_custkey").alias("hub"), F.col("p_brand").alias("auth"))
+        .distinct()
+    )
+    hubs, auths = hits_bipartite(edges, iterations=2)
+    a_top = (
+        auths.select("auth", F.round("score", 6).cast("double").alias("score"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("auth"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("auth").alias("id"),
+            "score",
+        )
+    )
+    h_top = (
+        hubs.select("hub", F.round("score", 6).cast("double").alias("score"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("hub"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("hub").cast("string").alias("id"),
+            "score",
+        )
+    )
+    return (
+        a_top.unionByName(h_top)
+        .select("kind", "id", "score")
+        .orderBy("kind", F.col("score").desc(), "id")
+    )

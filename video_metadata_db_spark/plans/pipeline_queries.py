@@ -1498,3 +1498,115 @@ def q_stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fold_share"),
     ).orderBy("source", "fold")
+
+
+@query(
+    "horvitz_thompson_total",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         CAST(concat('0x',
+              substr(md5(concat('{_PPS_SEED}', CAST(doc_id AS VARCHAR))), 1, 15))
+              AS BIGINT) AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lo,
+         SUM(n_tokens) OVER () AS total_w
+  FROM keyed
+),
+sample AS (
+  SELECT doc_id, n_chars, n_tokens, total_w,
+         ((cum_lo + n_tokens) * {_PPS_K}) // total_w
+           - (cum_lo * {_PPS_K}) // total_w AS n_picks
+  FROM c
+  WHERE ((cum_lo + n_tokens) * {_PPS_K}) // total_w
+          > (cum_lo * {_PPS_K}) // total_w
+),
+terms AS (
+  SELECT doc_id, n_picks,
+         CAST(round(n_picks * n_chars * total_w
+                    / (CAST({_PPS_K} AS DOUBLE) * n_tokens) * 1000000, 0)
+              AS BIGINT) AS term_micro
+  FROM sample
+),
+truth AS (SELECT SUM(n_chars) AS true_chars FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_sampled_docs,
+       CAST(sum(n_picks) AS BIGINT) AS n_draws,
+       round(sum(term_micro) / 1000000.0, 2) AS est_total_chars,
+       CAST((SELECT true_chars FROM truth) AS BIGINT) AS true_total_chars,
+       round(abs(sum(term_micro) / 1000000.0
+                 - (SELECT true_chars FROM truth))
+             / (SELECT true_chars FROM truth) * 100, 4) AS rel_err_pct
+FROM terms
+""",
+)
+def q_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HORVITZ-THOMPSON estimation from the PPS sample — the
+    design-based half the sampling family was missing: estimate the
+    corpus's total CHARACTER count from the `sample_pps_systematic`
+    draw (weighted by token count, a different variable), weighting
+    each sampled doc by its inverse expected draw count
+    n_picks · y · W / (k·w).  Reports the estimate, the truth, and the
+    realized relative error — the audit that justifies sampling a
+    100 TB corpus instead of scanning it.
+
+    Float discipline: each HT term is one double expression over exact
+    integers, quantized to integer micro-units before the sum (reduce
+    order can't move the rounded output).  Scale: identical shape to
+    the sampler itself — distributed prefix sum for the circle
+    positions, one scalar total to the driver, and the estimate is an
+    aggregate over the k-row sample."""
+    from ..operators.packing import sequence_offsets
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_PPS_SEED), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hk"),
+    )
+    totals = keyed.agg(
+        F.sum("n_tokens").alias("w"), F.sum("n_chars").alias("chars")
+    ).first()
+    total_w, true_chars = totals["w"], totals["chars"]
+    off = sequence_offsets(keyed, "hk", "n_tokens", tiebreak_col="doc_id")
+    picks_hi = F.expr(f"((start_offset + n_tokens) * {_PPS_K}) div {total_w}")
+    picks_lo = F.expr(f"(start_offset * {_PPS_K}) div {total_w}")
+    sample = off.withColumn("n_picks", picks_hi - picks_lo).filter(
+        F.col("n_picks") > 0
+    )
+    term_micro = F.round(
+        F.col("n_picks")
+        * F.col("n_chars")
+        * total_w
+        / (float(_PPS_K) * F.col("n_tokens"))
+        * 1000000,
+        0,
+    ).cast("long")
+    est = F.sum(term_micro) / 1000000.0
+    return sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled_docs"),
+        F.sum("n_picks").cast("long").alias("n_draws"),
+        F.round(est, 2).alias("est_total_chars"),
+        F.lit(true_chars).cast("long").alias("true_total_chars"),
+        F.round(
+            F.abs(est - F.lit(float(true_chars)))
+            / F.lit(float(true_chars))
+            * 100,
+            4,
+        ).alias("rel_err_pct"),
+    )
