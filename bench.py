@@ -267,6 +267,7 @@ HEADLINE = [
     "stream_scd2_enrich",
     "horvitz_thompson_total",
     "hits_hubs_authorities",
+    "packing_efficiency_compare",
 ]
 
 REPEATS = 2

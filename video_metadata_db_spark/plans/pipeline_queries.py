@@ -1610,3 +1610,136 @@ def q_horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err_pct"),
     )
+
+
+#: Context-window size for the packing-strategy comparison.
+_PACK_C = 128
+
+
+@query(
+    "packing_efficiency_compare",
+    oracle=f"""
+WITH tc AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_docs FROM tc),
+one_doc AS (
+  SELECT 'one_doc_per_block' AS strategy,
+         SUM(CAST(ceil(n / {_PACK_C}.0) AS BIGINT)) AS n_blocks
+  FROM tc
+),
+contiguous AS (
+  SELECT 'contiguous_stream' AS strategy,
+         CAST(ceil((SELECT total FROM tot) / {_PACK_C}.0) AS BIGINT)
+           AS n_blocks
+),
+ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, doc_id) AS r,
+         (SELECT n_docs FROM tot) AS nd
+  FROM tc
+),
+pairs AS (
+  SELECT least(r, nd + 1 - r) AS pair_id,
+         SUM(n) AS pair_n, COUNT(*) AS members
+  FROM ranked GROUP BY least(r, nd + 1 - r)
+),
+paired AS (
+  SELECT 'sorted_pairing' AS strategy,
+         SUM(CASE WHEN members = 2 AND pair_n <= {_PACK_C} THEN 1
+                  ELSE CAST(ceil(pair_n / {_PACK_C}.0) AS BIGINT) END)
+           AS n_blocks
+  FROM pairs
+),
+all_s AS (
+  SELECT * FROM one_doc UNION ALL
+  SELECT * FROM contiguous UNION ALL
+  SELECT * FROM paired
+)
+SELECT strategy,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST((SELECT total FROM tot) AS BIGINT) AS total_tokens,
+       CAST(n_blocks * {_PACK_C} - (SELECT total FROM tot) AS BIGINT)
+         AS padded_tokens,
+       round((n_blocks * {_PACK_C} - (SELECT total FROM tot))
+             / (n_blocks * {_PACK_C} * 1.0) * 100, 4) AS waste_pct
+FROM all_s
+ORDER BY strategy
+""",
+)
+def q_packing_efficiency_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-PACKING strategy shoot-out for a {_PACK_C}-token context
+    window — the padding-vs-splitting tradeoff every LLM data loader
+    picks: one-doc-per-block (no splits, maximal padding), contiguous
+    stream packing (zero padding except the final block, every block
+    boundary splits a doc — `pack_sequences`' layout), and sorted
+    pairing (longest-with-shortest two-pointer, whole docs only — the
+    sorted-batching heuristic).  One row per strategy with block
+    count, padded tokens, and waste%.
+
+    All-integer arithmetic end to end.  Scale: one token-count scan;
+    the pairing rank is a global row_number here for oracle parity —
+    at corpus scale it is `global_row_number`'s distributed two-pass
+    rank (same machinery, proven equivalent by the PPS queries);
+    everything after ranking is a combinable aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", token_count(F.col("text")).alias("n"))
+        .filter(F.col("n") > 0)
+    )
+    tot = tc.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_docs")
+    )
+    one_doc = tc.agg(
+        F.lit("one_doc_per_block").alias("strategy"),
+        F.sum(F.ceil(F.col("n") / float(_PACK_C))).cast("long").alias("n_blocks"),
+    )
+    contiguous = tot.select(
+        F.lit("contiguous_stream").alias("strategy"),
+        F.ceil(F.col("total") / float(_PACK_C)).cast("long").alias("n_blocks"),
+    )
+    ranked = (
+        tc.join(F.broadcast(tot))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("pair_id", F.least(F.col("r"), F.col("n_docs") + 1 - F.col("r")))
+    )
+    pairs = ranked.groupBy("pair_id").agg(
+        F.sum("n").alias("pair_n"), F.count(F.lit(1)).alias("members")
+    )
+    paired = pairs.agg(
+        F.lit("sorted_pairing").alias("strategy"),
+        F.sum(
+            F.when(
+                (F.col("members") == 2) & (F.col("pair_n") <= _PACK_C), 1
+            ).otherwise(F.ceil(F.col("pair_n") / float(_PACK_C)).cast("long"))
+        )
+        .cast("long")
+        .alias("n_blocks"),
+    )
+    all_s = one_doc.unionByName(contiguous).unionByName(paired)
+    return (
+        all_s.join(F.broadcast(tot))
+        .select(
+            "strategy",
+            "n_blocks",
+            F.col("total").cast("long").alias("total_tokens"),
+            (F.col("n_blocks") * _PACK_C - F.col("total"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                (F.col("n_blocks") * _PACK_C - F.col("total"))
+                / (F.col("n_blocks") * float(_PACK_C))
+                * 100,
+                4,
+            ).alias("waste_pct"),
+        )
+        .orderBy("strategy")
+    )
