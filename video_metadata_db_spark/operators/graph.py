@@ -314,9 +314,13 @@ def hits_bipartite(
     side's MAX (order-invariant, unlike an L1 float sum) and re-rounds
     to 12 dp, so the unrolled SQL recurrence replays bit-for-bit.
 
-    Scale: edges persist once; each half-round is one equi-join +
-    one combinable aggregate + one broadcast scalar — linear in edges,
-    the pagerank scatter/gather with the node set split in two.
+    Scale: edges persist once; each half-round is one equi-join + one
+    combinable aggregate, eagerly localCheckpointed (linear total work
+    — without the lineage cut, the max-normalization subtree doubles
+    per half-round and the final plan re-executes the gather chain
+    2^rounds times: measured 23.9 s vs 3-4 s at sf0.1).  The per-side
+    max is the only driver-side value — one scalar per half-round,
+    never row data.
     """
     e = edges.select("hub", "auth").persist()
     hubs = e.select("hub").distinct()
@@ -328,21 +332,24 @@ def hits_bipartite(
             .select("auth", F.col("score").cast("decimal(24,12)").alias("c"))
             .groupBy("auth")
             .agg(F.sum("c").cast("double").alias("raw"))
+            .localCheckpoint(eager=True)
         )
-        a_max = a_raw.agg(F.max("raw").alias("m"))
-        a = a_raw.join(F.broadcast(a_max)).select(
-            "auth", F.round(F.col("raw") / F.col("m"), _RANK_DP).alias("score")
+        a_m = float(a_raw.agg(F.max("raw")).first()[0])
+        a = a_raw.select(
+            "auth", F.round(F.col("raw") / F.lit(a_m), _RANK_DP).alias("score")
         )
         h_raw = (
             e.join(a, "auth")
             .select("hub", F.col("score").cast("decimal(24,12)").alias("c"))
             .groupBy("hub")
             .agg(F.sum("c").cast("double").alias("raw"))
+            .localCheckpoint(eager=True)
         )
-        h_max = h_raw.agg(F.max("raw").alias("m"))
-        h = h_raw.join(F.broadcast(h_max)).select(
-            "hub", F.round(F.col("raw") / F.col("m"), _RANK_DP).alias("score")
+        h_m = float(h_raw.agg(F.max("raw")).first()[0])
+        h = h_raw.select(
+            "hub", F.round(F.col("raw") / F.lit(h_m), _RANK_DP).alias("score")
         )
+    e.unpersist()
     return h, a
 
 
