@@ -268,6 +268,7 @@ HEADLINE = [
     "horvitz_thompson_total",
     "hits_hubs_authorities",
     "packing_efficiency_compare",
+    "ivf_nprobe_tradeoff",
 ]
 
 REPEATS = 2

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import brute_force_topk, ivf_topk, lsh_topk
@@ -540,3 +540,163 @@ def q_mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in per_prefix[1:]:
         out = out.unionByName(frame)
     return out.orderBy("prefix_dim", "query_id")
+
+
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def _nprobe_oracle() -> str:
+    from ..operators.similarity import N_CENTROIDS
+
+    cent_ids = ", ".join(str(10 + 25 * i) for i in range(N_CENTROIDS))
+    per_np = []
+    selects = []
+    for np_ in _NPROBE_SWEEP:
+        per_np.append(f"""probe_{np_} AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT x.vec_id AS query_id, x.v AS qv, cent.cid AS cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
+                                       cent.cid) AS rn
+    FROM e x CROSS JOIN cent WHERE x.vec_id IN ({_IDS})
+  ) WHERE rn <= {np_}
+),
+scored_{np_} AS (
+  SELECT query_id, cand_id,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+  FROM probe_{np_} JOIN corpus_assign USING (cluster)
+),
+top_{np_} AS (
+  SELECT query_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, cand_id) AS rank
+    FROM scored_{np_}
+  ) WHERE rank <= {K}
+)""")
+        selects.append(f"""SELECT {np_} AS n_probe,
+       (SELECT count(*) FROM scored_{np_}) AS n_scanned_pairs,
+       round((SELECT count(*) FROM top_{np_} t
+              JOIN truth USING (query_id, cand_id))
+             / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6)
+         AS recall_at_{K}""")
+    chain = ",\n".join(per_np)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id IN ({cent_ids})),
+corpus_assign AS (
+  SELECT cand_id, cv, cluster FROM (
+    SELECT x.vec_id AS cand_id, x.v AS cv, cent.cid AS cluster,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY list_cosine_similarity(x.v, cent.c) DESC,
+                                       cent.cid) AS rn
+    FROM e x CROSS JOIN cent WHERE x.vec_id NOT IN ({_IDS})
+  ) WHERE rn = 1
+),
+truth AS (
+  SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_cosine_similarity(q.v, c.v), 6)
+                                         DESC,
+                                       c.vec_id) AS rank
+    FROM e q CROSS JOIN e c
+    WHERE q.vec_id IN ({_IDS}) AND c.vec_id NOT IN ({_IDS})
+  ) WHERE rank <= {K}
+),
+{chain}
+SELECT * FROM ({union})
+ORDER BY n_probe
+"""
+
+
+@query("ivf_nprobe_tradeoff", oracle=_nprobe_oracle())
+def q_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE — recall@{K} versus candidate-scan cost as
+    n_probe sweeps {_NPROBE_SWEEP}: the one table an ANN deployment
+    reads before picking its latency/quality point (FAISS publishes
+    exactly this curve per index).  Ground truth is the exact brute
+    cosine top-{K}; cost is the number of (query, candidate) pairs the
+    probed inverted lists admit to scoring.
+
+    Scale: the corpus assignment is computed ONCE and reused by every
+    sweep point (the probe side is |queries| x n_probe rows — only the
+    tiny side changes); each sweep point pays one broadcast equi-join
+    on cluster id over the shared assignment, so the sweep costs ~one
+    IVF search per point, never a re-index.  Exactly the plan a real
+    tuner runs offline on a query sample."""
+    from ..operators.similarity import (
+        N_CENTROIDS,
+        brute_force_topk,
+        cosine,
+        ivf_assign,
+        _to_double,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    centroid_ids = [10 + 25 * i for i in range(N_CENTROIDS)]
+    centroids = sorted(
+        (r["vec_id"], list(r["v"]))
+        for r in e.filter(F.col("vec_id").isin(centroid_ids)).collect()
+    )
+    corpus = (
+        ivf_assign(
+            e.filter(~F.col("vec_id").isin(QUERY_IDS)), centroids, n_probe=1
+        )
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cv"),
+            F.element_at("clusters", 1).alias("cluster"),
+        )
+        .persist()
+    )
+    truth = (
+        brute_force_topk(emb, QUERY_IDS, k=K)
+        .select("query_id", "cand_id")
+        .persist()
+    )
+    n_truth = truth.count()
+    rows = []
+    for np_ in _NPROBE_SWEEP:
+        queries = ivf_assign(
+            e.filter(F.col("vec_id").isin(QUERY_IDS)), centroids, n_probe=np_
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode("clusters").alias("cluster"),
+        )
+        scored = (
+            F.broadcast(queries)
+            .join(corpus, "cluster")
+            .select(
+                "query_id",
+                "cand_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("cand_id")
+        )
+        top = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select("query_id", "cand_id")
+        )
+        stats = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_scanned_pairs")
+        ).crossJoin(
+            top.join(truth, ["query_id", "cand_id"]).agg(
+                F.round(
+                    F.count(F.lit(1)) / float(n_truth), 6
+                ).alias(f"recall_at_{K}")
+            )
+        )
+        rows.append(stats.select(F.lit(np_).alias("n_probe"), "*"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    result = out.orderBy("n_probe")
+    corpus.unpersist()
+    truth.unpersist()
+    return result
