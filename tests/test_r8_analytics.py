@@ -237,3 +237,56 @@ def test_exact_median_matches_percentile(spark):
     assert exact_median(
         spark.createDataFrame([], "v double"), "v"
     ) is None
+
+
+def test_packing_strategies_are_ordered(spark):
+    """Waste must rank contiguous <= sorted_pairing <= one_doc_per_block
+    — the tradeoff the comparison exists to show — and every strategy
+    must account for the same total tokens."""
+    rows = {
+        r.strategy: r
+        for r in QUERIES["packing_efficiency_compare"](spark, SF_SMOKE).collect()
+    }
+    c, p, n = (
+        rows["contiguous_stream"],
+        rows["sorted_pairing"],
+        rows["one_doc_per_block"],
+    )
+    assert c.total_tokens == p.total_tokens == n.total_tokens
+    assert c.waste_pct <= p.waste_pct <= n.waste_pct
+    assert c.n_blocks <= p.n_blocks <= n.n_blocks
+    for r in (c, p, n):
+        assert r.n_blocks * 128 == r.total_tokens + r.padded_tokens
+
+
+def test_nprobe_sweep_is_monotone(spark):
+    """More probed lists can only widen the candidate set, so scanned
+    pairs and recall must both be non-decreasing in n_probe."""
+    rows = QUERIES["ivf_nprobe_tradeoff"](spark, SF_SMOKE).collect()
+    probes = [r.n_probe for r in rows]
+    assert probes == sorted(probes)
+    scanned = [r.n_scanned_pairs for r in rows]
+    recall = [r.recall_at_10 for r in rows]
+    assert scanned == sorted(scanned)
+    assert recall == sorted(recall)
+    assert all(0.0 <= x <= 1.0 for x in recall)
+
+
+def test_horvitz_thompson_is_accurate(spark):
+    """Chars and tokens are strongly correlated, so the PPS/HT estimate
+    of total chars from a token-weighted sample of ~20 docs should land
+    within a few percent of the truth (measured <1% at every SF)."""
+    r = QUERIES["horvitz_thompson_total"](spark, SF_SMOKE).collect()[0]
+    assert r.n_draws >= r.n_sampled_docs > 0
+    assert r.rel_err_pct < 5.0, r
+
+
+def test_hits_scores_are_max_normalized(spark):
+    rows = QUERIES["hits_hubs_authorities"](spark, SF_SMOKE).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r.score)
+    for kind, scores in by_kind.items():
+        assert len(scores) == 10, kind
+        assert max(scores) == 1.0, kind  # top of each side is the unit
+        assert all(0.0 < s <= 1.0 for s in scores), kind
