@@ -70,11 +70,14 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: all 12 came back green in CORRECTNESS_r06, as did the
 #: post-oracle-fix variant_json_path.
 #:
-#: Round-9 rotation candidates, highest priority first: the 8 round-8
+#: Round-9 rotation candidates, highest priority first: the 16 round-8
 #: additions (span_dedup_crossdoc, record_linkage_blocking,
-#: zorder_skipping_audit, t_closeness_audit, theil_sen_trend,
-#: dsir_importance_weights, poisson_bootstrap_ci,
-#: conformal_interval_coverage — all fresh-process verified at
+#: zorder_skipping_audit, hilbert_skipping_audit, t_closeness_audit,
+#: theil_sen_trend, dsir_importance_weights, poisson_bootstrap_ci,
+#: conformal_interval_coverage, calibration_return_model,
+#: multimodal_frame_dedup, stream_scd2_enrich, horvitz_thompson_total,
+#: hits_hubs_authorities, packing_efficiency_compare,
+#: ivf_nprobe_tradeoff — all fresh-process verified at
 #: sf0.001/0.01/0.1 in r8), then the long never-checked queue below.
 #:
 #: Round-8 rotation candidates (never driver-checked, all green in
