@@ -348,8 +348,12 @@ def main() -> None:
             if isinstance(prov, dict):
                 head = _git_short_head()
                 prov["bench_commit"] = head
-                prov["stale"] = bool(
-                    prov.get("commit") and head and prov["commit"] != head
+                # unknown origin (no recorded commit, or no git here)
+                # is stale, same policy as the pre-provenance branch
+                prov["stale"] = (
+                    not prov.get("commit")
+                    or not head
+                    or prov["commit"] != head
                 )
             else:
                 # pre-provenance PHASES.json: unknown origin → stale

@@ -15,8 +15,21 @@ built-in DataFrame ops with an eye on the 100 TB plan:
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def round_half_away(v: float, nd: int) -> float:
+    """Half-away-from-zero rounding to ``nd`` decimals, matching DuckDB
+    ``round()`` and Spark ``F.round`` (both HALF_UP on the shortest
+    decimal representation) rather than Python's banker's ``round()``.
+    Quantizing ``Decimal(repr(v))`` reproduces exactly what both
+    engines see for a double landing on a decimal tie.
+    """
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def pareto_frontier_2d(
@@ -232,16 +245,33 @@ def theil_sen(points: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     pts = points.select(F.col(x).cast("double").alias("x"),
                         F.col(y).cast("double").alias("y"))
     a, b = pts.alias("a"), pts.alias("b")
+    # try_divide, not `/`: the a.x < b.x join guard makes the divisor
+    # nonzero on every SURVIVING pair, but Catalyst may fold a
+    # downstream null-filter into the join condition and evaluate the
+    # division before the guard — under ANSI mode a plain `/` then
+    # throws DIVIDE_BY_ZERO on the pairs the guard was about to drop
     slopes = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).select(
-        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
-            "slope"
-        )
+        F.try_divide(
+            F.col("b.y") - F.col("a.y"), F.col("b.x") - F.col("a.x")
+        ).alias("slope")
     )
     # the slope median runs over O(points**2) values — the exact-kth
     # selection path (exact_median) instead of the `percentile`
     # aggregate, whose single-reducer counts-map merge measured 12.8 s
-    # on 2.9M slopes vs ~2 s for the selection
-    slope = round(exact_median(slopes, "slope"), 6)
+    # on 2.9M slopes vs ~2 s for the selection.  Quantized
+    # half-away-from-zero (not Python banker's round) so a 6-dp tie
+    # matches the DuckDB/Spark round() the oracle applies.
+    med = exact_median(slopes, "slope")
+    if med is None:  # < 2 distinct x values: no pairwise slope exists
+        return pts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.lit(None).cast("double").alias("theil_slope"),
+            F.lit(None).cast("double").alias("theil_intercept"),
+            F.round(
+                F.covar_pop("y", "x") / F.var_pop("x"), 6
+            ).alias("ols_slope"),
+        )
+    slope = round_half_away(med, 6)
     return pts.agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.lit(slope).alias("theil_slope"),
@@ -268,9 +298,15 @@ def exact_median(df: DataFrame, col: str, num_ranges: int = 32) -> float | None:
     regardless of arbitrary order.  Median = mean of the k1=(n+1)//2,
     k2=(n+2)//2 order statistics — definitionally equal to linear
     interpolation at p=0.5 (DuckDB ``quantile_cont`` / Spark
-    ``percentile``), so oracle parity is preserved.
+    ``percentile``), so oracle parity is preserved.  NULLs are dropped
+    up front (matching the ``percentile`` aggregate this replaces —
+    without the filter they would inflate ``n`` and sort first).
     """
-    vals = df.select(F.col(col).alias("_v")).persist()
+    vals = (
+        df.select(F.col(col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .persist()
+    )
     try:
         n = vals.count()
         if n == 0:

@@ -34,6 +34,8 @@ cached once — the right trade at 100 TB.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,18 +45,19 @@ def sequence_offsets(
     order_col: str = "doc_id",
     weight_col: str = "n_tokens",
     num_ranges: int = 32,
-    tiebreak_col: str | None = None,
+    tiebreak_col: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Add ``start_offset``: the exclusive prefix sum of ``weight_col``
-    in ``(order_col, tiebreak_col)`` order, computed with bounded
+    in ``(order_col, *tiebreak_col)`` order, computed with bounded
     parallelism loss.
 
-    ``(order_col, tiebreak_col)`` must be unique per row (``order_col``
-    alone suffices when it is itself unique, e.g. document ids).  Rows
-    equal on ``order_col`` always land in the same range bucket (the
-    bucket test is strict-less-than against the boundaries), so the
-    tiebreak only ever orders WITHIN a bucket — cross-bucket order
-    stays correct.  Output carries the input columns + ``start_offset``.
+    ``(order_col, *tiebreak_col)`` must be unique per row (``order_col``
+    alone suffices when it is itself unique, e.g. document ids; a list
+    of tiebreaks composes a lexicographic order).  Rows equal on
+    ``order_col`` always land in the same range bucket (the bucket test
+    is strict-less-than against the boundaries), so the tiebreaks only
+    ever order WITHIN a bucket — cross-bucket order stays correct.
+    Output carries the input columns + ``start_offset``.
     """
     # one tiny driver-side action: num_ranges-1 boundary values — NOT
     # row data.  Embedding them as literals makes _pid deterministic
@@ -91,7 +94,12 @@ def sequence_offsets(
         "_poff", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)).cast("long")
     ).select("_pid", "_poff")
 
-    in_order = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
+    if tiebreak_col is None:
+        in_order = [order_col]
+    elif isinstance(tiebreak_col, str):
+        in_order = [order_col, tiebreak_col]
+    else:
+        in_order = [order_col, *tiebreak_col]
     in_w = (
         Window.partitionBy("_pid")
         .orderBy(*in_order)
@@ -113,11 +121,11 @@ def sequence_offsets(
 def global_row_number(
     df: DataFrame,
     order_col: str,
-    tiebreak_col: str,
+    tiebreak_col: str | Sequence[str],
     out_col: str = "position",
     num_ranges: int = 32,
 ) -> DataFrame:
-    """0-based global rank of every row in ``(order_col, tiebreak_col)``
+    """0-based global rank of every row in ``(order_col, *tiebreak_col)``
     order WITHOUT the single-reducer global window ``row_number()``
     forces — it is the prefix sum of weight 1 over the same distributed
     two-pass machinery as :func:`sequence_offsets`.

@@ -20,6 +20,32 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
+#: Round-9 rotation (VERDICT r8 item 1, the judge's exact 16 picks):
+#: first driver checks for all 16 round-8 additions —
+#: span_dedup_crossdoc, record_linkage_blocking, zorder_skipping_audit,
+#: hilbert_skipping_audit, t_closeness_audit, theil_sen_trend,
+#: dsir_importance_weights, poisson_bootstrap_ci,
+#: conformal_interval_coverage, calibration_return_model,
+#: multimodal_frame_dedup, stream_scd2_enrich, horvitz_thompson_total,
+#: hits_hubs_authorities, packing_efficiency_compare,
+#: ivf_nprobe_tradeoff — each fresh-process verified at sf0.001 / 0.01
+#: / 0.1 via tools/drive_entry.py before this rotation was committed.
+#: Out (all r8-green, every family keeps >=1 green representative, all
+#: still oracle-verified every test run): l_diversity_audit
+#: (t_closeness_audit keeps privacy), graph_peeling_profile
+#: (triangle_count + hits_hubs_authorities keep graph),
+#: merge_cdc_apply + stream_cdc_apply (scd2_point_snapshot +
+#: stream_scd2_enrich keep lake/CDC), association_rules_confidence,
+#: ccf_click_purchase (markov_transitions keeps mining),
+#: dedup_cluster_size_histogram, adc_recall_audit, mrl_prefix_recall
+#: (knn_cosine_topk + ivf_nprobe_tradeoff keep similarity),
+#: stratified_kfold_assign (horvitz_thompson_total keeps sampling),
+#: stream_late_data_drop (five streaming names stay),
+#: arrow_byte_stats, agg_grouping_sets (q1_pricing_summary keeps agg),
+#: window_frames (window_topk_per_group keeps windows),
+#: join_range_binned + filter_quality_rules (join family keeps
+#: star/asof/salted; text keeps text_metrics).
+#:
 #: Round-8 rotation: 12 first driver checks — the round-7 additions
 #: that had never had a CORRECTNESS row (merge_cdc_apply,
 #: stream_cdc_apply, stream_late_data_drop, adc_recall_audit,
@@ -114,70 +140,74 @@ CHECKED_FIRST = [
     "merge_union_sort",
     # aggregations
     "q1_pricing_summary",
-    "agg_grouping_sets",
     "curation_pipeline",
-    # joins (anti/semi/outer + q3 rotate to test-only, all r6-green;
-    # update_anti_join + update_bloom_prefilter keep the
-    # membership/anti family green, star keeps broadcast)
+    # joins (star keeps broadcast, asof + salted keep the custom-join
+    # shapes; update_anti_join + update_bloom_prefilter keep the
+    # membership/anti family green)
     "join_star_revenue",
-    "join_range_binned",
     "join_asof_attribution",
     "join_salted_skew",
     # windows / ranking
     "window_topk_per_group",
-    "window_frames",
     # set ops
     "set_ops",
-    # semi-structured (variant_json_path rotated out r6-green)
+    # semi-structured
     "explode_tokens",
     # distinct
     "distinct_users_exact",
     # reference formatters
     "fmt_scalars",
-    # text / quality
+    # text / quality (+ DSIR importance-weighting first check)
     "text_metrics",
-    "filter_quality_rules",
-    # stats / distribution analytics (gini anchor; privacy first check)
+    "dsir_importance_weights",
+    # stats / distribution analytics (gini anchor; Theil–Sen, Poisson
+    # bootstrap, conformal, calibration first checks)
     "gini_revenue",
-    "l_diversity_audit",
-    # graph analytics (anchor + k-core peeling first check)
+    "theil_sen_trend",
+    "poisson_bootstrap_ci",
+    "conformal_interval_coverage",
+    "calibration_return_model",
+    # privacy (t-closeness first check; l_diversity r8-green)
+    "t_closeness_audit",
+    # graph analytics (anchor + HITS first check)
     "triangle_count",
-    "graph_peeling_profile",
+    "hits_hubs_authorities",
     # sketches (r6-green anchor)
     "heavy_hitters_cms",
-    # lake / CDC (scd2 anchor; batch + streaming CDC first checks)
+    # lake / CDC (scd2 anchor; z-order/Hilbert skipping audits +
+    # streaming SCD2 enrich first checks)
     "scd2_point_snapshot",
-    "merge_cdc_apply",
-    "stream_cdc_apply",
-    # sequence / behavior / mining (anchor + first checks)
+    "zorder_skipping_audit",
+    "hilbert_skipping_audit",
+    "stream_scd2_enrich",
+    # sequence / behavior / mining (anchor + record-linkage first check)
     "markov_transitions",
-    "association_rules_confidence",
-    "ccf_click_purchase",
-    # dedup (+ cluster-size-histogram first check)
+    "record_linkage_blocking",
+    # dedup (+ span-dedup first check)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    "dedup_cluster_size_histogram",
-    # similarity search / clustering (+ ADC recall / MRL first checks)
+    "span_dedup_crossdoc",
+    # similarity search / clustering (+ IVF nprobe-curve first check)
     "knn_cosine_topk",
     "kmeans_clusters",
-    "adc_recall_audit",
-    "mrl_prefix_recall",
-    # sequence packing (distributed prefix sum) + sampling first check
+    "ivf_nprobe_tradeoff",
+    # sequence packing (+ strategy shoot-out first check) and
+    # sampling/estimation (Horvitz–Thompson first check)
     "pack_sequences",
-    "stratified_kfold_assign",
-    # streaming (+ watermark late-drop first check)
+    "packing_efficiency_compare",
+    "horvitz_thompson_total",
+    # streaming
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_stateful_user_totals",
     "stream_interval_join",
     "stream_dedup",
-    "stream_late_data_drop",
-    # UDF / multimodal / membership (+ Arrow byte-accounting first check)
+    # UDF / multimodal / membership (+ frame-dedup first check)
     "udf_grouped_zscore",
     "multimodal_features",
-    "arrow_byte_stats",
+    "multimodal_frame_dedup",
     "update_bloom_prefilter",
 ]
 

