@@ -15,6 +15,10 @@ import io
 import pytest
 
 from video_metadata_db_spark.plans import QUERIES
+from video_metadata_db_spark.plans.plan_audit import (
+    NODE_RE,
+    single_partition_window_exchanges,
+)
 
 SF = "/root/testdata/sf0.01"
 
@@ -90,9 +94,81 @@ def test_q3_sql_surface_topk(spark):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_cartesian_anywhere(spark, name):
-    assert "CartesianProduct" not in plan_of(spark, name), (
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, (
         f"{name}: unintended cartesian product"
     )
+    # registry-wide single-reducer-window gate (VERDICT r8 item 2): no
+    # query may sort a non-aggregated frame through one task for a
+    # window.  Post-aggregate model-sized windows (daily series, bin
+    # grids, the prefix-sum machinery's bucket offsets) are allowed by
+    # the detector itself; the whitelist is for sites it cannot prove
+    # small from the plan alone.
+    whitelist: set[str] = set()
+    if name not in whitelist:
+        hits = single_partition_window_exchanges(p)
+        assert not hits, (
+            f"{name}: Window over Exchange SinglePartition on a "
+            f"non-aggregated frame (exchange ids {hits}) — use the "
+            f"distributed global_row_number/sequence_offsets machinery"
+        )
+
+
+def test_spwin_detector_controls(spark):
+    """Pin the detector against a known-positive (raw global window —
+    including the broadcast-aggregate-on-the-OTHER-side shape that a
+    naive 'aggregate nearby' heuristic would miss) and a known-negative
+    (post-aggregate window)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    raw = spark.range(1000).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert single_partition_window_exchanges(fmt(raw))
+
+    mx = spark.range(10).agg(F.max("id").alias("m"))
+    joined = (
+        spark.range(1000)
+        .join(F.broadcast(mx))
+        .withColumn("r", F.row_number().over(Window.orderBy("id")))
+    )
+    assert single_partition_window_exchanges(fmt(joined))
+
+    agg = (
+        spark.range(1000)
+        .withColumn("g", F.col("id") % 10)
+        .groupBy("g")
+        .count()
+        .withColumn("r", F.row_number().over(Window.orderBy("g")))
+    )
+    assert not single_partition_window_exchanges(fmt(agg))
+
+
+def test_hits_topk_is_rank_limit_pushed(spark):
+    """hits_hubs_authorities' global top-10-per-side relies on Spark's
+    rank-limit pushdown (WindowGroupLimit → TakeOrderedAndProject
+    before the single-partition window) for its scale story — pin it so
+    a refactor can't silently regress to a one-reducer sort of the full
+    score frame (VERDICT r8 item 5)."""
+    p = plan_of(spark, "hits_hubs_authorities")
+    tree = [ln for ln in p.splitlines() if NODE_RE.match(ln)]
+    windows = [i for i, ln in enumerate(tree) if "Window (" in ln]
+    assert windows, "expected the two top-10 rank windows in the plan"
+    for i in windows:
+        assert "TakeOrderedAndProject" in tree[i + 1], (
+            "each rank<=10 window must read from TakeOrderedAndProject "
+            f"(rank-limit pushdown), got: {tree[i + 1].strip()}"
+        )
 
 
 def test_range_binned_is_equi_join(spark):
