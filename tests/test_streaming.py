@@ -265,7 +265,7 @@ def test_transform_with_state_api(spark, tmp_path):
             "transformWithState runner needs protobuf; this container "
             "ships none at all — `import google.protobuf` raises "
             "ModuleNotFoundError: No module named 'google' "
-            "(re-probed r7, 2026-08-15; pip install is out of contract)"
+            "(re-probed r9, 2026-08-16; pip install is out of contract)"
         ),
     )
     from video_metadata_db_spark.sources.tables import load_table

@@ -1267,3 +1267,132 @@ def q_calibration_return_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x")
     )
+
+
+def _pnorm_two_sided(z: str) -> str:
+    """Two-sided normal p-value ``2·(1 − Φ(|z|))`` as a SQL expression
+    string — Abramowitz & Stegun 26.2.17 (|error| < 7.5e-8), written
+    ONCE and embedded verbatim in both engines so every constant,
+    parenthesis, and evaluation order is identical; the only
+    cross-engine divergence source left is one ``exp`` ulp, orders of
+    magnitude under the 6-dp round (the `logistic_return_model`
+    precedent for exp parity)."""
+    k = f"(1.0 / (1.0 + 0.2316419 * abs({z})))"
+    poly = (
+        f"({k} * (0.319381530 + {k} * (-0.356563782 + {k} * "
+        f"(1.781477937 + {k} * (-1.821255978 + {k} * 1.330274429)))))"
+    )
+    return (
+        f"(2.0 * exp(-((({z}) * ({z})) / 2.0)) * 0.3989422804014327 * {poly})"
+    )
+
+
+#: Per-brand return-rate z-test vs the pooled rate, then BH at q=0.05.
+_FDR_ALPHA = 0.05
+_FDR_Z = (
+    "((x_i / CAST(n_i AS DOUBLE) - p0)"
+    " / sqrt(p0 * (1.0 - p0) / CAST(n_i AS DOUBLE)))"
+)
+
+
+@query(
+    "fdr_bh_correction",
+    oracle=f"""
+WITH per_brand AS (
+  SELECT p.p_brand AS brand,
+         count(*) AS n_i,
+         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS x_i
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+pooled AS (
+  SELECT sum(x_i) / CAST(sum(n_i) AS DOUBLE) AS p0, count(*) AS m
+  FROM per_brand
+),
+tested AS (
+  SELECT brand, n_i, x_i, m,
+         round({_FDR_Z}, 6) AS z,
+         round({_pnorm_two_sided(_FDR_Z)}, 6) AS p_value
+  FROM per_brand CROSS JOIN pooled
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value, brand) AS i
+  FROM tested
+),
+adjusted AS (
+  SELECT *,
+         LEAST(1.0, min(p_value * m / i) OVER (
+             ORDER BY i ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         )) AS p_bh_raw
+  FROM ranked
+)
+SELECT brand, CAST(n_i AS BIGINT) AS n_i, CAST(x_i AS BIGINT) AS x_i,
+       CAST(z AS DOUBLE) AS z,
+       CAST(p_value AS DOUBLE) AS p_value,
+       CAST(round(p_bh_raw, 6) AS DOUBLE) AS p_bh,
+       round(p_bh_raw, 6) <= {_FDR_ALPHA} AS rejected
+FROM adjusted
+ORDER BY p_value, brand
+""",
+)
+def q_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE-TESTING CONTROL — Benjamini–Hochberg FDR across the
+    per-brand return-rate z-tests (each brand vs the pooled rate): the
+    correction every metrics platform needs once it runs one test per
+    segment (25 brands here; thousands of slices in production, where
+    uncorrected p<0.05 "discoveries" arrive by the dozen).  Output per
+    brand: z, raw p, BH-adjusted p (the step-up suffix-min
+    ``min_{{j>=i}} p_j·m/j`` capped at 1), and the q=0.05 rejection
+    flag.
+
+    The normal CDF is the A&S 26.2.17 polynomial emitted VERBATIM into
+    both engines (no scipy, no per-engine libm CDF).  Scale: the test
+    statistics come from one lineitem⋈part scan into an m-row frame;
+    ranking and the suffix-min run on m rows (post-aggregate,
+    model-sized — the plan-audit gate's allowed shape).  At millions of
+    segments the rank becomes `global_row_number` over the aggregate
+    frame; the BH threshold crossing is a running comparison, never a
+    corpus operation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_brand = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum((F.col("l_returnflag") == "R").cast("int")).alias("x_i"),
+        )
+    )
+    pooled = per_brand.agg(
+        (F.sum("x_i") / F.sum("n_i").cast("double")).alias("p0"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tested = per_brand.join(F.broadcast(pooled)).select(
+        "brand",
+        "n_i",
+        "x_i",
+        "m",
+        F.round(F.expr(_FDR_Z), 6).alias("z"),
+        F.round(F.expr(_pnorm_two_sided(_FDR_Z)), 6).alias("p_value"),
+    )
+    w = Window.orderBy("p_value", "brand")
+    ranked = tested.withColumn("i", F.row_number().over(w))
+    w_suffix = Window.orderBy("i").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    adjusted = ranked.withColumn(
+        "p_bh_raw",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("p_value") * F.col("m") / F.col("i")).over(w_suffix),
+        ),
+    )
+    return adjusted.select(
+        "brand",
+        F.col("n_i").cast("long").alias("n_i"),
+        F.col("x_i").cast("long").alias("x_i"),
+        F.col("z").cast("double").alias("z"),
+        F.col("p_value").cast("double").alias("p_value"),
+        F.round("p_bh_raw", 6).cast("double").alias("p_bh"),
+        (F.round("p_bh_raw", 6) <= _FDR_ALPHA).alias("rejected"),
+    ).orderBy("p_value", "brand")

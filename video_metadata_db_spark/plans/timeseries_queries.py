@@ -3635,3 +3635,135 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "theil_intercept",
         "ols_slope",
     )
+
+
+def _mk_oracle() -> str:
+    from .stats_queries import _pnorm_two_sided
+
+    return f"""
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS c
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT CAST(date_diff('day', (SELECT min(d) FROM daily), d) AS BIGINT)
+           AS x, c
+  FROM daily
+),
+s AS (
+  SELECT sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END)
+           AS s_stat
+  FROM pts a JOIN pts b ON a.x < b.x
+),
+n_ AS (SELECT count(*) AS n FROM pts),
+ties AS (
+  SELECT COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+  FROM (SELECT count(*) AS t FROM pts GROUP BY c HAVING count(*) > 1)
+),
+stat AS (
+  SELECT s_stat, n,
+         (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0 AS var_s
+  FROM s CROSS JOIN n_ CROSS JOIN ties
+),
+z_ AS (
+  SELECT s_stat, n, var_s,
+         CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+              WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+              ELSE 0.0 END AS z_raw
+  FROM stat
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       CAST(round(s_stat / (n * (n - 1) / 2.0), 6) AS DOUBLE) AS kendall_tau,
+       CAST(round(z_raw, 6) AS DOUBLE) AS z,
+       CAST(round({_pnorm_two_sided("z_raw")}, 6) AS DOUBLE) AS p_value
+FROM z_
+"""
+
+
+@query("mann_kendall_trend", oracle=_mk_oracle())
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test on daily revenue — the NON-PARAMETRIC
+    companion to `theil_sen_trend` (same daily series, same pair
+    space): S = sum of sign(y_j − y_i) over ordered day pairs, the
+    tie-corrected variance, the continuity-corrected z, Kendall's tau,
+    and the two-sided p (A&S polynomial CDF shared verbatim with
+    `fdr_bh_correction`).  The hydrology-standard "is there ANY
+    monotone trend" test — no linearity or normality assumed; Theil-Sen
+    answers "how steep", this answers "is it real".
+
+    Determinism: daily values stay exact integer CENTS, so every
+    sign(), the integer S, and the tie term are bit-identical across
+    engines; floats appear only at the final var/sqrt/CDF step on a
+    one-row frame.  Scale: identical contract to `theil_sen_trend` —
+    the O(n²) pair join runs over DAILY AGGREGATES (a broadcast
+    nested-loop over thousands of points however many billions of rows
+    feed the groupBy); everything else is scalar."""
+    from .stats_queries import _pnorm_two_sided
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    pts = daily.join(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"), "c"
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    s = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).agg(
+        F.sum(
+            F.when(F.col("b.c") > F.col("a.c"), 1)
+            .when(F.col("b.c") < F.col("a.c"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    n_ = pts.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        pts.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    stat = (
+        s.crossJoin(F.broadcast(n_))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "s_stat",
+            "n",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z_ = stat.select(
+        "s_stat",
+        "n",
+        "var_s",
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s"))
+        .otherwise(F.lit(0.0))
+        .alias("z_raw"),
+    )
+    return z_.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round(
+            F.col("s_stat") / (F.col("n") * (F.col("n") - 1) / 2.0), 6
+        ).alias("kendall_tau"),
+        F.round("z_raw", 6).cast("double").alias("z"),
+        F.round(F.expr(_pnorm_two_sided("z_raw")), 6)
+        .cast("double")
+        .alias("p_value"),
+    )
