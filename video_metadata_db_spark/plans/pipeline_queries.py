@@ -1744,3 +1744,103 @@ def q_packing_efficiency_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+@query(
+    "domain_cap_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+cap_ AS (
+  SELECT (count(*) // (count(DISTINCT source) * 2)) + 1 AS cap FROM d
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS r
+  FROM d
+),
+flagged AS (
+  SELECT source, n_tok, r <= (SELECT cap FROM cap_) AS kept FROM ranked
+)
+SELECT source,
+       (SELECT cap FROM cap_) AS cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(round(sum(CASE WHEN kept THEN n_tok ELSE 0 END)
+                  / CAST(sum(n_tok) AS DOUBLE), 6) AS DOUBLE)
+         AS kept_token_share
+FROM flagged
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-DOMAIN CAP enforcement — the CommonCrawl-pipeline step that
+    stops one mega-domain from dominating the training mixture: rank
+    docs WITHIN each source (longest first, the cheap quality proxy;
+    swap in the quality-score column in production) and keep at most
+    ``cap`` per source, where cap adapts to scale as
+    ``total_docs / (2 · n_sources) + 1`` (one scalar aggregate — a
+    fixed constant would keep everything at one SF and almost nothing
+    at another).  Output per source: docs/tokens kept vs total — the
+    table that shows exactly how much of each domain's mass the cap
+    removes.
+
+    Scale: the ranking window is PARTITIONED by source (parallelism =
+    domains); a skewed mega-domain partition is handled in production
+    by pre-filtering with a per-source count (any doc beyond rank cap
+    needs only cap-quantile cutoffs, a 2-pass trick) — at this corpus
+    the direct window is the right plan.  Everything else is one
+    combinable per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    cap_ = d.agg(
+        (
+            F.expr("count(1) div (count(DISTINCT source) * 2)") + 1
+        ).alias("cap")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    flagged = (
+        d.withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(cap_))
+        .select("source", "n_tok", "cap", (F.col("r") <= F.col("cap")).alias("kept"))
+    )
+    return (
+        flagged.groupBy("source", "cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.round(
+                F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("kept_token_share"),
+        )
+        .select(
+            "source",
+            "cap",
+            "n_docs",
+            "n_kept",
+            "tokens_kept",
+            "tokens_total",
+            "kept_token_share",
+        )
+        .orderBy("source")
+    )

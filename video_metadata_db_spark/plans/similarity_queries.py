@@ -868,3 +868,96 @@ def q_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shapley_micro").desc(), "cand_id")
         .limit(20)
     )
+
+
+@query(
+    "embedding_mmd_drift",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         vec_id % 2 = 0 AS is_ref
+  FROM embeddings
+),
+dims AS (
+  SELECT is_ref, t.d AS dim, e.v[t.d] AS x
+  FROM e, (SELECT unnest(generate_series(1, 64)) AS d) t
+),
+means AS (
+  SELECT dim,
+         avg(CASE WHEN is_ref THEN x END) AS mean_ref,
+         avg(CASE WHEN NOT is_ref THEN x END) AS mean_cur
+  FROM dims GROUP BY dim
+),
+diffs AS (
+  SELECT dim, mean_ref, mean_cur,
+         CAST(round((mean_ref - mean_cur) * 1000000.0) AS BIGINT)
+           AS diff_micro
+  FROM means
+),
+mmd AS (
+  SELECT sum(diff_micro * diff_micro) AS mmd_pico FROM diffs
+)
+SELECT dim,
+       CAST(round(mean_ref, 6) AS DOUBLE) AS mean_ref,
+       CAST(round(mean_cur, 6) AS DOUBLE) AS mean_cur,
+       diff_micro,
+       CAST(round(mmd_pico / 1000000000000.0, 6) AS DOUBLE) AS mmd2
+FROM diffs CROSS JOIN mmd
+ORDER BY abs(diff_micro) DESC, dim
+LIMIT 10
+""",
+)
+def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-DISTRIBUTION DRIFT between two corpus snapshots (even
+    vs odd vec_id halves stand in for reference vs current): linear-
+    kernel MMD² = ||mean embedding A − mean embedding B||² — the
+    mean-discrepancy form of the kernel two-sample test (Gretton et
+    al.), THE cheap detector for "did my embedding distribution move"
+    before retraining an ANN index or a classifier head.  Output: the
+    10 most-drifted dimensions (exact integer micro mean-gaps) with the
+    corpus-level MMD² alongside — the drill-down a drift alarm needs.
+
+    Scale shape: one posexplode scan → ONE combinable (dim) aggregate
+    (64 cells regardless of corpus size); per-dim mean gaps are
+    integer-quantized before squaring/summing so the verdict is
+    association-order-proof; the top-10 ranks 64 post-aggregate rows.
+    The polynomial-kernel variant is the same plan over element
+    products; an RBF MMD needs random features — out of declarative
+    scope by design."""
+    from ..operators.similarity import _to_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        _to_double(F.col("embedding")).alias("v"),
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+    )
+    dims = e.select(
+        "is_ref", F.posexplode("v").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "is_ref", "x")
+    means = dims.groupBy("dim").agg(
+        F.avg(F.when(F.col("is_ref"), F.col("x"))).alias("mean_ref"),
+        F.avg(F.when(~F.col("is_ref"), F.col("x"))).alias("mean_cur"),
+    )
+    diffs = means.select(
+        "dim",
+        "mean_ref",
+        "mean_cur",
+        F.round((F.col("mean_ref") - F.col("mean_cur")) * 1e6, 0)
+        .cast("long")
+        .alias("diff_micro"),
+    )
+    mmd = diffs.agg(
+        F.sum(F.col("diff_micro") * F.col("diff_micro")).alias("mmd_pico")
+    )
+    return (
+        diffs.crossJoin(F.broadcast(mmd))
+        .select(
+            "dim",
+            F.round("mean_ref", 6).cast("double").alias("mean_ref"),
+            F.round("mean_cur", 6).cast("double").alias("mean_cur"),
+            "diff_micro",
+            F.round(F.col("mmd_pico") / 1e12, 6).cast("double").alias("mmd2"),
+        )
+        .orderBy(F.abs(F.col("diff_micro")).desc(), "dim")
+        .limit(10)
+    )

@@ -605,3 +605,65 @@ def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_foreach_batch(stream, f"{work}/cp", enrich_batch)
     scd2.unpersist()
     return spark.read.parquet(f"{work}/out").orderBy("event_id")
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+SELECT a.user_id,
+       a.event_id AS l_event_id, a.ts AS l_ts,
+       b.event_id AS r_event_id, b.ts AS r_ts
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.event_type = 'click'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+WHERE a.event_type = 'view'
+ORDER BY l_event_id, r_event_id
+""",
+)
+def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join under a REAL
+    AvailableNow run — the attribution join that also reports the
+    NON-converting impressions (view with no click inside 10 minutes →
+    null-match row), the semantics an inner interval join cannot give.
+
+    Outer results only materialize when the GLOBAL watermark (min
+    across both sources) passes ``view.ts + delay`` — in a LATER
+    micro-batch, never the one that buffered the row.  The staging
+    makes that eviction REAL: each side is three files drained with
+    ``maxFilesPerTrigger=1`` (reals, then two far-future sentinel
+    rows on negative user ids), so batch 2 advances the watermark past
+    every real view and batch 3 processes under it, flushing all real
+    null-matches; the sentinels' own unexpired state is discarded with
+    the filter.  At scale the sentinel role is played by the stream
+    itself — continuous arrivals keep the watermark moving; the state
+    bound (left rows buffered ≤ delay + watermark) is unchanged.  The
+    DuckDB oracle is the batch LEFT JOIN with the same time predicate —
+    value-checking both the matched AND the null rows."""
+    work = tempfile.mkdtemp(prefix="vmdb_ssoj_")
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("m")).first()["m"]
+    cols = ["user_id", "ts", "event_id"]
+    for side, etype, sent_uid in (("views", "view", -1), ("clicks", "click", -2)):
+        real = events.filter(F.col("event_type") == etype).select(*cols)
+        real.coalesce(1).write.mode("overwrite").parquet(f"{work}/{side}")
+        for k in (1, 2):
+            spark.createDataFrame(
+                [(sent_uid * k, mx, sent_uid * k)], real.schema
+            ).withColumn(
+                "ts", (F.col("ts") + F.expr(f"INTERVAL {k} HOUR"))
+            ).select(*cols).coalesce(1).write.mode("append").parquet(
+                f"{work}/{side}"
+            )
+    schema = events.select(*cols).schema
+    joined = interval_join(
+        file_stream(spark, f"{work}/views", schema, max_files_per_trigger=1),
+        file_stream(spark, f"{work}/clicks", schema, max_files_per_trigger=1),
+        key="user_id",
+        how="left_outer",
+    )
+    return (
+        run_available_now(joined, f"{work}/cp")
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+        .orderBy("l_event_id", "r_event_id")
+    )

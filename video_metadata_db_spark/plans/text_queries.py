@@ -965,3 +965,121 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_weight").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "heaps_law_fit",
+    oracle="""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+toks AS (
+  SELECT (doc_id * 10) // ((SELECT m FROM mx) + 1) AS bucket,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+term_first AS (
+  SELECT term, min(bucket) AS first_bucket FROM toks GROUP BY term
+),
+new_terms AS (
+  SELECT first_bucket AS bucket, count(*) AS v FROM term_first GROUP BY 1
+),
+bucket_tokens AS (
+  SELECT bucket, count(*) AS n FROM toks GROUP BY bucket
+),
+grid AS (SELECT unnest(generate_series(1, 10)) AS k),
+cum AS (
+  SELECT g.k,
+         (SELECT COALESCE(sum(n), 0) FROM bucket_tokens b WHERE b.bucket < g.k)
+           AS cum_tokens,
+         (SELECT COALESCE(sum(v), 0) FROM new_terms t WHERE t.bucket < g.k)
+           AS cum_vocab
+  FROM grid g
+),
+fit AS (
+  SELECT (count(*) * sum(ln(cum_tokens) * ln(cum_vocab))
+            - sum(ln(cum_tokens)) * sum(ln(cum_vocab)))
+         / (count(*) * sum(ln(cum_tokens) * ln(cum_tokens))
+            - sum(ln(cum_tokens)) * sum(ln(cum_tokens))) AS beta_raw,
+         avg(ln(cum_vocab)) AS my, avg(ln(cum_tokens)) AS mx2
+  FROM cum
+)
+SELECT k AS prefix_decile,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+       CAST(round(beta_raw, 6) AS DOUBLE) AS heaps_beta,
+       CAST(round(exp(my - beta_raw * mx2), 6) AS DOUBLE) AS heaps_k
+FROM cum CROSS JOIN fit
+ORDER BY k
+""",
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary-growth audit: V(n) = K·n^beta fitted over
+    ten nested corpus prefixes — the planning curve for tokenizer
+    vocabulary sizing and dedup health (a corpus whose beta stays near
+    1 is accumulating boilerplate-free novel text; heavy duplication
+    pushes beta down).  Prefixes are deterministic doc-id value deciles
+    (integer arithmetic off one broadcast max), so the family is nested
+    by construction; V at each prefix comes from each term's FIRST
+    decile (one groupBy(term) min — never ten distinct-counts over ten
+    prefix scans), token mass from one per-decile count; the log-log
+    OLS runs on the 10-point frame.
+
+    Scale: ONE token explode feeds both aggregates; per-term and
+    per-bucket frames shuffle once each; everything past the groupBys
+    is 10-row arithmetic.  Output: the 10 (cumulative tokens, vocab)
+    points with the fitted beta / K alongside."""
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").alias("m"))
+    toks = docs.join(F.broadcast(mx)).select(
+        F.expr("(doc_id * 10) div (m + 1)").alias("bucket"),
+        F.explode(tokens_of(F.col("text"))).alias("term"),
+    )
+    term_first = toks.groupBy("term").agg(F.min("bucket").alias("first_bucket"))
+    new_terms = term_first.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    bucket_tokens = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(1, 11).select(F.col("id").alias("k"))
+    cum = (
+        grid.join(F.broadcast(bucket_tokens), F.col("bucket") < F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("cum_tokens"))
+        .join(
+            grid.join(
+                F.broadcast(new_terms), F.col("bucket") < F.col("k"), "left"
+            )
+            .groupBy("k")
+            .agg(F.coalesce(F.sum("v"), F.lit(0)).alias("cum_vocab")),
+            "k",
+        )
+    )
+    fit = cum.agg(
+        (
+            (
+                F.count(F.lit(1))
+                * F.sum(F.log("cum_tokens") * F.log("cum_vocab"))
+                - F.sum(F.log("cum_tokens")) * F.sum(F.log("cum_vocab"))
+            )
+            / (
+                F.count(F.lit(1))
+                * F.sum(F.log("cum_tokens") * F.log("cum_tokens"))
+                - F.sum(F.log("cum_tokens")) * F.sum(F.log("cum_tokens"))
+            )
+        ).alias("beta_raw"),
+        F.avg(F.log("cum_vocab")).alias("my"),
+        F.avg(F.log("cum_tokens")).alias("mx2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("k").cast("long").alias("prefix_decile"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_vocab").cast("long").alias("cum_vocab"),
+            F.round("beta_raw", 6).cast("double").alias("heaps_beta"),
+            F.round(
+                F.exp(F.col("my") - F.col("beta_raw") * F.col("mx2")), 6
+            )
+            .cast("double")
+            .alias("heaps_k"),
+        )
+        .orderBy("prefix_decile")
+    )

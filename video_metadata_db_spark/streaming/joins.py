@@ -21,13 +21,20 @@ def interval_join(
     watermark: str = "10 minutes",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two event streams on ``key`` where the right event
+    """Join of two event streams on ``key`` where the right event
     happens in ``[left.ts, left.ts + max_delay]``.
 
     Both sides need watermarks (state eviction); the join condition is
     an equi-key plus an event-time range — the attribution-join shape
-    (impression → click within N minutes).
+    (impression → click within N minutes).  ``how="left_outer"`` adds
+    the null-match rows for left events whose window expired with no
+    partner — Spark emits those only when the GLOBAL watermark (min
+    across sources) passes ``left.ts + max_delay``, i.e. in a LATER
+    micro-batch; callers that drain with AvailableNow must ensure
+    subsequent batches advance the watermark past the rows they expect
+    flushed (see ``stream_left_outer_join``'s sentinel staging).
     """
     l = left.withWatermark("ts", watermark).select(
         F.col(key),
@@ -42,4 +49,4 @@ def interval_join(
         & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts"))
         & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").drop("__rkey")
+    return l.join(r, cond, how).drop("__rkey")
