@@ -2977,3 +2977,233 @@ def q_record_linkage_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "join_cardinality_estimate",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(user_id AS VARCHAR) AS term, count(*) AS cnt
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT CAST(user_id AS VARCHAR) AS term, count(*) AS cnt
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS i),
+va AS (
+  SELECT i,
+         CAST(concat('0x', substr(md5(term || '#' || i), 1, 8)) AS BIGINT)
+           % {_CMS_WIDTH} AS bucket,
+         SUM(cnt) AS cell
+  FROM v CROSS JOIN rows_ GROUP BY 1, 2
+),
+cb AS (
+  SELECT i,
+         CAST(concat('0x', substr(md5(term || '#' || i), 1, 8)) AS BIGINT)
+           % {_CMS_WIDTH} AS bucket,
+         SUM(cnt) AS cell
+  FROM c CROSS JOIN rows_ GROUP BY 1, 2
+),
+dots AS (
+  SELECT va.i, SUM(va.cell * cb.cell) AS dot
+  FROM va JOIN cb ON va.i = cb.i AND va.bucket = cb.bucket
+  GROUP BY va.i
+),
+est AS (SELECT MIN(dot) AS est_pairs FROM dots),
+truth AS (
+  SELECT SUM(v.cnt * c.cnt) AS true_pairs FROM v JOIN c USING (term)
+)
+SELECT CAST(true_pairs AS BIGINT) AS true_pairs,
+       CAST(est_pairs AS BIGINT) AS est_pairs,
+       CAST(est_pairs - true_pairs AS BIGINT) AS overestimate,
+       CAST(round((est_pairs - true_pairs) * 100.0 / true_pairs, 4)
+            AS DOUBLE) AS rel_err_pct
+FROM truth CROSS JOIN est
+""",
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from mergeable sketches — the cost-model
+    primitive: |views ⋈ clicks on user_id| estimated as the count-min
+    INNER PRODUCT (min over the {_CMS_DEPTH} hash rows of
+    Σ_bucket A[i,b]·B[i,b] — the AGMS/CMS estimator, a one-sided
+    overestimate exactly like the point query), next to the exact
+    per-key Σ n_A(k)·n_B(k) truth.  This is how an optimizer prices a
+    skewed join WITHOUT scanning either side's key distribution: each
+    side's sketch is {_CMS_DEPTH}×{_CMS_WIDTH} cells built in one
+    combinable aggregate, and sketches built independently (per
+    partition, per day, per source) ADD before the product — the
+    pre-join statistics a 100 TB lake keeps per file/partition anyway.
+
+    Plan: two conditional per-key aggregates → two cell grids (the
+    shuffle key is (row, bucket), never the user domain) → one
+    {_CMS_DEPTH}×{_CMS_WIDTH}-row equi-join and a {_CMS_DEPTH}-row
+    min.  All integer arithmetic end to end."""
+    from ..operators.sketches import cms_cells
+
+    events = load_table(spark, sf_dir, "events")
+    sides = {}
+    for name, etype in (("v", "view"), ("c", "click")):
+        sides[name] = (
+            events.filter(F.col("event_type") == etype)
+            .groupBy(F.col("user_id").cast("string").alias("term"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    va = cms_cells(sides["v"])
+    cb = cms_cells(sides["c"])
+    dots = (
+        va.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.i"))
+        .agg(F.sum(F.col("a.cell") * F.col("b.cell")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").alias("est_pairs"))
+    truth = (
+        sides["v"]
+        .alias("v")
+        .join(sides["c"].alias("c"), "term")
+        .agg(F.sum(F.col("v.cnt") * F.col("c.cnt")).alias("true_pairs"))
+    )
+    return truth.crossJoin(F.broadcast(est)).select(
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+        (F.col("est_pairs") - F.col("true_pairs"))
+        .cast("long")
+        .alias("overestimate"),
+        F.round(
+            (F.col("est_pairs") - F.col("true_pairs"))
+            * 100.0
+            / F.col("true_pairs"),
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
+#: RBO persistence parameter (Webber et al. 2010's usual choice).
+_RBO_P = 0.9
+
+
+@query(
+    "rank_biased_overlap",
+    oracle=f"""
+WITH {_bm25_ctes()},
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+  FROM bm25
+  QUALIFY lex_rank <= {_RRF_DEPTH}
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = {_RRF_QUERY_ID}
+),
+cos AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.v), 6)
+           AS cos_sim
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> {_RRF_QUERY_ID}
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS sem_rank
+  FROM cos
+  QUALIFY sem_rank <= {_RRF_DEPTH}
+),
+both_ AS (
+  SELECT l.doc_id, GREATEST(l.lex_rank, s.sem_rank) AS first_depth
+  FROM lex l JOIN sem s USING (doc_id)
+),
+grid AS (SELECT unnest(generate_series(1, {_RRF_DEPTH})) AS d),
+ovl AS (
+  SELECT g.d,
+         (SELECT count(*) FROM both_ b WHERE b.first_depth <= g.d)
+           AS overlap
+  FROM grid g
+),
+terms AS (
+  SELECT d, overlap,
+         CAST(round(power({_RBO_P}, d - 1) * overlap / d
+                    * 1000000000000.0) AS BIGINT) AS term_pico
+  FROM ovl
+),
+total AS (SELECT sum(term_pico) AS tp FROM terms)
+SELECT d AS depth,
+       CAST(overlap AS BIGINT) AS overlap,
+       CAST(round(overlap / (1.0 * d), 6) AS DOUBLE) AS agreement,
+       CAST(round((1.0 - {_RBO_P}) * tp / 1000000000000.0, 6) AS DOUBLE)
+         AS rbo_p09
+FROM terms CROSS JOIN total
+ORDER BY d
+""",
+)
+def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-BIASED OVERLAP (Webber, Moffat & Zobel 2010, p={_RBO_P})
+    between the LEXICAL (BM25) and SEMANTIC (cosine) rankings of the
+    same query — the top-weighted "how much do my two retrievers
+    agree" metric a hybrid search stack tracks per deployment: RBO near
+    1 means the expensive semantic leg adds nothing; near 0 means the
+    fusion is load-bearing.  Truncated at depth {_RRF_DEPTH} (no
+    extrapolation term — reported as RBO_MIN of the prefix).  Output:
+    the per-depth overlap/agreement curve with the scalar RBO
+    alongside.
+
+    Shape: both rankings are the RRF queries' own top-{_RRF_DEPTH}
+    legs (TakeOrdered-bounded, never corpus-sized); a doc in both
+    lists contributes from depth max(rank_a, rank_b) onward, so the
+    per-depth overlap curve is one broadcast theta-join of the
+    {_RRF_DEPTH}-row grid against the intersection — no per-depth
+    rescan.  Per-depth geometric terms are integer-quantized
+    (picounits) before the sum, so association order can never flip
+    the hash."""
+    from ..operators.similarity import brute_force_topk
+
+    lex = (
+        _bm25_scores(spark, sf_dir)
+        .orderBy(F.col("_s").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("_s").desc(), F.col("doc_id"))),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(emb, [_RRF_QUERY_ID], k=_RRF_DEPTH).select(
+        F.col("cand_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    both = lex.join(sem, "doc_id").select(
+        F.greatest("lex_rank", "sem_rank").alias("first_depth")
+    )
+    grid = spark.range(1, _RRF_DEPTH + 1).select(F.col("id").alias("d"))
+    overlaps = (
+        grid.join(F.broadcast(both), F.col("first_depth") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("first_depth").alias("overlap"))
+    )
+    terms = overlaps.select(
+        "d",
+        "overlap",
+        F.round(
+            F.pow(F.lit(_RBO_P), F.col("d") - 1)
+            * F.col("overlap")
+            / F.col("d")
+            * 1e12,
+            0,
+        )
+        .cast("long")
+        .alias("term_pico"),
+    )
+    total = terms.agg(F.sum("term_pico").alias("tp"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            F.col("d").cast("long").alias("depth"),
+            F.col("overlap").cast("long").alias("overlap"),
+            F.round(F.col("overlap") / (1.0 * F.col("d")), 6).alias("agreement"),
+            F.round((1.0 - _RBO_P) * F.col("tp") / 1e12, 6).alias("rbo_p09"),
+        )
+        .orderBy("depth")
+    )

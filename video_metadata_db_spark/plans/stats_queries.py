@@ -1396,3 +1396,87 @@ def q_fdr_bh_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_bh_raw", 6).cast("double").alias("p_bh"),
         (F.round("p_bh_raw", 6) <= _FDR_ALPHA).alias("rejected"),
     ).orderBy("p_value", "brand")
+
+
+@query(
+    "quantile_treatment_effect",
+    oracle="""
+WITH o AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated
+  FROM orders
+),
+q AS (
+  SELECT quantile_cont(CASE WHEN treated THEN cents END,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qt,
+         quantile_cont(CASE WHEN NOT treated THEN cents END,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qc
+  FROM o
+),
+grid AS (SELECT unnest(generate_series(1, 9)) AS dq)
+SELECT dq AS decile,
+       CAST(round(qt[dq] / 100.0, 6) AS DOUBLE) AS q_treated,
+       CAST(round(qc[dq] / 100.0, 6) AS DOUBLE) AS q_control,
+       CAST(round((qt[dq] - qc[dq]) / 100.0, 6) AS DOUBLE) AS qte
+FROM grid CROSS JOIN q
+ORDER BY dq
+""",
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE TREATMENT EFFECTS — the decile-by-decile difference
+    between the treated (urgent/high-priority orders) and control
+    outcome distributions: where an average effect hides heterogeneity,
+    the QTE curve shows WHO moves (a lift concentrated in the upper
+    deciles is a very different product story from a uniform shift).
+    τ(q) = Q_treated(q) − Q_control(q) for q = 0.1 … 0.9, exact
+    interpolated quantiles on integer cents, so both engines
+    interpolate identical exact values (the `theil_sen` median
+    convention: Spark `percentile` ≡ DuckDB `quantile_cont`).
+
+    Scale: one scan, two conditional `percentile` aggregates.  The
+    exact-percentile merge is counts-map-shaped (fine to ~1M distinct
+    values per side); past that the scale path is `exact_median`'s
+    range-bucketed kth-selection per decile or a t-digest — the QTE
+    arithmetic on top is unchanged.  Pairing with `poisson_bootstrap_ci`
+    gives the CI story for the MEAN effect; quantile CIs need the
+    order-statistic bootstrap, deliberately not faked here."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("treated"),
+    )
+    probs = [i / 10.0 for i in range(1, 10)]
+    q = o.agg(
+        F.expr(
+            f"percentile(CASE WHEN treated THEN cents END,"
+            f" array({', '.join(str(p) for p in probs)}))"
+        ).alias("qt"),
+        F.expr(
+            f"percentile(CASE WHEN NOT treated THEN cents END,"
+            f" array({', '.join(str(p) for p in probs)}))"
+        ).alias("qc"),
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("decile"))
+    return (
+        grid.crossJoin(F.broadcast(q))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.round(F.element_at("qt", F.col("decile").cast("int")) / 100.0, 6)
+            .cast("double")
+            .alias("q_treated"),
+            F.round(F.element_at("qc", F.col("decile").cast("int")) / 100.0, 6)
+            .cast("double")
+            .alias("q_control"),
+            F.round(
+                (
+                    F.element_at("qt", F.col("decile").cast("int"))
+                    - F.element_at("qc", F.col("decile").cast("int"))
+                )
+                / 100.0,
+                6,
+            )
+            .cast("double")
+            .alias("qte"),
+        )
+        .orderBy("decile")
+    )
