@@ -971,19 +971,23 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heaps_law_fit",
     oracle="""
 WITH mx AS (SELECT max(doc_id) AS m FROM documents),
-toks AS (
+tok0 AS (
   SELECT (doc_id * 10) // ((SELECT m FROM mx) + 1) AS bucket,
-         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
   FROM documents
 ),
+sh AS (
+  SELECT DISTINCT bucket, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+  FROM tok0, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS r(i)
+),
 term_first AS (
-  SELECT term, min(bucket) AS first_bucket FROM toks GROUP BY term
+  SELECT term, min(bucket) AS first_bucket FROM sh GROUP BY term
 ),
 new_terms AS (
   SELECT first_bucket AS bucket, count(*) AS v FROM term_first GROUP BY 1
 ),
 bucket_tokens AS (
-  SELECT bucket, count(*) AS n FROM toks GROUP BY bucket
+  SELECT bucket, sum(len(t)) AS n FROM tok0 GROUP BY bucket
 ),
 grid AS (SELECT unnest(generate_series(1, 10)) AS k),
 cum AS (
@@ -1016,28 +1020,39 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ten nested corpus prefixes — the planning curve for tokenizer
     vocabulary sizing and dedup health (a corpus whose beta stays near
     1 is accumulating boilerplate-free novel text; heavy duplication
-    pushes beta down).  Prefixes are deterministic doc-id value deciles
-    (integer arithmetic off one broadcast max), so the family is nested
-    by construction; V at each prefix comes from each term's FIRST
-    decile (one groupBy(term) min — never ten distinct-counts over ten
-    prefix scans), token mass from one per-decile count; the log-log
-    OLS runs on the 10-point frame.
+    pushes beta down).  The vocabulary unit is the 3-token SHINGLE (the
+    dedup family's unit): the synthetic corpus draws unigrams from a
+    closed word list, so unigram V saturates in the first decile —
+    shingle space is combinatorial and actually grows, which is also
+    the right unit for boilerplate detection.  Prefixes are
+    deterministic doc-id value deciles (integer arithmetic off one
+    broadcast max), so the family is nested by construction; V at each
+    prefix comes from each shingle's FIRST decile (one groupBy min —
+    never ten distinct-counts over ten prefix scans), token mass from
+    one per-decile size sum; the log-log OLS runs on the 10-point
+    frame.
 
-    Scale: ONE token explode feeds both aggregates; per-term and
+    Scale: ONE tokenize feeds both aggregates (shingles via the
+    zip-with construction, no index explode); per-shingle and
     per-bucket frames shuffle once each; everything past the groupBys
     is 10-row arithmetic.  Output: the 10 (cumulative tokens, vocab)
     points with the fitted beta / K alongside."""
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id").alias("m"))
-    toks = docs.join(F.broadcast(mx)).select(
+    tok0 = docs.join(F.broadcast(mx)).select(
         F.expr("(doc_id * 10) div (m + 1)").alias("bucket"),
-        F.explode(tokens_of(F.col("text"))).alias("term"),
+        tokens_of(F.col("text")).alias("t"),
     )
-    term_first = toks.groupBy("term").agg(F.min("bucket").alias("first_bucket"))
+    sh = tok0.select(
+        "bucket", F.explode(shingles_of_tokens(F.col("t"))).alias("term")
+    ).distinct()
+    term_first = sh.groupBy("term").agg(F.min("bucket").alias("first_bucket"))
     new_terms = term_first.groupBy(F.col("first_bucket").alias("bucket")).agg(
         F.count(F.lit(1)).alias("v")
     )
-    bucket_tokens = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    bucket_tokens = tok0.groupBy("bucket").agg(
+        F.sum(F.size("t")).alias("n")
+    )
     grid = spark.range(1, 11).select(F.col("id").alias("k"))
     cum = (
         grid.join(F.broadcast(bucket_tokens), F.col("bucket") < F.col("k"), "left")
