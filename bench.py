@@ -269,6 +269,18 @@ HEADLINE = [
     "hits_hubs_authorities",
     "packing_efficiency_compare",
     "ivf_nprobe_tradeoff",
+    # round-9 additions
+    "knn_shapley_values",
+    "linkpred_resource_allocation",
+    "mann_kendall_trend",
+    "fdr_bh_correction",
+    "heaps_law_fit",
+    "domain_cap_sample",
+    "embedding_mmd_drift",
+    "stream_left_outer_join",
+    "join_cardinality_estimate",
+    "rank_biased_overlap",
+    "quantile_treatment_effect",
 ]
 
 REPEATS = 2

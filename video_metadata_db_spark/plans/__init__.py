@@ -96,6 +96,16 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: all 12 came back green in CORRECTNESS_r06, as did the
 #: post-oracle-fix variant_json_path.
 #:
+#: Round-10 rotation candidates, highest priority first: the 11
+#: round-9 additions (knn_shapley_values, linkpred_resource_allocation,
+#: mann_kendall_trend, fdr_bh_correction, heaps_law_fit,
+#: domain_cap_sample, embedding_mmd_drift, stream_left_outer_join,
+#: join_cardinality_estimate, rank_biased_overlap,
+#: quantile_treatment_effect — all fresh-process verified at sf0.01 in
+#: r9, property-tested in tests/test_r9_analytics.py), then the long
+#: never-checked queue below (still ~170 names deep; prefer one pick
+#: per family with the thinnest driver history).
+#:
 #: Round-9 rotation candidates, highest priority first: the 16 round-8
 #: additions (span_dedup_crossdoc, record_linkage_blocking,
 #: zorder_skipping_audit, hilbert_skipping_audit, t_closeness_audit,
