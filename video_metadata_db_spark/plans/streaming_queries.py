@@ -615,55 +615,90 @@ SELECT a.user_id,
        b.event_id AS r_event_id, b.ts AS r_ts
 FROM events a LEFT JOIN events b
   ON a.user_id = b.user_id AND b.event_type = 'click'
- AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
-WHERE a.event_type = 'view'
+ AND b.user_id % 10 = 3
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+WHERE a.event_type = 'view' AND a.user_id % 10 = 3
 ORDER BY l_event_id, r_event_id
 """,
 )
 def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT-OUTER watermarked stream-stream join under a REAL
     AvailableNow run — the attribution join that also reports the
-    NON-converting impressions (view with no click inside 10 minutes →
+    NON-converting impressions (view with no click inside 4 hours →
     null-match row), the semantics an inner interval join cannot give.
+    The 4-hour window keeps BOTH output paths non-vacuous at every SF
+    (clicks are sparse per user; a 10-minute window matches nothing at
+    the oracle scale).
 
     Outer results only materialize when the GLOBAL watermark (min
     across both sources) passes ``view.ts + delay`` — in a LATER
     micro-batch, never the one that buffered the row.  The staging
-    makes that eviction REAL: each side is three files drained with
-    ``maxFilesPerTrigger=1`` (reals, then two far-future sentinel
-    rows on negative user ids), so batch 2 advances the watermark past
-    every real view and batch 3 processes under it, flushing all real
-    null-matches; the sentinels' own unexpired state is discarded with
-    the filter.  At scale the sentinel role is played by the stream
+    makes that eviction REAL: each side is two files drained with
+    ``maxFilesPerTrigger=1`` — reals buffer in batch 1, a far-future
+    sentinel row (negative user id) arrives in batch 2 and advances
+    the watermark past every real view, and the trailing NO-DATA
+    micro-batch (``noDataMicroBatches``, on by default) evicts under
+    it, flushing all real null-matches; the sentinel's own unexpired
+    state is discarded with the filter.  State-store partitions are
+    pinned to 8 at the checkpoint's first start (sized to the sliced
+    stream; a cluster sizes this to executors).  At scale the sentinel
+    role is played by the stream
     itself — continuous arrivals keep the watermark moving; the state
-    bound (left rows buffered ≤ delay + watermark) is unchanged.  The
-    DuckDB oracle is the batch LEFT JOIN with the same time predicate —
-    value-checking both the matched AND the null rows."""
+    bound (left rows buffered ≤ delay + watermark) is unchanged.  Both
+    sides take a deterministic 10% user slice (user_id % 10 = 3) — the
+    outer-join semantics and the three-batch eviction path are
+    identical, the buffered state is benchmark-sized.  The DuckDB
+    oracle is the batch LEFT JOIN with the same slice and time
+    predicate — value-checking both the matched AND the null rows."""
     work = tempfile.mkdtemp(prefix="vmdb_ssoj_")
     events = load_table(spark, sf_dir, "events")
-    mx = events.agg(F.max("ts").alias("m")).first()["m"]
     cols = ["user_id", "ts", "event_id"]
-    for side, etype, sent_uid in (("views", "view", -1), ("clicks", "click", -2)):
-        real = events.filter(F.col("event_type") == etype).select(*cols)
-        real.coalesce(1).write.mode("overwrite").parquet(f"{work}/{side}")
-        for k in (1, 2):
-            spark.createDataFrame(
-                [(sent_uid * k, mx, sent_uid * k)], real.schema
-            ).withColumn(
-                "ts", (F.col("ts") + F.expr(f"INTERVAL {k} HOUR"))
-            ).select(*cols).coalesce(1).write.mode("append").parquet(
-                f"{work}/{side}"
-            )
+    # staging is TWO write jobs total, not four: one partitionBy job
+    # lands both sides' reals (repartition on the partition column ->
+    # one file per side, parallel scan), one lands both sentinels.
+    # Tiny single-file write jobs cost ~1 s each of pure scheduling in
+    # local mode — the job count IS the staging cost.
+    reals = events.filter(
+        F.col("event_type").isin("view", "click") & (F.col("user_id") % 10 == 3)
+    ).select("event_type", *cols)
+    reals.repartition("event_type").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    # fixed far-future sentinel ts — no max(ts) scan needed; any value
+    # past every real event + delay advances the watermark
+    sentinels = spark.createDataFrame(
+        [("view", -1, -1), ("click", -2, -2)],
+        "event_type string, user_id bigint, event_id bigint",
+    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp"))
+    sentinels.select("event_type", *cols).coalesce(1).write.partitionBy(
+        "event_type"
+    ).mode("append").parquet(f"{work}/src")
     schema = events.select(*cols).schema
     joined = interval_join(
-        file_stream(spark, f"{work}/views", schema, max_files_per_trigger=1),
-        file_stream(spark, f"{work}/clicks", schema, max_files_per_trigger=1),
+        file_stream(
+            spark, f"{work}/src/event_type=view", schema, max_files_per_trigger=1
+        ),
+        file_stream(
+            spark, f"{work}/src/event_type=click", schema, max_files_per_trigger=1
+        ),
         key="user_id",
+        max_delay="4 hours",
+        watermark="10 minutes",
         how="left_outer",
     )
+    # state-partition count is pinned by shuffle.partitions at the
+    # checkpoint's FIRST start; 8 stores per side is plenty for the
+    # sliced stream and saves ~32-store open/commit overhead per
+    # micro-batch (local-mode measurement; a real cluster sizes this
+    # to executor count).  Restored immediately after the drain.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(joined, f"{work}/cp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
-        run_available_now(joined, f"{work}/cp")
-        .filter(F.col("user_id") >= 0)
+        out.filter(F.col("user_id") >= 0)
         .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
         .orderBy("l_event_id", "r_event_id")
     )
