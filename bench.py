@@ -281,6 +281,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "rank_biased_overlap",
     "quantile_treatment_effect",
+    "stream_chained_windows",
 ]
 
 REPEATS = 2

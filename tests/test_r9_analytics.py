@@ -215,3 +215,14 @@ def test_qte_quantiles_monotone(q):
     qt = [r["q_treated"] for r in rows]
     qc = [r["q_control"] for r in rows]
     assert qt == sorted(qt) and qc == sorted(qc)
+
+
+def test_chained_windows_daily_invariants(q):
+    rows = q("stream_chained_windows")
+    assert rows, "chained windows must emit closed daily rows"
+    days = {r["day_start"] for r in rows}
+    assert len(days) > 1, "multi-day corpus must yield multiple days"
+    for r in rows:
+        assert 1 <= r["n_active_hours"] <= 24
+        assert r["peak_hourly_events"] <= r["n_events_day"]
+        assert r["n_events_day"] <= r["peak_hourly_events"] * r["n_active_hours"]

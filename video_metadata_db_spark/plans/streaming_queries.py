@@ -702,3 +702,67 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
         .orderBy("l_event_id", "r_event_id")
     )
+
+
+@query(
+    "stream_chained_windows",
+    oracle="""
+WITH hourly AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                        * 3600 * 1000000) AS h,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT make_timestamp(CAST(floor(epoch(h) / 86400) AS BIGINT)
+                      * 86400 * 1000000) AS day_start,
+       event_type,
+       max(n) AS peak_hourly_events,
+       CAST(sum(n) AS BIGINT) AS n_events_day,
+       CAST(count(*) AS BIGINT) AS n_active_hours
+FROM hourly
+GROUP BY 1, 2
+ORDER BY day_start, event_type
+""",
+)
+def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED WINDOWED AGGREGATION under a REAL AvailableNow run —
+    Spark 3.4's window-on-window: hourly counts per event type
+    re-aggregated into per-day peak hourly rate / total / active
+    hours, both aggregates streaming in ONE query (the second windows
+    over ``window_time`` of the first, so append mode stays legal).
+    Pre-3.4 this took two jobs and an intermediate table; it is the
+    canonical "daily peak QPS" rollup.
+
+    Staging reuses the `stream_left_outer_join` recipe: reals in batch
+    1, one far-future sentinel row in batch 2 advances the watermark,
+    the trailing no-data batch closes every real hourly AND daily
+    window (two stacked eviction passes — exactly the path being
+    demonstrated).  The sentinel's own windows never close, so it
+    self-excludes from the append output.  Oracle: the batch
+    hour→day double aggregate."""
+    from ..streaming.windows import chained_daily_peak
+
+    work = tempfile.mkdtemp(prefix="vmdb_chw_")
+    events = load_table(spark, sf_dir, "events")
+    cols = ["ts", "event_type"]
+    events.select(*cols).repartition(1).write.mode("overwrite").parquet(
+        f"{work}/src"
+    )
+    spark.createDataFrame(
+        [("zz_sentinel",)], "event_type string"
+    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp")).select(
+        *cols
+    ).coalesce(1).write.mode("append").parquet(f"{work}/src")
+    stream = file_stream(
+        spark, f"{work}/src", events.select(*cols).schema, max_files_per_trigger=1
+    )
+    daily = chained_daily_peak(stream, watermark="1 hour")
+    # state partitions pinned at first start (hours x types entries --
+    # 8 stores ample; see stream_left_outer_join)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(daily, f"{work}/cp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.orderBy("day_start", "event_type")

@@ -87,3 +87,39 @@ def stream_dedup(events: DataFrame, watermark: str | None = None) -> DataFrame:
         events = events.withWatermark("ts", watermark)
         return events.dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
+
+
+def chained_daily_peak(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """WINDOW-ON-WINDOW (Spark 3.4+ chained time-window aggregation):
+    hourly event counts re-aggregated into per-day peak/total — the
+    "max QPS per day" dashboard query, end-to-end streaming.  The
+    second groupBy windows over ``window_time(w)`` (the first window's
+    event-time column), which is what makes chaining legal in append
+    mode: each closed hourly window carries its own event time, so the
+    daily window has a watermark to close against.
+
+    State: hours × event_types entries in the first operator, days ×
+    event_types in the second — both bounded by the watermark delay,
+    independent of row count."""
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.max("n_events").alias("peak_hourly_events"),
+            F.sum("n_events").alias("n_events_day"),
+            F.count(F.lit(1)).alias("n_active_hours"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "peak_hourly_events",
+            F.col("n_events_day").cast("long").alias("n_events_day"),
+            F.col("n_active_hours").cast("long").alias("n_active_hours"),
+        )
+    )
