@@ -185,15 +185,17 @@ def test_heaps_curve_monotone_and_exponent_sane(q):
     assert 0.0 < beta <= 1.2, beta
 
 
-def test_linkpred_pairs_are_new_and_scored(spark, sf_dir, q):
+def test_linkpred_flags_and_scores(spark, sf_dir, q):
     from video_metadata_db_spark.plans.graph_queries import _supplier_edges
 
     edges = {
         (r["s1"], r["s2"])
         for r in _supplier_edges(spark, sf_dir).collect()
     }
-    for r in q("linkpred_resource_allocation"):
-        assert (r["supp_a"], r["supp_b"]) not in edges
+    rows = q("linkpred_resource_allocation")
+    assert rows
+    for r in rows:
+        assert r["is_new"] == ((r["supp_a"], r["supp_b"]) not in edges)
         assert r["supp_a"] < r["supp_b"]
         assert r["n_common"] >= 1 and r["ra_micro"] > 0
 

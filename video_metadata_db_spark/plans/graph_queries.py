@@ -1412,16 +1412,18 @@ cand AS (
   FROM wedge JOIN deg d ON wedge.c = d.v
   GROUP BY u, w
 ),
-new_pairs AS (
-  SELECT cand.u, cand.w, cand.n_common, cand.ra_pico FROM cand
+flagged AS (
+  SELECT cand.u, cand.w, cand.n_common, cand.ra_pico,
+         e.s1 IS NULL AS is_new
+  FROM cand
   LEFT JOIN edges e ON cand.u = e.s1 AND cand.w = e.s2
-  WHERE e.s1 IS NULL
 )
 SELECT u AS supp_a, w AS supp_b,
        CAST(n_common AS BIGINT) AS n_common,
-       CAST(round(ra_pico / 1000000.0) AS BIGINT) AS ra_micro
-FROM new_pairs
-ORDER BY ra_micro DESC, supp_a, supp_b
+       CAST(round(ra_pico / 1000000.0) AS BIGINT) AS ra_micro,
+       is_new
+FROM flagged
+ORDER BY is_new DESC, ra_micro DESC, supp_a, supp_b
 LIMIT 20
 """,
 )
@@ -1430,7 +1432,13 @@ def q_linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFram
     graph: top-20 NOT-YET-CONNECTED pairs by the Resource-Allocation
     index ``RA(u,w) = sum over common neighbors v of 1/deg(v)`` (Zhou,
     Lu & Zhang 2009) — the recommender / entity-resolution primitive
-    "who should be linked next".  Adamic-Adar is the log-weighted twin
+    "who should be linked next".  Every wedge pair is scored and
+    carries an ``is_new`` flag (NOT yet an edge) instead of an
+    anti-join drop: new pairs rank first as the predictions, the
+    already-connected pairs alongside are the calibration check (real
+    edges should score high), and the audit stays non-vacuous on dense
+    small-SF graphs whose wedges are all closed.  Adamic-Adar is the
+    log-weighted twin
     of the same plan; RA carries the value oracle because ``1/deg`` is
     one IEEE-exact division (bit-identical across engines) while
     ``1/ln(deg)`` inherits each engine's libm ulp.  Per-center terms
@@ -1439,7 +1447,7 @@ def q_linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFram
 
     Plan shape: symmetrize edges, one self-equi-join on the CENTER
     vertex fans out each center's neighbor pairs (wedges), groupBy the
-    (u, w) pair sums the weights, one left-anti join drops pairs that
+    (u, w) pair sums the weights, one left join flags pairs that
     are already edges.  No cartesian anywhere.  Scale: wedge fan-out is
     sum of deg(v)^2 — the hub problem; at web scale cap or sample
     hub neighborhoods (their per-neighbor RA weight 1/deg already
@@ -1465,18 +1473,26 @@ def q_linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.round(1e12 / F.col("d"), 0).cast("long")).alias("ra_pico"),
         )
     )
-    new_pairs = cand.join(
-        edges,
-        (cand["u"] == edges["s1"]) & (cand["w"] == edges["s2"]),
-        "left_anti",
+    e2 = edges.select(
+        F.col("s1").alias("_es1"), F.col("s2").alias("_es2")
+    )
+    flagged = cand.join(
+        e2,
+        (cand["u"] == e2["_es1"]) & (cand["w"] == e2["_es2"]),
+        "left",
+    ).select(
+        "u", "w", "n_common", "ra_pico", F.col("_es1").isNull().alias("is_new")
     )
     return (
-        new_pairs.select(
+        flagged.select(
             F.col("u").alias("supp_a"),
             F.col("w").alias("supp_b"),
             "n_common",
             F.round(F.col("ra_pico") / 1e6, 0).cast("long").alias("ra_micro"),
+            "is_new",
         )
-        .orderBy(F.col("ra_micro").desc(), "supp_a", "supp_b")
+        .orderBy(
+            F.col("is_new").desc(), F.col("ra_micro").desc(), "supp_a", "supp_b"
+        )
         .limit(20)
     )
