@@ -303,6 +303,26 @@ def _git_short_head() -> str | None:
         return None
 
 
+def _git_code_head() -> str | None:
+    """Short hash of the last commit touching code paths — the twin of
+    tools/phases_io.current_commit (same pathspec, same semantics)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(Path(__file__).resolve().parent), "log", "-1",
+             "--format=%h", "--", "video_metadata_db_spark", "tools",
+             "bench.py", "__spark_entry__.py"],
+            capture_output=True,
+            text=True,
+            check=True,
+            timeout=10,
+        ).stdout.strip()
+        return out or None
+    except Exception:
+        return None
+
+
 def main() -> None:
     from video_metadata_db_spark.plans import QUERIES
     from video_metadata_db_spark.session import get_spark
@@ -359,14 +379,18 @@ def main() -> None:
         if isinstance(phases, dict):
             prov = phases.get("provenance")
             if isinstance(prov, dict):
-                head = _git_short_head()
-                prov["bench_commit"] = head
-                # unknown origin (no recorded commit, or no git here)
-                # is stale, same policy as the pre-provenance branch
+                prov["bench_commit"] = _git_short_head()
+                # compare against the last commit touching CODE paths
+                # (tools/phases_io.CODE_PATHS): committing the
+                # measurement artifact or docs must not stale the
+                # measurement — only a code change can.  Unknown origin
+                # (no recorded commit, or no git here) is stale, same
+                # policy as the pre-provenance branch.
+                code_head = _git_code_head()
                 prov["stale"] = (
                     not prov.get("commit")
-                    or not head
-                    or prov["commit"] != head
+                    or not code_head
+                    or prov["commit"] != code_head
                 )
             else:
                 # pre-provenance PHASES.json: unknown origin → stale

@@ -21,15 +21,26 @@ REPO = Path(__file__).resolve().parent.parent
 PHASES_PATH = REPO / "PHASES.json"
 
 
+#: Paths whose last-touching commit identifies "the code that produced
+#: the numbers".  Committing the measurement artifact itself (or docs)
+#: must not invalidate the measurement — only a code change can.
+CODE_PATHS = ("video_metadata_db_spark", "tools", "bench.py", "__spark_entry__.py")
+
+
 def current_commit(repo: Path = REPO) -> str | None:
+    """Short hash of the last commit touching the CODE paths (not HEAD:
+    the PHASES.json commit itself would otherwise stale its own stamp,
+    the r8 chicken-and-egg)."""
     try:
-        return subprocess.run(
-            ["git", "-C", str(repo), "rev-parse", "--short", "HEAD"],
+        out = subprocess.run(
+            ["git", "-C", str(repo), "log", "-1", "--format=%h", "--",
+             *CODE_PATHS],
             capture_output=True,
             text=True,
             check=True,
             timeout=10,
         ).stdout.strip()
+        return out or None
     except Exception:
         return None
 
