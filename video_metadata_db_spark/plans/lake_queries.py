@@ -512,15 +512,18 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("py"),
     )
     z = F.expr(_z16("px", "py", "shiftright({x}, {i})"))
-    # one distributed rank per layout (each its own two-pass prefix
-    # sum over a column-pruned scan) — two extra parallel scans beat
-    # the old single-partition Exchange→Sort→Window chain at any scale
+    # materialize the quantized projection ONCE: the two distributed
+    # ranks (one per layout) each read their input ~3x (quantile
+    # bounds, bucket totals, row pass), so without the cut the scan +
+    # Morton arithmetic would run ~6x (measured 40 s vs ~6 s at
+    # sf0.1).  ~5 ints/row — a fraction of the source table; at
+    # cluster scale use checkpoint() to reliable storage or accept
+    # re-scans of the columnar source.
+    q = q.withColumn("z", z).localCheckpoint(eager=True)
     files = _layout_files(
         q, "l_orderkey", ["l_linenumber"], "natural"
     ).unionByName(
-        _layout_files(
-            q.withColumn("z", z), "z", ["l_orderkey", "l_linenumber"], "zorder"
-        )
+        _layout_files(q, "z", ["l_orderkey", "l_linenumber"], "zorder")
     )
     hit = F.when(
         F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
@@ -714,9 +717,10 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{ny} AS hy",
             f"{d} AS hd",
         )
-    # distributed two-pass rank per layout (see zorder audit) — the
-    # hilbert chain re-runs per branch but stays whole-stage-codegen'd
-    # projection work; no single-partition sort anywhere
+    # materialize the curve values ONCE (see zorder audit: the two
+    # distributed ranks read their input ~6x between them; re-running
+    # the 8-stage hilbert chain per read measured 50 s vs ~6 s)
+    df = df.localCheckpoint(eager=True)
     files = _layout_files(
         df, "hd", ["l_orderkey", "l_linenumber"], "hilbert"
     ).unionByName(
