@@ -282,6 +282,7 @@ HEADLINE = [
     "rank_biased_overlap",
     "quantile_treatment_effect",
     "stream_chained_windows",
+    "cohens_kappa_langid",
 ]
 
 REPEATS = 2

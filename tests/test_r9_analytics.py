@@ -228,3 +228,10 @@ def test_chained_windows_daily_invariants(q):
         assert 1 <= r["n_active_hours"] <= 24
         assert r["peak_hourly_events"] <= r["n_events_day"]
         assert r["n_events_day"] <= r["peak_hourly_events"] * r["n_active_hours"]
+
+
+def test_cohens_kappa_confusion_consistency(q):
+    (r,) = q("cohens_kappa_langid")
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == r["n_docs"]
+    assert -1.0 <= r["cohens_kappa"] <= 1.0
+    assert 0.0 <= r["accuracy"] <= 1.0

@@ -101,7 +101,8 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: mann_kendall_trend, fdr_bh_correction, heaps_law_fit,
 #: domain_cap_sample, embedding_mmd_drift, stream_left_outer_join,
 #: join_cardinality_estimate, rank_biased_overlap,
-#: quantile_treatment_effect, stream_chained_windows — all
+#: quantile_treatment_effect, stream_chained_windows,
+#: cohens_kappa_langid — all
 #: fresh-process verified at sf0.01 in
 #: r9, property-tested in tests/test_r9_analytics.py), then the long
 #: never-checked queue below (still ~170 names deep; prefer one pick

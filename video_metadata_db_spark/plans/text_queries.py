@@ -1098,3 +1098,90 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prefix_decile")
     )
+
+
+@query(
+    "cohens_kappa_langid",
+    oracle=f"""
+WITH t AS (
+  SELECT lang = 'en' AS actual_en,
+         len(list_filter(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> ''),
+                         x -> x IN ({_STOPS})))
+           / greatest(len(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')), 1) >= 0.1 AS pred_en
+  FROM documents
+),
+cm AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN pred_en AND actual_en THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN pred_en AND NOT actual_en THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN NOT pred_en AND actual_en THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN NOT pred_en AND NOT actual_en THEN 1 ELSE 0 END)
+           AS tn
+  FROM t
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(round((tp + tn) / (1.0 * n), 6) AS DOUBLE) AS accuracy,
+       CAST(round(((1.0 * n * (tp + tn))
+                   - (1.0 * (tp + fp) * (tp + fn)
+                      + 1.0 * (fn + tn) * (fp + tn)))
+                  / ((1.0 * n * n)
+                     - (1.0 * (tp + fp) * (tp + fn)
+                        + 1.0 * (fn + tn) * (fp + tn))), 6) AS DOUBLE)
+         AS cohens_kappa
+FROM cm
+""",
+)
+def q_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA for the stopword language-ID heuristic against the
+    metadata label — the chance-corrected agreement scalar that
+    `nb_lang_confusion`'s raw confusion matrix doesn't give: on an
+    imbalanced corpus a majority-class guesser scores high accuracy but
+    kappa ≈ 0, so kappa is what a labeling-quality gate thresholds
+    (Landis-Koch bands).  κ = (p_o − p_e)/(1 − p_e) computed from
+    exact integer confusion counts cross-multiplied before ONE final
+    division (n·(tp+tn) vs marginal products over n² — no intermediate
+    ratios, so both engines divide identical integers).
+
+    Scale: one token scan into a 4-cell confusion aggregate; everything
+    after is scalar arithmetic.  The same plan scores ANY pair of
+    binary labelers (model-vs-model agreement, annotator QA)."""
+    docs = load_table(spark, sf_dir, "documents")
+    withlt = docs.select(
+        (F.col("lang") == "en").alias("actual_en"),
+        tokens_of(F.lower(F.col("text"))).alias("_lt"),
+    )
+    stops = F.size(F.filter(F.col("_lt"), lambda t: t.isin(*EN_STOPWORDS)))
+    t = withlt.select(
+        "actual_en",
+        (stops / F.greatest(F.size("_lt"), F.lit(1)) >= 0.1).alias("pred_en"),
+    )
+    cm = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pred_en") & F.col("actual_en"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred_en") & ~F.col("actual_en"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred_en") & F.col("actual_en"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("pred_en") & ~F.col("actual_en"), 1).otherwise(0)).alias("tn"),
+    )
+    pe_num = (
+        1.0 * (F.col("tp") + F.col("fp")) * (F.col("tp") + F.col("fn"))
+        + 1.0 * (F.col("fn") + F.col("tn")) * (F.col("fp") + F.col("tn"))
+    )
+    return cm.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round((F.col("tp") + F.col("tn")) / (1.0 * F.col("n")), 6).alias(
+            "accuracy"
+        ),
+        F.round(
+            (1.0 * F.col("n") * (F.col("tp") + F.col("tn")) - pe_num)
+            / (1.0 * F.col("n") * F.col("n") - pe_num),
+            6,
+        ).alias("cohens_kappa"),
+    )
