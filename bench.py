@@ -305,21 +305,13 @@ def _git_short_head() -> str | None:
 
 
 def _git_code_head() -> str | None:
-    """Short hash of the last commit touching code paths — the twin of
-    tools/phases_io.current_commit (same pathspec, same semantics)."""
-    import subprocess
-
+    """Short hash of the last commit touching code paths — delegates to
+    tools/phases_io.current_commit so the pathspec lives in ONE place
+    (ADVICE r9: a second hardcoded copy here could silently diverge)."""
     try:
-        out = subprocess.run(
-            ["git", "-C", str(Path(__file__).resolve().parent), "log", "-1",
-             "--format=%h", "--", "video_metadata_db_spark", "tools",
-             "bench.py", "__spark_entry__.py"],
-            capture_output=True,
-            text=True,
-            check=True,
-            timeout=10,
-        ).stdout.strip()
-        return out or None
+        from tools.phases_io import current_commit
+
+        return current_commit()
     except Exception:
         return None
 

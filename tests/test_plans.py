@@ -153,6 +153,18 @@ def test_spwin_detector_controls(spark):
     )
     assert not single_partition_window_exchanges(fmt(agg))
 
+    # ADVICE r9: a single-reducer window hidden in a SCALAR SUBQUERY
+    # tree (printed under '===== Subqueries =====', after the blank
+    # line that used to end parsing) must be caught too.
+    raw.createOrReplaceTempView("spwin_sub_ctl")
+    sub = spark.sql(
+        "SELECT id FROM range(100) WHERE id < "
+        "(SELECT max(r) FROM spwin_sub_ctl)"
+    )
+    txt = fmt(sub)
+    assert "Subqueries" in txt, "control must actually print a subquery section"
+    assert single_partition_window_exchanges(txt)
+
 
 def test_hits_topk_is_rank_limit_pushed(spark):
     """hits_hubs_authorities' global top-10-per-side relies on Spark's

@@ -30,6 +30,20 @@ def test_theil_sen_shrugs_off_outlier(spark):
     assert abs(row.theil_intercept - 1.0) < 2.0
 
 
+def test_theil_sen_degenerate_x(spark):
+    """< 2 distinct x values: no pairwise slope exists, so the fallback
+    row must come back (n_points, null, null, null-ols) instead of an
+    ANSI DIVIDE_BY_ZERO from var_pop(x) == 0 (ADVICE r9 — reproduced
+    with a single-point input before the try_divide fix)."""
+    for pts in ([(3.0, 7.0)], [(3.0, 7.0), (3.0, 9.0)]):
+        df = spark.createDataFrame(pts, "x double, y double")
+        row = theil_sen(df).collect()[0]
+        assert row.n_points == len(pts)
+        assert row.theil_slope is None
+        assert row.theil_intercept is None
+        assert row.ols_slope is None  # var_pop(x)=0 -> try_divide null
+
+
 def test_span_dedup_flags_exactly_the_shared_span(spark, tmp_path):
     """Constructed corpus: doc0 and doc1 share one aligned 8-token
     span, doc2 is unique -> exactly 2 of 6 spans flagged."""

@@ -204,6 +204,18 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = [(r["ad_id"], r["r_click_id"]) for r in got.collect()]
     assert rows == [(1, 100)]
 
+    # ADVICE r9: only inner/left_outer have a designed+tested eviction
+    # contract; other outer modes must be rejected, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interval_join supports"):
+        interval_join(
+            file_stream(spark, imp_src, imp_schema),
+            file_stream(spark, clk_src, clk_schema),
+            key="ad_id",
+            how="full_outer",
+        )
+
 
 def test_foreach_batch_parquet_sink(spark, tmp_path):
     """foreachBatch: arbitrary batch-DataFrame sink logic (the

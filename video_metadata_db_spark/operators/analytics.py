@@ -263,12 +263,16 @@ def theil_sen(points: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     # matches the DuckDB/Spark round() the oracle applies.
     med = exact_median(slopes, "slope")
     if med is None:  # < 2 distinct x values: no pairwise slope exists
+        # var_pop(x) is exactly 0.0 on this branch (single distinct x),
+        # so a plain division throws DIVIDE_BY_ZERO under ANSI mode —
+        # try_divide yields the null ols_slope the degenerate row wants
+        # (ADVICE r9, consistent with the slopes-join try_divide above).
         return pts.agg(
             F.count(F.lit(1)).cast("long").alias("n_points"),
             F.lit(None).cast("double").alias("theil_slope"),
             F.lit(None).cast("double").alias("theil_intercept"),
             F.round(
-                F.covar_pop("y", "x") / F.var_pop("x"), 6
+                F.try_divide(F.covar_pop("y", "x"), F.var_pop("x")), 6
             ).alias("ols_slope"),
         )
     slope = round_half_away(med, 6)

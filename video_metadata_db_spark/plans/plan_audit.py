@@ -31,14 +31,29 @@ def single_partition_window_exchanges(plan: str) -> list[str]:
     branch roots stop the walk (validated against both controls in
     tests/test_plans.py).
     """
-    lines = plan.splitlines()
+    # Parse EVERY tree section of the formatted dump — the main plan
+    # AND each tree under '===== Subqueries =====' (ADVICE r9: breaking
+    # at the first blank line left scalar/IN-subquery trees unscanned).
+    # A blank line or a '='-header ends one tree; node-DETAIL blocks
+    # ("(12) Exchange") put the id first so NODE_RE never matches them.
+    sections: list[list[tuple[int, str, str]]] = []
     nodes: list[tuple[int, str, str]] = []
-    for ln in lines:
+    for ln in plan.splitlines():
         m = NODE_RE.match(ln)
         if m:
             nodes.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
-        elif nodes and not ln.strip():
-            break  # blank line ends the tree section
+        elif nodes and (not ln.strip() or ln.lstrip().startswith("=")):
+            sections.append(nodes)
+            nodes = []
+    if nodes:
+        sections.append(nodes)
+    hits: list[str] = []
+    for nodes in sections:
+        hits.extend(_window_hits(nodes, plan))
+    return hits
+
+
+def _window_hits(nodes: list[tuple[int, str, str]], plan: str) -> list[str]:
     hits: list[str] = []
     for i, (_ind, name, _nid) in enumerate(nodes):
         if name != "Window":

@@ -765,4 +765,10 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = run_available_now(daily, f"{work}/cp")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return out.orderBy("day_start", "event_type")
+    # the sentinel self-excludes today (its windows never close), but
+    # that is an accident of the staging order — filter it explicitly
+    # so a future watermark/ts tweak can't leak it into the oracle hash
+    # (ADVICE r9, mirrors stream_left_outer_join's user_id guard)
+    return out.filter(F.col("event_type") != "zz_sentinel").orderBy(
+        "day_start", "event_type"
+    )

@@ -36,6 +36,14 @@ def interval_join(
     subsequent batches advance the watermark past the rows they expect
     flushed (see ``stream_left_outer_join``'s sentinel staging).
     """
+    if how not in ("inner", "left_outer"):
+        # the watermark/eviction contract documented above (and the
+        # sentinel staging it requires) covers only these two modes;
+        # right/full outer would silently emit wrong null-match rows
+        # until someone designs + tests their eviction path (ADVICE r9)
+        raise ValueError(
+            f"interval_join supports how in ('inner', 'left_outer'); got {how!r}"
+        )
     l = left.withWatermark("ts", watermark).select(
         F.col(key),
         *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c != key],
