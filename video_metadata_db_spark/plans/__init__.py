@@ -20,6 +20,37 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
+#: Round-10 rotation (VERDICT r9 item 1, the judge's exact picks):
+#: 18 first driver checks — the 13 round-9 additions
+#: (knn_shapley_values, linkpred_resource_allocation,
+#: mann_kendall_trend, fdr_bh_correction, heaps_law_fit,
+#: domain_cap_sample, embedding_mmd_drift, stream_left_outer_join,
+#: join_cardinality_estimate, rank_biased_overlap,
+#: quantile_treatment_effect, stream_chained_windows,
+#: cohens_kappa_langid) plus the 5 suggested queue picks
+#: (ab_test_proportions, entropy_by_source, peak_concurrency,
+#: funnel_time_to_convert, rolling_median_values — the oldest r5-era
+#: never-checked names) — each fresh-process verified at
+#: sf0.001/0.01/0.1 via tools/drive_entry.py before this rotation was
+#: committed.  Out (all r9-green, every family keeps >=1 green
+#: representative, all still oracle-verified every test run):
+#: curation_pipeline (q1_pricing_summary keeps agg), join_salted_skew
+#: (star + asof keep joins), update_bloom_prefilter (update_anti_join
+#: keeps membership), dsir_importance_weights (text_metrics keeps
+#: text), theil_sen_trend + poisson_bootstrap_ci +
+#: conformal_interval_coverage + calibration_return_model
+#: (gini_revenue keeps stats), hits_hubs_authorities (triangle_count
+#: keeps graph), zorder_skipping_audit + hilbert_skipping_audit
+#: (scd2_point_snapshot + stream_scd2_enrich keep lake),
+#: record_linkage_blocking (markov_transitions keeps mining),
+#: span_dedup_crossdoc (the dedup four stay), ivf_nprobe_tradeoff
+#: (knn_cosine_topk + kmeans_clusters keep similarity),
+#: packing_efficiency_compare (pack_sequences keeps packing),
+#: stream_tumbling_counts + stream_interval_join (four streaming
+#: greens stay; the two new streaming names cover windows +
+#: interval-join machinery), multimodal_frame_dedup
+#: (multimodal_features keeps multimodal).
+#:
 #: Round-9 rotation (VERDICT r8 item 1, the judge's exact 16 picks):
 #: first driver checks for all 16 round-8 additions —
 #: span_dedup_crossdoc, record_linkage_blocking, zorder_skipping_audit,
@@ -152,13 +183,10 @@ CHECKED_FIRST = [
     "merge_union_sort",
     # aggregations
     "q1_pricing_summary",
-    "curation_pipeline",
-    # joins (star keeps broadcast, asof + salted keep the custom-join
-    # shapes; update_anti_join + update_bloom_prefilter keep the
-    # membership/anti family green)
+    # joins (star keeps broadcast, asof keeps the custom-join shape;
+    # update_anti_join keeps the membership/anti family green)
     "join_star_revenue",
     "join_asof_attribution",
-    "join_salted_skew",
     # windows / ranking
     "window_topk_per_group",
     # set ops
@@ -169,58 +197,65 @@ CHECKED_FIRST = [
     "distinct_users_exact",
     # reference formatters
     "fmt_scalars",
-    # text / quality (+ DSIR importance-weighting first check)
+    # text / quality (anchor + Heaps' law, Cohen's kappa,
+    # source-entropy first checks)
     "text_metrics",
-    "dsir_importance_weights",
-    # stats / distribution analytics (gini anchor; Theil–Sen, Poisson
-    # bootstrap, conformal, calibration first checks)
+    "heaps_law_fit",
+    "cohens_kappa_langid",
+    "entropy_by_source",
+    # stats / distribution analytics (gini anchor; Mann-Kendall,
+    # BH-FDR, quantile treatment effect, A/B proportions first checks)
     "gini_revenue",
-    "theil_sen_trend",
-    "poisson_bootstrap_ci",
-    "conformal_interval_coverage",
-    "calibration_return_model",
-    # privacy (t-closeness first check; l_diversity r8-green)
+    "mann_kendall_trend",
+    "fdr_bh_correction",
+    "quantile_treatment_effect",
+    "ab_test_proportions",
+    # privacy (t-closeness r9-green keeps the family)
     "t_closeness_audit",
-    # graph analytics (anchor + HITS first check)
+    # graph analytics (anchor + link-prediction first check)
     "triangle_count",
-    "hits_hubs_authorities",
-    # sketches (r6-green anchor)
+    "linkpred_resource_allocation",
+    # sketches (anchor + CMS join-size estimation first check)
     "heavy_hitters_cms",
-    # lake / CDC (scd2 anchor; z-order/Hilbert skipping audits +
-    # streaming SCD2 enrich first checks)
+    "join_cardinality_estimate",
+    # lake / CDC (batch + streaming SCD2 anchors, both green)
     "scd2_point_snapshot",
-    "zorder_skipping_audit",
-    "hilbert_skipping_audit",
     "stream_scd2_enrich",
-    # sequence / behavior / mining (anchor + record-linkage first check)
+    # sequence / behavior / mining (anchor + rank-biased-overlap
+    # first check)
     "markov_transitions",
-    "record_linkage_blocking",
-    # dedup (+ span-dedup first check)
+    "rank_biased_overlap",
+    # dedup (the four green anchors)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    "span_dedup_crossdoc",
-    # similarity search / clustering (+ IVF nprobe-curve first check)
+    # similarity search / clustering (+ KNN-Shapley + MMD drift
+    # first checks)
     "knn_cosine_topk",
     "kmeans_clusters",
-    "ivf_nprobe_tradeoff",
-    # sequence packing (+ strategy shoot-out first check) and
-    # sampling/estimation (Horvitz–Thompson first check)
+    "knn_shapley_values",
+    "embedding_mmd_drift",
+    # sequence packing and sampling/estimation (+ domain capping
+    # first check)
     "pack_sequences",
-    "packing_efficiency_compare",
     "horvitz_thompson_total",
-    # streaming
-    "stream_tumbling_counts",
+    "domain_cap_sample",
+    # timeseries / behavioral series (first driver checks ever for
+    # this family: the r5-era queue's oldest members)
+    "peak_concurrency",
+    "funnel_time_to_convert",
+    "rolling_median_values",
+    # streaming (four green anchors + left-outer interval join and
+    # chained window-on-window first checks)
     "stream_session_windows",
     "stream_stateful_user_totals",
-    "stream_interval_join",
     "stream_dedup",
-    # UDF / multimodal / membership (+ frame-dedup first check)
+    "stream_left_outer_join",
+    "stream_chained_windows",
+    # UDF / multimodal
     "udf_grouped_zscore",
     "multimodal_features",
-    "multimodal_frame_dedup",
-    "update_bloom_prefilter",
 ]
 
 
