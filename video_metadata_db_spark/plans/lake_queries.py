@@ -384,31 +384,115 @@ _ZBOX = (64, 95, 128, 191)
 _N_FILES = 64
 
 
-def _layout_files(q, order_col: str, tiebreaks: list, layout: str):
+def _two_layout_files(q, layout_a: tuple, layout_b: tuple):
     """(px, py, layout, file_id) with ``_N_FILES`` equal contiguous
-    files in ``(order_col, *tiebreaks)`` order — ranked via the
-    distributed two-pass :func:`..operators.packing.global_row_number`
-    prefix sum, NOT a single-partition global window (VERDICT r8: the
-    ntile-over-global-Window version serialized the full lineitem scan
-    through one task).  ``q`` must carry a broadcast ``n_total``
-    column; ``file_id = (rank * N) div n + 1`` gives the same
-    contiguous equal-split layout as ntile (sizes differ by at most
-    one row in remainder placement, mirrored exactly in the oracle).
-    """
-    from ..operators.packing import global_row_number
+    files per layout, BOTH layouts ranked in one fused distributed
+    prefix-sum pass (VERDICT r9 item 2: two separate
+    ``global_row_number`` calls each re-ran quantile bounds + bucket
+    totals over the same checkpointed frame — 6 scans where 3 do).
 
-    return global_row_number(q, order_col, tiebreaks, out_col="_r").select(
-        "px",
-        "py",
-        F.lit(layout).alias("layout"),
-        (F.expr(f"(_r * {_N_FILES}) div n_total") + 1)
-        .cast("int")
-        .alias("file_id"),
+    ``layout_a`` / ``layout_b`` are ``(name, [order_cols])`` where
+    ``order_cols[0]`` is the range-bucket key and the full tuple is
+    unique per row.  Three jobs total over ``q``:
+
+    1. BOTH layouts' quantile boundaries in one aggregate (driver sees
+       ≤ 2×31 longs, never row data);
+    2. one (bucket_a, bucket_b) count-cell aggregate — ≤ num_ranges²
+       cells of bucket METADATA collected driver-side (the zone-map
+       scale of the boundary list, independent of row count) and
+       marginalized into each layout's running bucket offsets, which
+       re-enter the plan as literal arrays;
+    3. one row pass with two stacked per-bucket windows (hash
+       exchanges on the ≤32-value bucket ids — full parallelism, no
+       single-partition window), exploding each row into its two
+       (layout, file_id) cells only at the end.
+
+    The bucket test is a flat sum of strict-< comparisons (whole-stage
+    codegen'd; the lambda-based array filter it replaces ran
+    interpreted, measured ~3x slower per scan), so equal keys share a
+    bucket and tiebreaks only ever order WITHIN one.  ``q`` must carry
+    a broadcast ``n_total`` column; ``file_id = (rank * N) div n + 1``
+    gives the same contiguous equal-split layout as ntile (sizes
+    differ by at most one row in remainder placement, mirrored exactly
+    in the oracle).
+    """
+    from pyspark.sql import Window
+
+    (name_a, cols_a), (name_b, cols_b) = layout_a, layout_b
+    num_ranges = 32
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    brow = q.agg(
+        F.percentile_approx(cols_a[0], probs, 10_000).alias("ba"),
+        F.percentile_approx(cols_b[0], probs, 10_000).alias("bb"),
+    ).first()
+
+    def pid(col: str, bounds) -> F.Column:
+        if not bounds:
+            return F.lit(0).cast("int")
+        return F.expr(
+            " + ".join(
+                f"(CASE WHEN {b} < {col} THEN 1 ELSE 0 END)" for b in bounds
+            )
+        ).cast("int")
+
+    pa, pb = pid(cols_a[0], brow["ba"]), pid(cols_b[0], brow["bb"])
+    cells = q.groupBy(pa.alias("_pa"), pb.alias("_pb")).count().collect()
+    n_a, n_b = [0] * num_ranges, [0] * num_ranges
+    for r in cells:
+        n_a[r["_pa"]] += r["count"]
+        n_b[r["_pb"]] += r["count"]
+    off_a, off_b = [0] * num_ranges, [0] * num_ranges
+    for i in range(1, num_ranges):
+        off_a[i] = off_a[i - 1] + n_a[i - 1]
+        off_b[i] = off_b[i - 1] + n_b[i - 1]
+
+    w_a = (
+        Window.partitionBy("_pa")
+        .orderBy(*cols_a)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_b = (
+        Window.partitionBy("_pb")
+        .orderBy(*cols_b)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def file_id(rank_col: str) -> F.Column:
+        return (
+            (F.expr(f"({rank_col} * {_N_FILES}) div n_total") + 1)
+            .cast("int")
+            .alias("file_id")
+        )
+
+    return (
+        q.withColumn("_pa", pa)
+        .withColumn("_pb", pb)
+        .withColumn(
+            "_ra",
+            F.element_at(F.lit(off_a), F.col("_pa") + 1)
+            + F.count(F.lit(1)).over(w_a),
+        )
+        .withColumn(
+            "_rb",
+            F.element_at(F.lit(off_b), F.col("_pb") + 1)
+            + F.count(F.lit(1)).over(w_b),
+        )
+        .select(
+            "px",
+            "py",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(name_a).alias("layout"), file_id("_ra")),
+                    F.struct(F.lit(name_b).alias("layout"), file_id("_rb")),
+                )
+            ).alias("e"),
+        )
+        .select("px", "py", "e.*")
     )
 
 
 def _file_id_sql(order_by: str) -> str:
-    """The oracle-side twin of :func:`_layout_files`'s assignment."""
+    """The oracle-side twin of :func:`_two_layout_files`'s assignment."""
     return (
         f"CAST(((row_number() OVER (ORDER BY {order_by}) - 1) * {_N_FILES})"
         f" // (count(*) OVER ()) AS INT) + 1"
@@ -512,18 +596,23 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("py"),
     )
     z = F.expr(_z16("px", "py", "shiftright({x}, {i})"))
-    # materialize the quantized projection ONCE: the two distributed
-    # ranks (one per layout) each read their input ~3x (quantile
-    # bounds, bucket totals, row pass), so without the cut the scan +
-    # Morton arithmetic would run ~6x (measured 40 s vs ~6 s at
-    # sf0.1).  ~5 ints/row — a fraction of the source table; at
-    # cluster scale use checkpoint() to reliable storage or accept
-    # re-scans of the columnar source.
-    q = q.withColumn("z", z).localCheckpoint(eager=True)
-    files = _layout_files(
-        q, "l_orderkey", ["l_linenumber"], "natural"
-    ).unionByName(
-        _layout_files(q, "z", ["l_orderkey", "l_linenumber"], "zorder")
+    # materialize the quantized projection ONCE: the fused two-layout
+    # rank reads its input 3x (one combined quantile-bounds job, one
+    # combined bucket-totals job, the row pass), so without the cut
+    # the scan + Morton arithmetic would re-run per read.  ~5 ints/row
+    # — a fraction of the source table; at cluster scale use
+    # checkpoint() to reliable storage or accept re-scans of the
+    # columnar source.
+    # repartition before the checkpoint: the parquet scan yields a
+    # handful of partitions at test SF, and every downstream job
+    # inherits the checkpointed partitioning — 32 slices keeps the
+    # bounds/cells/rank scans parallel (at cluster scale the scan
+    # already arrives well-partitioned; the exchange is then moot)
+    q = q.withColumn("z", z).repartition(32).localCheckpoint(eager=True)
+    files = _two_layout_files(
+        q,
+        ("natural", ["l_orderkey", "l_linenumber"]),
+        ("zorder", ["z", "l_orderkey", "l_linenumber"]),
     )
     hit = F.when(
         F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
@@ -717,14 +806,14 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{ny} AS hy",
             f"{d} AS hd",
         )
-    # materialize the curve values ONCE (see zorder audit: the two
-    # distributed ranks read their input ~6x between them; re-running
-    # the 8-stage hilbert chain per read measured 50 s vs ~6 s)
-    df = df.localCheckpoint(eager=True)
-    files = _layout_files(
-        df, "hd", ["l_orderkey", "l_linenumber"], "hilbert"
-    ).unionByName(
-        _layout_files(df, "z", ["l_orderkey", "l_linenumber"], "zorder")
+    # materialize the curve values ONCE (see zorder audit: the fused
+    # two-layout rank reads its input 3x; re-running the 8-stage
+    # hilbert chain per read measured 50 s vs ~6 s pre-checkpoint)
+    df = df.repartition(32).localCheckpoint(eager=True)  # see zorder audit
+    files = _two_layout_files(
+        df,
+        ("hilbert", ["hd", "l_orderkey", "l_linenumber"]),
+        ("zorder", ["z", "l_orderkey", "l_linenumber"]),
     )
     hit = F.when(
         F.col("px").between(lo_x, hi_x) & F.col("py").between(lo_y, hi_y), 1
