@@ -316,10 +316,50 @@ def _git_code_head() -> str | None:
         return None
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu
+    line — the hypervisor-steal counter this host is known to suffer
+    (PLANS.md §bench-method)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _box_state(before: tuple[int, int] | None) -> dict:
+    """Machine-computed contention evidence for the bench record
+    (VERDICT r9 item 3): steal-tick delta across the run + 1-minute
+    loadavg, and a ``contended`` flag when steal >1% or load >2x
+    cores — mirroring the ``stale`` policy on phase provenance, so a
+    contended record self-flags instead of relying on prose."""
+    import os
+
+    state: dict = {}
+    after = _cpu_ticks()
+    if before and after and after[1] > before[1]:
+        steal_pct = 100.0 * (after[0] - before[0]) / (after[1] - before[1])
+        state["steal_pct"] = round(steal_pct, 2)
+    try:
+        state["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    cores = os.cpu_count() or 1
+    state["contended"] = bool(
+        state.get("steal_pct", 0.0) > 1.0
+        or state.get("loadavg_1m", 0.0) > 2.0 * cores
+    )
+    return state
+
+
 def main() -> None:
     from video_metadata_db_spark.plans import QUERIES
     from video_metadata_db_spark.session import get_spark
 
+    ticks_before = _cpu_ticks()
     spark = get_spark("vmdb-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -347,6 +387,7 @@ def main() -> None:
     # stdout line must stay compact (the driver keeps only a ~2k tail of
     # stdout — round 5's 160-entry map overflowed it and the round's
     # bench was recorded as parsed:null).
+    box = _box_state(ticks_before)
     detail = {
         "metric": "headline_queries_total",
         "value": total,
@@ -354,6 +395,7 @@ def main() -> None:
         "core16": core16,
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "box": box,
     }
     # Phase-split measurements (tools/ann_phases.py +
     # tools/components_phases.py write PHASES.json): queries whose
@@ -403,6 +445,7 @@ def main() -> None:
         "core16": core16,
         "n_queries": len(per_query),
         "sf": detail["sf"],
+        "box": box,
         "queries": {n: per_query[n] for n in CORE16},
     }
     line = json.dumps(compact)
