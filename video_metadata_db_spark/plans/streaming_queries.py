@@ -670,7 +670,12 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("view", -1, -1), ("click", -2, -2)],
         "event_type string, user_id bigint, event_id bigint",
     ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp"))
-    sentinels.select("event_type", *cols).coalesce(1).write.partitionBy(
+    # repartition(1), NOT coalesce(1): a Python createDataFrame frame
+    # is parallelized over defaultParallelism slices, and coalesce
+    # makes ONE task fetch all 32 sequentially (~5 s of driver
+    # roundtrips, measured); repartition fetches them in parallel
+    # first (~0.5 s) and still lands one file per partition dir
+    sentinels.select("event_type", *cols).repartition(1).write.partitionBy(
         "event_type"
     ).mode("append").parquet(f"{work}/src")
     schema = events.select(*cols).schema
@@ -748,11 +753,13 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.select(*cols).repartition(1).write.mode("overwrite").parquet(
         f"{work}/src"
     )
+    # repartition(1), not coalesce(1) — see stream_left_outer_join's
+    # sentinel write for the measured coalesce-on-parallelized pathology
     spark.createDataFrame(
         [("zz_sentinel",)], "event_type string"
     ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp")).select(
         *cols
-    ).coalesce(1).write.mode("append").parquet(f"{work}/src")
+    ).repartition(1).write.mode("append").parquet(f"{work}/src")
     stream = file_stream(
         spark, f"{work}/src", events.select(*cols).schema, max_files_per_trigger=1
     )
