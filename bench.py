@@ -283,6 +283,15 @@ HEADLINE = [
     "quantile_treatment_effect",
     "stream_chained_windows",
     "cohens_kappa_langid",
+    # round-10 additions
+    "kendall_tau_daily",
+    "cuped_adjusted_ab",
+    "partition_pruning_audit",
+    "compaction_bin_plan",
+    "topk_churn_weekly",
+    "cms_width_tradeoff",
+    "fairness_parity_audit",
+    "truncation_waste_curve",
 ]
 
 REPEATS = 2

@@ -14,7 +14,7 @@ round-trip tested in tests/test_mor.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.mor import cdc_apply, merge_upsert, snapshot_read
@@ -847,4 +847,233 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("scan_saved"),
         )
         .orderBy("layout")
+    )
+
+
+#: Predicate window for the partition-granularity audit.
+_PRUNE_LO, _PRUNE_HI = "1998-03-10", "1998-04-10"
+
+
+@query(
+    "partition_pruning_audit",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d, count(*) AS n_rows,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_PRUNE_LO}'
+                   AND l_shipdate < TIMESTAMP '{_PRUNE_HI}'
+                  THEN 1 ELSE 0 END) AS hit_rows
+  FROM lineitem GROUP BY 1
+),
+cells AS (
+  SELECT 'day' AS g, d AS k, n_rows, hit_rows FROM daily
+  UNION ALL
+  SELECT 'week', date_trunc('week', d), n_rows, hit_rows FROM daily
+  UNION ALL
+  SELECT 'month', date_trunc('month', d), n_rows, hit_rows FROM daily
+),
+parts AS (
+  SELECT g, k, SUM(n_rows) AS n_rows, SUM(hit_rows) AS hit_rows
+  FROM cells GROUP BY 1, 2
+),
+flagged AS (
+  SELECT g, n_rows, hit_rows,
+         CASE WHEN k < TIMESTAMP '{_PRUNE_HI}'
+               AND (CASE g WHEN 'day' THEN k + INTERVAL 1 DAY
+                           WHEN 'week' THEN k + INTERVAL 7 DAY
+                           ELSE k + INTERVAL 1 MONTH END)
+                   > TIMESTAMP '{_PRUNE_LO}'
+              THEN 1 ELSE 0 END AS must_read
+  FROM parts
+)
+SELECT g AS granularity,
+       CAST(count(*) AS BIGINT) AS partitions_total,
+       CAST(SUM(must_read) AS BIGINT) AS partitions_read,
+       CAST(SUM(CASE WHEN must_read = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM(hit_rows) AS BIGINT) AS rows_matching,
+       round(1.0 - SUM(CASE WHEN must_read = 1 THEN n_rows ELSE 0 END)
+                   / CAST(SUM(n_rows) AS DOUBLE), 6) AS scan_saved,
+       round(SUM(n_rows) / CAST(count(*) AS DOUBLE), 2)
+         AS avg_rows_per_partition
+FROM flagged
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-GRANULARITY audit — the other half of the layout
+    decision the z-order/Hilbert audits measure for clustering KEYS:
+    how much of the table does metadata-level partition pruning skip
+    for a 31-day range predicate under day / week / month partitioning
+    of ``l_shipdate``, and what small-file pressure does each choice
+    create (avg rows per partition)?  A partition is read iff its
+    key PERIOD intersects the predicate interval — the pruning an
+    engine does from the partition value alone, before any file is
+    opened; finer granularity prunes tighter (day reads 31 partitions,
+    month reads 2) but multiplies partition count ~30x, the classic
+    pruning-vs-small-files trade quantified instead of assumed.
+
+    Scale: ONE row-level scan collapses to daily cells (~2.5k rows);
+    the three granularities derive from those cells by truncation (an
+    explode over the aggregate, never a second scan), and everything
+    after is integer arithmetic over a few thousand partition stats.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit(_PRUNE_LO).cast("timestamp")
+    hi = F.lit(_PRUNE_HI).cast("timestamp")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), 1
+            ).otherwise(0)
+        ).alias("hit_rows"),
+    )
+
+    def cell(g: str, key: F.Column) -> F.Column:
+        return F.struct(
+            F.lit(g).alias("g"),
+            key.alias("k"),
+            F.col("n_rows").alias("n_rows"),
+            F.col("hit_rows").alias("hit_rows"),
+        )
+
+    cells = daily.select(
+        F.explode(
+            F.array(
+                cell("day", F.col("d")),
+                cell("week", F.date_trunc("week", "d")),
+                cell("month", F.date_trunc("month", "d")),
+            )
+        ).alias("e")
+    ).select("e.*")
+    parts = cells.groupBy("g", "k").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("hit_rows").alias("hit_rows")
+    )
+    period_end = (
+        F.when(F.col("g") == "day", F.expr("k + INTERVAL 1 DAY"))
+        .when(F.col("g") == "week", F.expr("k + INTERVAL 7 DAY"))
+        .otherwise(F.expr("k + INTERVAL 1 MONTH"))
+    )
+    flagged = parts.withColumn(
+        "must_read",
+        F.when((F.col("k") < hi) & (period_end > lo), 1).otherwise(0),
+    )
+    read_rows = F.when(F.col("must_read") == 1, F.col("n_rows")).otherwise(0)
+    return (
+        flagged.groupBy(F.col("g").alias("granularity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("partitions_total"),
+            F.sum("must_read").cast("long").alias("partitions_read"),
+            F.sum(read_rows).cast("long").alias("rows_scanned"),
+            F.sum("hit_rows").cast("long").alias("rows_matching"),
+            F.round(
+                1.0 - F.sum(read_rows) / F.sum("n_rows").cast("double"), 6
+            ).alias("scan_saved"),
+            F.round(
+                F.sum("n_rows") / F.count(F.lit(1)).cast("double"), 2
+            ).alias("avg_rows_per_partition"),
+        )
+        .orderBy("granularity")
+    )
+
+
+#: Compaction target: output groups roll over at this many bytes.
+_COMPACT_TARGET = 16_384
+#: Fixed-width byte estimate per row for the simulated file listing.
+_ROW_BYTES = 128
+
+
+@query(
+    "compaction_bin_plan",
+    oracle=f"""
+WITH files AS (
+  SELECT date_trunc('day', o_orderdate) AS k,
+         count(*) * {_ROW_BYTES} AS bytes
+  FROM orders GROUP BY 1
+),
+rolled AS (
+  SELECT k, bytes,
+         COALESCE(SUM(bytes) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_COMPACT_TARGET} AS bin
+  FROM files
+),
+bins AS (
+  SELECT bin, SUM(bytes) AS bin_bytes, count(*) AS n_files
+  FROM rolled GROUP BY 1
+),
+pre AS (
+  SELECT count(*) AS n_input_files, SUM(bytes) AS total_bytes,
+         SUM(CASE WHEN bytes < {_COMPACT_TARGET // 2} THEN 1 ELSE 0 END)
+           AS small_files_before
+  FROM files
+)
+SELECT CAST(n_input_files AS BIGINT) AS n_input_files,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(small_files_before AS BIGINT) AS small_files_before,
+       CAST((SELECT count(*) FROM bins) AS BIGINT) AS n_output_files,
+       CAST((SELECT SUM(CASE WHEN bin_bytes < {_COMPACT_TARGET // 2}
+                             THEN 1 ELSE 0 END) FROM bins) AS BIGINT)
+         AS small_files_after,
+       round(total_bytes
+             / CAST((SELECT count(*) FROM bins) AS DOUBLE), 2)
+         AS avg_output_bytes,
+       CAST((SELECT max(bin_bytes) FROM bins) AS BIGINT)
+         AS max_output_bytes
+FROM pre
+""",
+)
+def q_compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION PLAN (OPTIMIZE/bin-pack dry run): roll a
+    day-ordered file listing into output groups that close when the
+    running byte total crosses the target, and report the before/after
+    small-file counts the maintenance job would buy.  The roll is the
+    concat-and-cut assignment (``file -> prefix_bytes div target``) —
+    files are never split, so a bin can overrun by at most one file,
+    exactly how Delta/Iceberg OPTIMIZE packs sorted file lists.
+
+    The simulated listing is one "file" per order day with a
+    fixed-width byte estimate — the real input at scale is the lake's
+    file-stats metadata table, which is aggregate-sized by definition
+    (one row per FILE), so the prefix-sum window here runs over file
+    METADATA, never row data; swap in `operators.packing
+    .sequence_offsets` if a listing ever outgrows one task."""
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("k")
+    ).agg((F.count(F.lit(1)) * _ROW_BYTES).alias("bytes"))
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    rolled = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET
+        ),
+    )
+    bins = rolled.groupBy("bin").agg(F.sum("bytes").alias("bin_bytes"))
+    half = _COMPACT_TARGET // 2
+    pre = files.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("bytes") < half, 1).otherwise(0))
+        .cast("long")
+        .alias("small_files_before"),
+    )
+    post = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_output_files"),
+        F.sum(F.when(F.col("bin_bytes") < half, 1).otherwise(0))
+        .cast("long")
+        .alias("small_files_after"),
+        F.max("bin_bytes").cast("long").alias("max_output_bytes"),
+    )
+    return pre.crossJoin(F.broadcast(post)).select(
+        "n_input_files",
+        "total_bytes",
+        "small_files_before",
+        "n_output_files",
+        "small_files_after",
+        F.round(
+            F.col("total_bytes") / F.col("n_output_files").cast("double"), 2
+        ).alias("avg_output_bytes"),
+        "max_output_bytes",
     )

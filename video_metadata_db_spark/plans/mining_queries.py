@@ -3207,3 +3207,224 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth")
     )
+
+
+@query(
+    "topk_churn_weekly",
+    oracle="""
+WITH weekly AS (
+  SELECT date_trunc('week', l_shipdate) AS w, l_partkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+top AS (
+  SELECT w, l_partkey FROM (
+    SELECT w, l_partkey,
+           row_number() OVER (PARTITION BY w ORDER BY qty DESC, l_partkey)
+             AS r
+    FROM weekly
+  ) WHERE r <= 20
+),
+wk AS (SELECT w, count(*) AS cnt FROM top GROUP BY 1),
+pairs AS (
+  SELECT a.w AS w, a.cnt AS cnt_a, b.cnt AS cnt_b
+  FROM wk a JOIN wk b ON b.w = a.w + INTERVAL 7 DAY
+),
+inter AS (
+  SELECT a.w AS w, count(*) AS inter
+  FROM top a JOIN top b
+    ON b.w = a.w + INTERVAL 7 DAY AND a.l_partkey = b.l_partkey
+  GROUP BY 1
+),
+scored AS (
+  SELECT p.w,
+         CAST(round(COALESCE(i.inter, 0) * 1000000.0
+               / (p.cnt_a + p.cnt_b - COALESCE(i.inter, 0)), 0) AS BIGINT)
+           AS jac_micro
+  FROM pairs p LEFT JOIN inter i ON p.w = i.w
+)
+SELECT CAST(count(*) AS BIGINT) AS n_week_pairs,
+       round(SUM(jac_micro) / count(*) / 1000000.0, 6) AS avg_jaccard,
+       round(min(jac_micro) / 1000000.0, 6) AS min_jaccard,
+       round(max(jac_micro) / 1000000.0, 6) AS max_jaccard
+FROM scored
+""",
+)
+def q_topk_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K CHURN — week-over-week Jaccard overlap of the weekly
+    top-20 parts by shipped quantity: how fast does the head of the
+    distribution turn over?  The freshness metric behind "how often
+    must the serving index / cache / trending list be rebuilt"; near-1
+    overlap means weekly refresh wastes work, near-0 means weekly is
+    too coarse.  Complements `rank_biased_overlap` (two RANKERS, one
+    moment) by comparing ONE ranker with itself across time.
+
+    Determinism: per-week ranks use a total order (qty desc, partkey
+    asc); each pair's Jaccard is integer-quantized to micro-units
+    BEFORE the average so no float accumulates.  Scale: ranks are
+    windows PARTITIONED by week; the overlap join touches only the
+    20-row-per-week survivors (rank-limit pushdown keeps the full
+    weekly frame out of the sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        F.date_trunc("week", "l_shipdate").alias("w"), "l_partkey"
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    r = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("qty"), F.asc("l_partkey"))
+    )
+    top = weekly.withColumn("r", r).filter(F.col("r") <= 20).select(
+        "w", "l_partkey"
+    )
+    wk = top.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    next_w = F.col("a.w") + F.expr("INTERVAL 7 DAY")
+    pairs = (
+        wk.alias("a")
+        .join(F.broadcast(wk.alias("b")), F.col("b.w") == next_w)
+        .select(
+            F.col("a.w").alias("w"),
+            F.col("a.cnt").alias("cnt_a"),
+            F.col("b.cnt").alias("cnt_b"),
+        )
+    )
+    inter = (
+        top.alias("a")
+        .join(
+            top.alias("b"),
+            (F.col("b.w") == next_w)
+            & (F.col("a.l_partkey") == F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        pairs.join(inter, "w", "left")
+        .withColumn("i", F.coalesce(F.col("inter"), F.lit(0)))
+        .select(
+            F.round(
+                F.col("i")
+                * 1000000.0
+                / (F.col("cnt_a") + F.col("cnt_b") - F.col("i")),
+                0,
+            )
+            .cast("long")
+            .alias("jac_micro")
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_week_pairs"),
+        F.round(
+            F.sum("jac_micro") / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_jaccard"),
+        F.round(F.min("jac_micro") / 1000000.0, 6).alias("min_jaccard"),
+        F.round(F.max("jac_micro") / 1000000.0, 6).alias("max_jaccard"),
+    )
+
+
+#: Widths swept by the CMS sizing audit (cells per hash row).
+_CMS_SWEEP_WIDTHS = (256, 1024, 4096)
+
+
+@query(
+    "cms_width_tradeoff",
+    oracle=f"""
+WITH tc AS (
+  SELECT CAST(user_id AS VARCHAR) AS term, count(*) AS cnt
+  FROM events GROUP BY 1
+),
+widths AS (SELECT unnest(ARRAY{list(_CMS_SWEEP_WIDTHS)}) AS w),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS i),
+cells AS (
+  SELECT w, i,
+         CAST(concat('0x', substr(md5(term || '#' || i), 1, 8)) AS BIGINT)
+           % w AS bucket,
+         SUM(cnt) AS cell
+  FROM tc CROSS JOIN widths CROSS JOIN rows_
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT term, cnt FROM tc ORDER BY cnt DESC, term LIMIT 50
+),
+est AS (
+  SELECT c.w, t.term, t.cnt, MIN(c.cell) AS est
+  FROM top t CROSS JOIN rows_ r
+  JOIN cells c
+    ON c.w IS NOT NULL AND c.i = r.i
+   AND c.bucket = CAST(concat('0x', substr(md5(t.term || '#' || r.i), 1, 8))
+                       AS BIGINT) % c.w
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(w AS BIGINT) AS width,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(SUM(cnt) AS BIGINT) AS true_total,
+       CAST(SUM(est) AS BIGINT) AS est_total,
+       CAST(MAX(est - cnt) AS BIGINT) AS max_overcount,
+       round((SUM(est) - SUM(cnt)) * 100.0 / SUM(cnt), 4) AS rel_err_pct
+FROM est
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_cms_width_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN WIDTH SIZING curve — the memory/accuracy dial measured
+    the way `ivf_nprobe_tradeoff` measures IVF's recall dial: one
+    sketch per width in 256/1024/4096 (built in ONE combinable
+    aggregate over (width, row, bucket) cells), probed with
+    the exact top-50 terms, reporting total/max overcount and relative
+    error per width.  This is how you size a production sketch from a
+    sample instead of the loose e·N/w theory bound: error collapses
+    ~linearly with width until collisions stop dominating.
+
+    Determinism: same md5 bucket recipe as `heavy_hitters_cms`
+    (replayed verbatim in DuckDB), integer cells end to end, top-50
+    probe set picked by total order (cnt desc, term asc).  Scale: the
+    shuffle key is (width, row, bucket) — ≤ DEPTH·Σwidths cells
+    regardless of term cardinality; probes join the broadcastable cell
+    table."""
+    from ..operators.sketches import CMS_DEPTH, _bucket
+
+    events = load_table(spark, sf_dir, "events")
+    tc = events.groupBy(
+        F.col("user_id").cast("string").alias("term")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    widths = F.explode(
+        F.array(*[F.lit(w) for w in _CMS_SWEEP_WIDTHS])
+    ).alias("w")
+    rows = F.expr(f"explode(sequence(0, {CMS_DEPTH - 1}))").alias("i")
+    hash32 = F.conv(
+        F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("i"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    cells = (
+        tc.select("term", "cnt", widths)
+        .select("term", "cnt", "w", rows)
+        .select("w", "i", "cnt", (hash32 % F.col("w")).alias("bucket"))
+        .groupBy("w", "i", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    top = tc.orderBy(F.desc("cnt"), F.asc("term")).limit(50)
+    probes = (
+        top.select("term", "cnt", widths)
+        .select("term", "cnt", "w", rows)
+        .select("term", "cnt", "w", "i", (hash32 % F.col("w")).alias("bucket"))
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["w", "i", "bucket"])
+        .groupBy("w", "term", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return (
+        est.groupBy(F.col("w").cast("long").alias("width"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probed"),
+            F.sum("cnt").cast("long").alias("true_total"),
+            F.sum("est").cast("long").alias("est_total"),
+            F.max(F.col("est") - F.col("cnt")).cast("long").alias(
+                "max_overcount"
+            ),
+            F.round(
+                (F.sum("est") - F.sum("cnt")) * 100.0 / F.sum("cnt"), 4
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("width")
+    )

@@ -1844,3 +1844,85 @@ def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: max_seq_len sweep points for the truncation audit (the corpus'
+#: whitespace token counts run 10-99, so the curve spans both tails).
+_TRUNC_LENS = (16, 32, 64, 96)
+
+
+@query(
+    "truncation_waste_curve",
+    oracle=f"""
+WITH hist AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_tok,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+lens AS (SELECT unnest(ARRAY{list(_TRUNC_LENS)}) AS max_len)
+SELECT CAST(max_len AS BIGINT) AS max_len,
+       CAST(SUM(n_docs) AS BIGINT) AS docs_total,
+       CAST(SUM(CASE WHEN n_tok > max_len THEN n_docs ELSE 0 END)
+            AS BIGINT) AS docs_truncated,
+       CAST(SUM(n_tok * n_docs) AS BIGINT) AS tokens_total,
+       CAST(SUM(greatest(n_tok - max_len, 0) * n_docs) AS BIGINT)
+         AS tokens_lost,
+       round(SUM(greatest(n_tok - max_len, 0) * n_docs)
+             / CAST(SUM(n_tok * n_docs) AS DOUBLE), 6)
+         AS pct_tokens_lost,
+       round(SUM(CASE WHEN n_tok > max_len THEN n_docs ELSE 0 END)
+             / CAST(SUM(n_docs) AS DOUBLE), 6) AS pct_docs_truncated
+FROM hist CROSS JOIN lens
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q_truncation_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUNCATION-WASTE curve — the max_seq_len sizing decision
+    measured instead of guessed: for each candidate context length,
+    how many documents get cut and what fraction of corpus tokens
+    falls off the end.  The complement of `padding_waste_by_bucket`
+    (short docs waste PADDING below the cap; long docs LOSE TOKENS
+    above it) — together they bracket the packing/truncation budget a
+    pretraining data plan commits to.
+
+    Scale: ONE tokenizing scan collapses to the token-count HISTOGRAM
+    (≤ max doc length distinct values); the whole sweep is a 4-length
+    grid joined against that aggregate — adding sweep points costs
+    nothing new at the row level.  All counts integer; the two ratios
+    are single exact divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.select(
+        token_count(F.col("text")).alias("n_tok")
+    ).groupBy("n_tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    lens = F.explode(
+        F.array(*[F.lit(n) for n in _TRUNC_LENS])
+    ).alias("max_len")
+    grid = hist.select("n_tok", "n_docs", lens)
+    lost = F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0)) * F.col(
+        "n_docs"
+    )
+    truncated = F.when(
+        F.col("n_tok") > F.col("max_len"), F.col("n_docs")
+    ).otherwise(0)
+    return (
+        grid.groupBy(F.col("max_len").cast("long").alias("max_len"))
+        .agg(
+            F.sum("n_docs").cast("long").alias("docs_total"),
+            F.sum(truncated).cast("long").alias("docs_truncated"),
+            F.sum(F.col("n_tok") * F.col("n_docs"))
+            .cast("long")
+            .alias("tokens_total"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            F.round(
+                F.sum(lost)
+                / F.sum(F.col("n_tok") * F.col("n_docs")).cast("double"),
+                6,
+            ).alias("pct_tokens_lost"),
+            F.round(
+                F.sum(truncated) / F.sum("n_docs").cast("double"), 6
+            ).alias("pct_docs_truncated"),
+        )
+        .orderBy("max_len")
+    )

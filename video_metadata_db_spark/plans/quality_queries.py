@@ -1518,3 +1518,99 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("emd").desc(), "c_nationkey", "c_mktsegment")
         .limit(20)
     )
+
+
+@query(
+    "fairness_parity_audit",
+    oracle="""
+WITH scored AS (
+  SELECT n.n_name AS grp,
+         CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS positive
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+rates AS (
+  SELECT grp, count(*) AS n, SUM(positive) AS positives
+  FROM scored GROUP BY 1
+),
+best AS (
+  SELECT max(CAST(round(positives * 1000000.0 / n, 0) AS BIGINT))
+           AS best_micro
+  FROM rates
+)
+SELECT grp,
+       CAST(n AS BIGINT) AS n,
+       CAST(positives AS BIGINT) AS positives,
+       round(CAST(round(positives * 1000000.0 / n, 0) AS BIGINT)
+             / 1000000.0, 6) AS rate,
+       round(CAST(round(positives * 1000000.0 / n, 0) AS BIGINT)
+             / CAST(best_micro AS DOUBLE), 6) AS di_ratio,
+       CAST(round(positives * 1000000.0 / n, 0) AS BIGINT) * 5
+         >= best_micro * 4 AS four_fifths_pass
+FROM rates CROSS JOIN best
+ORDER BY grp
+""",
+)
+def q_fairness_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEMOGRAPHIC-PARITY / DISPARATE-IMPACT audit — the selection-rate
+    check a curation or decision pipeline runs per protected group
+    (here: customer nation) before shipping: each group's positive
+    rate (order flagged urgent/high), its ratio to the BEST group's
+    rate, and the EEOC four-fifths flag (rate ≥ 80% of the best) —
+    evaluated in exact integer arithmetic (rates quantized to
+    micro-units, the 4/5 test as a cross-multiplied integer
+    inequality, so no float boundary can flip a verdict).
+
+    Completes the responsible-data family next to k-anonymity /
+    l-diversity / t-closeness (those audit what the data LEAKS; this
+    audits what a decision rule DOES).  Scale: one fact scan with two
+    broadcast dim joins into a 25-group aggregate; everything after is
+    group-count arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    scored = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("grp"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("positive"),
+        )
+    )
+    rates = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("positive").alias("positives")
+    )
+    rate_micro = F.round(
+        F.col("positives") * 1000000.0 / F.col("n"), 0
+    ).cast("long")
+    best = rates.select(rate_micro.alias("m")).agg(
+        F.max("m").alias("best_micro")
+    )
+    return (
+        rates.crossJoin(F.broadcast(best))
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("positives").cast("long").alias("positives"),
+            F.round(rate_micro / 1000000.0, 6).alias("rate"),
+            F.round(
+                rate_micro / F.col("best_micro").cast("double"), 6
+            ).alias("di_ratio"),
+            (rate_micro * 5 >= F.col("best_micro") * 4).alias(
+                "four_fifths_pass"
+            ),
+        )
+        .orderBy("grp")
+    )

@@ -1480,3 +1480,199 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "kendall_tau_daily",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS d,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM lineitem GROUP BY 1
+),
+agg AS (
+  SELECT SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS concordant,
+         SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS discordant,
+         SUM(CASE WHEN a.x <> b.x THEN 1 ELSE 0 END) AS px,
+         SUM(CASE WHEN a.y <> b.y THEN 1 ELSE 0 END) AS py
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+n AS (SELECT count(*) AS n_days FROM daily)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       round((concordant - discordant)
+             / sqrt(CAST(px AS DOUBLE) * CAST(py AS DOUBLE)), 6) AS tau_b
+FROM agg CROSS JOIN n
+""",
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU-B between two daily series (shipped quantity vs
+    revenue) — the rank-correlation companion to `mann_kendall_trend`
+    (which correlates ONE series against time): concordant/discordant
+    ordered day pairs with the tie-corrected tau-b denominator
+    sqrt(P_x·P_y), where P_x/P_y count pairs distinct in each variable
+    (the pairwise-equivalent form of the tie-group formula).  The
+    robust "do these two metrics move together" check that Pearson's r
+    gets wrong under heavy tails.
+
+    Determinism: daily values are exact integers (quantity units,
+    revenue cents), so every comparison, the pair counts, and the
+    products are bit-identical across engines; sqrt on an
+    exactly-representable integer-valued double is IEEE-correctly
+    rounded.  Scale: the O(n²) pair space runs over DAILY AGGREGATES
+    (~2.5k rows however many billions feed the groupBy) via the
+    broadcast theta-join, same contract as `theil_sen_trend`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("d")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("x"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "y"
+        ),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    agg = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).agg(
+        F.sum(
+            F.when(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("concordant"),
+        F.sum(
+            F.when(
+                (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+                < 0,
+                1,
+            ).otherwise(0)
+        ).alias("discordant"),
+        F.sum(F.when(F.col("a.x") != F.col("b.x"), 1).otherwise(0)).alias(
+            "px"
+        ),
+        F.sum(F.when(F.col("a.y") != F.col("b.y"), 1).otherwise(0)).alias(
+            "py"
+        ),
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                F.col("px").cast("double") * F.col("py").cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS BIGINT) AS treated,
+         CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS x,
+         CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                  THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN treated = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+         CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
+  FROM per_user
+)
+SELECT n AS n_users, nt AS n_treated,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS theta,
+       round(CAST(syt AS DOUBLE) / nt
+             - CAST(sy - syt AS DOUBLE) / (n - nt), 4) AS diff_raw_cents,
+       round(CAST(syt AS DOUBLE) / nt - CAST(sy - syt AS DOUBLE) / (n - nt)
+             - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+               * (CAST(sxt AS DOUBLE) / nt
+                  - CAST(sx - sxt AS DOUBLE) / (n - nt)), 4) AS diff_cuped_cents,
+       round(100.0 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             4) AS var_reduction_pct
+FROM sums
+""",
+)
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B estimate (Deng et al. 2013, the
+    industry-standard experimentation trick): per-user POST-period
+    metric Y adjusted by the PRE-period covariate X via
+    θ = cov(X,Y)/var(X), reported next to the raw difference and the
+    variance reduction ρ²·100 the adjustment buys.  Assignment is the
+    deterministic ``user_id % 2`` hash split; the period split is the
+    series midpoint.
+
+    Determinism: per-user X/Y are exact integer cents, all moment sums
+    (Σx, Σy, Σx², Σxy, Σy², per-arm sums) are exact longs, and θ /
+    diff / ρ² are scalar double expressions over those — evaluated
+    identically by both engines with zero float accumulation anywhere.
+    Scale: one shuffle to per-user aggregates, one combinable moment
+    aggregate; the O(1) scalar algebra happens on a one-row frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    split = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < split, cents)), F.lit(0)
+        ).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= split, cents)), F.lit(0)
+        ).alias("y"),
+    ).withColumn("treated", (F.col("user_id") % 2).cast("long"))
+    sums = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("treated") == 1, F.col("x")).otherwise(0)).alias(
+            "sxt"
+        ),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0)).alias(
+            "syt"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    varx_n = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary_n = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    theta = cov_n / varx_n
+    mean_dy = F.col("syt").cast("double") / F.col("nt") - (
+        F.col("sy") - F.col("syt")
+    ).cast("double") / (F.col("n") - F.col("nt"))
+    mean_dx = F.col("sxt").cast("double") / F.col("nt") - (
+        F.col("sx") - F.col("sxt")
+    ).cast("double") / (F.col("n") - F.col("nt"))
+    return sums.select(
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treated"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_dy, 4).alias("diff_raw_cents"),
+        F.round(mean_dy - theta * mean_dx, 4).alias("diff_cuped_cents"),
+        F.round(100.0 * cov_n * cov_n / (varx_n * vary_n), 4).alias(
+            "var_reduction_pct"
+        ),
+    )
