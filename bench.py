@@ -292,6 +292,7 @@ HEADLINE = [
     "cms_width_tradeoff",
     "fairness_parity_audit",
     "truncation_waste_curve",
+    "stream_stateful_sessions",
 ]
 
 REPEATS = 2

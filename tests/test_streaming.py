@@ -548,3 +548,44 @@ def test_snapshot_diff_between_materialized_versions(spark, tmp_path):
     assert snapshot_diff(spark, table, 1, 1, ["user_id"]).count() == 0
     with _pytest.raises(ValueError):
         snapshot_diff(spark, table, 0, 99, ["user_id"])
+
+
+def test_stateful_gap_sessions_both_emission_paths(spark, tmp_path):
+    """Crafted two-batch stream: user 1's first session closes
+    INTRA-BATCH (a later event arrives past the gap inside batch 1);
+    every final open session flushes via the EVENT-TIME TIMEOUT after
+    the sentinel advances the watermark — both paths must emit, with
+    exact (start, end, count)."""
+    from video_metadata_db_spark.streaming.stateful import gap_sessions
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [
+        (1, _t(10, 0)),   # session A: 10:00-10:05, 2 events
+        (1, _t(10, 5)),
+        (1, _t(12, 0)),   # gap 1h55m > 1 hour -> session B opens
+        (2, _t(10, 30)),  # user 2: single open session
+    ]
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(src)
+    spark.createDataFrame(
+        [(-1, _t(23, 59))], schema
+    ).repartition(1).write.mode("append").parquet(src)
+
+    sessions = gap_sessions(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        gap="1 hours",
+        watermark="1 minutes",
+    )
+    got = run_available_now(sessions, cp, output_mode="update")
+    out = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in got.filter(F.col("user_id") >= 0).collect()
+    )
+    us = lambda h, m: int(_t(h, m).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000  # noqa: E731
+    assert out == [
+        (1, us(10, 0), us(10, 5), 2),   # intra-batch close
+        (1, us(12, 0), us(12, 0), 1),   # timeout flush
+        (2, us(10, 30), us(10, 30), 1), # timeout flush
+    ]

@@ -779,3 +779,81 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("event_type") != "zz_sentinel").orderBy(
         "day_start", "event_type"
     )
+
+
+@query(
+    "stream_stateful_sessions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us
+  FROM events WHERE user_id % 10 = 7
+),
+flagged AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w > 43200000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+),
+sess AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+""",
+)
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL SESSIONIZATION under a REAL AvailableNow run —
+    ``applyInPandasWithState`` with EVENT-TIME TIMEOUT, the custom-
+    state shape neither the built-in ``session_window`` aggregate nor
+    `stream_stateful_user_totals`' NoTimeout variant exercises: a
+    user's open session lives in the state store until the WATERMARK
+    passes its gap horizon, at which point the TIMEOUT CALLBACK (not
+    an arriving row) emits it.  Staging makes both emission paths
+    real: reals in file 1 close intra-batch sessions immediately, the
+    far-future sentinel (user −1) in file 2 advances the watermark,
+    and the trailing no-data batch fires every timeout — flushing each
+    user's final open session.  The 10% user slice keeps state
+    benchmark-sized; a 12-hour gap yields a mix of singleton and
+    multi-event sessions at every SF.
+
+    Oracle: the batch gap-sessionization (lag → new-session flag →
+    running session id), value-matched on (user, start, end, count) —
+    microsecond-exact because both sides aggregate the same integer
+    ``unix_micros``.  Scale: state = one small row per ACTIVE user,
+    Arrow-batched updates, bounded by concurrency not history."""
+    from ..streaming.stateful import gap_sessions
+
+    work = tempfile.mkdtemp(prefix="vmdb_sess_")
+    events = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "ts"]
+    reals = events.filter(F.col("user_id") % 10 == 7).select(*cols)
+    reals.repartition(1).write.mode("overwrite").parquet(f"{work}/src")
+    # repartition(1), not coalesce(1) — see stream_left_outer_join
+    spark.createDataFrame(
+        [(-1,)], "user_id bigint"
+    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp")).select(
+        *cols
+    ).repartition(1).write.mode("append").parquet(f"{work}/src")
+    stream = file_stream(
+        spark, f"{work}/src", reals.schema, max_files_per_trigger=1
+    )
+    sessions = gap_sessions(stream, gap="12 hours", watermark="10 minutes")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(sessions, f"{work}/cp", output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.filter(F.col("user_id") >= 0).orderBy(
+        "user_id", "session_start_us"
+    )

@@ -143,3 +143,92 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _make_session_updater(gap_us: int):
+    def _update_sessions(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session can
+            # never be extended — emit and clear
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame([(user_id, s, e, n)], columns=cols)
+            return
+        s, e, n = state.get if state.exists else (0, 0, 0)
+        closed: list[tuple] = []
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(v) for v in pdf["ts_us"])
+        for t in sorted(ts_all):
+            if n == 0:
+                s, e, n = t, t, 1
+            elif t - e <= gap_us:
+                e, n = t, n + 1
+            else:
+                closed.append((user_id, s, e, n))
+                s, e, n = t, t, 1
+        state.update((s, e, n))
+        # event-time timeout: fires once the WATERMARK (not the clock)
+        # passes the gap horizon of the still-open session
+        state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
+        yield pd.DataFrame(closed, columns=cols)
+
+    return _update_sessions
+
+
+def gap_sessions(events: DataFrame, gap: str = "12 hours",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Event-time GAP SESSIONIZATION as a custom stateful operator —
+    the flagship ``applyInPandasWithState`` + ``EventTimeTimeout``
+    shape the built-ins cannot express with per-key custom state: a
+    session closes either when a later event arrives past the gap
+    (emitted immediately, same micro-batch) or when the WATERMARK
+    passes ``last_event + gap`` (emitted by the timeout callback — the
+    path that needs real multi-batch eviction to execute).
+
+    Differs from the built-in ``session_window`` aggregate by holding
+    arbitrary per-session state (here start/end/count; production
+    variants carry feature vectors) and by choosing WHEN to emit.
+    State is one row per ACTIVE user — bounded by concurrent users ×
+    gap, independent of history length."""
+    from pyspark.sql import functions as F
+
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(hour|hours|minute|minutes)", gap)
+    if not m:
+        raise ValueError(f"unsupported gap spec {gap!r}")
+    mult = 3_600_000_000 if m.group(2).startswith("hour") else 60_000_000
+    gap_us = int(m.group(1)) * mult
+    prepared = events.withWatermark("ts", watermark).select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "ts"
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_session_updater(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
