@@ -56,7 +56,7 @@ def test_span_dedup_flags_exactly_the_shared_span(spark, tmp_path):
     ]
     spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = QUERIES["span_dedup_crossdoc"](spark, str(tmp_path)).collect()
     assert len(out) == 1 and out[0].source == "web"
     assert out[0].n_spans == 6

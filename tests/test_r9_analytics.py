@@ -26,7 +26,7 @@ from video_metadata_db_spark.plans import QUERIES
 def _write_embeddings(spark, path, rows):
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
 
 
 def test_knn_shapley_matches_subset_enumeration(spark, tmp_path):
@@ -118,7 +118,7 @@ def test_mann_kendall_monotone_series(spark, tmp_path):
     ]
     spark.createDataFrame(
         rows, "o_orderdate date, o_totalprice double"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).repartition(1).write.mode("overwrite").parquet(
         f"{tmp_path}/orders.parquet"
     )
     row = QUERIES["mann_kendall_trend"](spark, str(tmp_path)).first()

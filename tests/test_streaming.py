@@ -49,7 +49,7 @@ def _t(h: int, m: int) -> dt.datetime:
 
 
 def _write_batch(spark, path: str, rows: list[tuple]) -> None:
-    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(rows, EVENT_SCHEMA).repartition(1).write.mode("append").parquet(path)
 
 
 def test_stream_equals_batch(spark, tmp_path):
@@ -151,14 +151,14 @@ def test_stateful_totals_accumulate_across_runs(spark, tmp_path):
     spark.createDataFrame(
         [(1, _t(10, 0), "a", 1.0, 7), (2, _t(10, 1), "a", 2.0, 7), (3, _t(10, 2), "a", 5.0, 8)],
         schema,
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).repartition(1).write.mode("append").parquet(src)
     run()
     rows1 = spark.read.parquet(out).collect()
     hi1 = max(r["batch_id"] for r in rows1)
     got1 = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows1}
     assert got1 == {7: (2, 3.0), 8: (1, 5.0)}
 
-    spark.createDataFrame([(4, _t(11, 0), "a", 10.0, 7)], schema).coalesce(1).write.mode(
+    spark.createDataFrame([(4, _t(11, 0), "a", 10.0, 7)], schema).repartition(1).write.mode(
         "append"
     ).parquet(src)
     run()
@@ -183,7 +183,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
             StructField("click_id", LongType()),
         ]
     )
-    spark.createDataFrame([(1, _t(10, 0)), (2, _t(10, 0))], imp_schema).coalesce(
+    spark.createDataFrame([(1, _t(10, 0)), (2, _t(10, 0))], imp_schema).repartition(
         1
     ).write.parquet(imp_src)
     spark.createDataFrame(
@@ -193,7 +193,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
             (3, _t(10, 2), 102),  # no impression for ad 3 → no match
         ],
         clk_schema,
-    ).coalesce(1).write.parquet(clk_src)
+    ).repartition(1).write.parquet(clk_src)
 
     joined = interval_join(
         file_stream(spark, imp_src, imp_schema),
