@@ -293,6 +293,9 @@ HEADLINE = [
     "fairness_parity_audit",
     "truncation_waste_curve",
     "stream_stateful_sessions",
+    "bloom_fpr_audit",
+    "mcnemar_test",
+    "shuffle_mixing_audit",
 ]
 
 REPEATS = 2

@@ -218,3 +218,52 @@ def test_kendall_tau_real_data_bounds(q):
     # shipped quantity and revenue must co-move clearly
     assert row["tau_b"] > 0.3
     assert row["concordant"] > row["discordant"]
+
+
+def test_mcnemar_confusion_mapping_exact(spark, tmp_path):
+    """Hand-built 4-doc corpus hitting all four (a_ok, b_ok) cells:
+    n01 = n10 = 1, so the continuity-corrected statistic is exactly
+    (|0|-1)^2 / 2 = 0.5."""
+    docs = [
+        (0, "the of and to in", "en", "web", 10),  # both right
+        (1, "zzz zzz zzz", "en", "web", 10),       # both wrong
+        (2, "the the the", "de", "web", 10),       # A wrong, B right
+        (3, "qqq aaa eee", "de", "web", 10),       # A right, B wrong
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    row = QUERIES["mcnemar_test"](spark, str(tmp_path)).first()
+    assert row["n_docs"] == 4
+    assert row["acc_stopword"] == 0.5 and row["acc_vowel"] == 0.5
+    assert row["n01"] == 1 and row["n10"] == 1
+    assert row["mcnemar_stat"] == 0.5
+    assert 0.0 <= row["p_value"] <= 1.0
+
+
+def test_bloom_fpr_tracks_theory(q):
+    (row,) = q("bloom_fpr_audit")
+    assert row["m_bits"] == (1 + row["n_existing"] // 4) * 64
+    assert row["n_probes"] == row["n_existing"]
+    assert 0 <= row["false_positives"] < row["n_probes"]
+    assert 0.0 < row["fpr_theory"] < 0.05, "16 bits/key design point"
+    # measured FPR is binomial around theory: allow generous slack but
+    # catch an order-of-magnitude bug in either direction
+    import math
+
+    sd = math.sqrt(row["fpr_theory"] / row["n_probes"])
+    assert row["fpr_measured"] <= row["fpr_theory"] + 6 * sd + 1e-6
+    assert row["fpr_measured"] >= max(0.0, row["fpr_theory"] - 6 * sd - 1e-6)
+
+
+def test_shuffle_mixing_near_random(q):
+    (row,) = q("shuffle_mixing_audit")
+    assert row["n_pairs"] == row["n_docs"] - 1
+    assert 0.0 < row["expected_rate"] < 1.0
+    assert 0.0 <= row["observed_rate"] < 1.0
+    # a seeded hash order must look exchangeable w.r.t. source
+    assert 0.6 < row["mixing_ratio"] < 1.4

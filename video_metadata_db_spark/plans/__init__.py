@@ -127,11 +127,12 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: all 12 came back green in CORRECTNESS_r06, as did the
 #: post-oracle-fix variant_json_path.
 #:
-#: Round-11 rotation candidates, highest priority first: the 9
+#: Round-11 rotation candidates, highest priority first: the 12
 #: round-10 additions (kendall_tau_daily, cuped_adjusted_ab,
 #: partition_pruning_audit, compaction_bin_plan, topk_churn_weekly,
 #: cms_width_tradeoff, fairness_parity_audit, truncation_waste_curve,
-#: stream_stateful_sessions — all fresh-process verified at
+#: stream_stateful_sessions, bloom_fpr_audit, mcnemar_test,
+#: shuffle_mixing_audit — all fresh-process verified at
 #: sf0.001/0.01/0.1 in r10, property-tested in
 #: tests/test_r10_analytics.py + tests/test_streaming.py), then the
 #: long never-checked queue below.

@@ -129,3 +129,127 @@ def q_percentiles_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Hash-count for the FPR audit's bloom (same k as the engine path).
+_FPR_K = 3
+
+
+@query(
+    "bloom_fpr_audit",
+    oracle=f"""
+WITH sized AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         (1 + count(*) // 4) * 64 AS m
+  FROM orders
+),
+seeds AS (SELECT unnest(generate_series(0, {_FPR_K - 1})) AS i),
+epos AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)
+                                       || '#' || i), 1, 8)) AS BIGINT)
+           % m AS pos
+  FROM orders CROSS JOIN sized CROSS JOIN seeds
+),
+ppos AS (
+  SELECT o_orderkey AS key,
+         CAST(concat('0x', substr(md5(CAST(o_orderkey + 10000000 AS VARCHAR)
+                                       || '#' || i), 1, 8)) AS BIGINT)
+           % m AS pos
+  FROM orders CROSS JOIN sized CROSS JOIN seeds
+),
+flags AS (
+  SELECT key,
+         min(CASE WHEN e.pos IS NOT NULL THEN 1 ELSE 0 END) AS all_hit
+  FROM ppos p LEFT JOIN epos e ON p.pos = e.pos
+  GROUP BY key
+)
+SELECT n AS n_existing,
+       CAST(m AS BIGINT) AS m_bits,
+       CAST((SELECT count(*) FROM flags) AS BIGINT) AS n_probes,
+       CAST((SELECT SUM(all_hit) FROM flags) AS BIGINT)
+         AS false_positives,
+       round((SELECT SUM(all_hit) FROM flags)
+             / CAST((SELECT count(*) FROM flags) AS DOUBLE), 6)
+         AS fpr_measured,
+       round(pow(1.0 - exp(-{_FPR_K}.0 * n / m), {_FPR_K}), 6)
+         AS fpr_theory
+FROM sized
+""",
+)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM FALSE-POSITIVE-RATE audit — the sizing check behind
+    `update_bloom_prefilter`'s scale story, measured instead of
+    trusted: build the (word, bits) bitmap over the existing keys,
+    probe with a key set KNOWN absent (keys shifted by 10M), and
+    report the measured FPR next to the (1 − e^(−kn/m))^k theory
+    value.  The bitmap is sized by pure INTEGER arithmetic
+    (m = 64·(1 + n div 4) ≈ 16 bits/key) so both engines compute the
+    identical m with no log/ceil, and the ~0.5% design point holds at
+    every SF.
+
+    The hash is the repo's replayable md5 recipe (32-bit hex prefix,
+    per-row salt), NOT the engine path's xxhash64 — the engine's
+    bitmap never needs oracle replay (only its final membership answer
+    does, `update_bloom_prefilter`); THIS query's entire point is the
+    replay.  Scale: bitmap = one bit_or aggregate into m/64 words
+    (broadcastable); probes take one broadcast join per hash row —
+    same topology as the production prefilter."""
+    orders = load_table(spark, sf_dir, "orders")
+    sized = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).select("n", ((F.lit(1) + F.floor(F.col("n") / 4)) * 64).alias("m"))
+
+    def positions(key_str: F.Column) -> F.Column:
+        # pos per (key, i): md5 32-bit prefix mod m — m rides along as
+        # a column from the broadcast sizing row
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", key_str, F.col("i"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("m")
+        )
+
+    seeds = F.expr(f"explode(sequence(0, {_FPR_K - 1}))").alias("i")
+    base = orders.select("o_orderkey").crossJoin(F.broadcast(sized))
+    epos = (
+        base.select("m", F.col("o_orderkey").cast("string").alias("k"), seeds)
+        .select(positions(F.col("k")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ppos = base.select(
+        "m",
+        "o_orderkey",
+        (F.col("o_orderkey") + 10000000).cast("string").alias("k"),
+        seeds,
+    ).select("o_orderkey", positions(F.col("k")).alias("pos"))
+    flags = (
+        ppos.join(F.broadcast(epos), "pos", "left")
+        .groupBy("o_orderkey")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("all_hit"))
+    )
+    counts = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("all_hit").cast("long").alias("false_positives"),
+    )
+    return sized.crossJoin(F.broadcast(counts)).select(
+        F.col("n").alias("n_existing"),
+        F.col("m").cast("long").alias("m_bits"),
+        "n_probes",
+        "false_positives",
+        F.round(
+            F.col("false_positives") / F.col("n_probes").cast("double"), 6
+        ).alias("fpr_measured"),
+        F.round(
+            F.pow(
+                1.0 - F.exp(-float(_FPR_K) * F.col("n") / F.col("m")),
+                _FPR_K,
+            ),
+            6,
+        ).alias("fpr_theory"),
+    )

@@ -1926,3 +1926,108 @@ def q_truncation_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("max_len")
     )
+
+
+@query(
+    "shuffle_mixing_audit",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('{_SHUFFLE_SEED}',
+              CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+adj AS (
+  SELECT source, lag(source) OVER (ORDER BY h, doc_id) AS prev
+  FROM keyed
+),
+obs AS (
+  SELECT count(*) AS n_pairs,
+         SUM(CASE WHEN source = prev THEN 1 ELSE 0 END) AS same_adj
+  FROM adj WHERE prev IS NOT NULL
+),
+counts AS (
+  SELECT SUM(c * (c - 1)) AS num, SUM(c) AS n
+  FROM (SELECT count(*) AS c FROM documents GROUP BY source)
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(same_adj AS BIGINT) AS same_adjacent,
+       round(same_adj / CAST(n_pairs AS DOUBLE), 6) AS observed_rate,
+       round(num / CAST(n * (n - 1) AS DOUBLE), 6) AS expected_rate,
+       round(same_adj * (n * (n - 1))
+             / CAST(n_pairs * num AS DOUBLE), 6) AS mixing_ratio
+FROM obs CROSS JOIN counts
+""",
+)
+def q_shuffle_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE-QUALITY audit of the seeded epoch order
+    (`shuffle_global_order`): how often do ADJACENT documents in the
+    training read order share a source, versus the
+    sampling-without-replacement expectation Σ n_s(n_s−1) / n(n−1)?
+    A mixing_ratio ≈ 1 is what a correct corpus-wide shuffle must
+    deliver; ratios ≫ 1 are the "source-clumped epoch" bug (e.g. a
+    per-partition-only shuffle) that quietly turns pretraining batches
+    into single-domain batches.  This is the measured check behind the
+    shuffle's claim, the way `zorder_skipping_audit` measures the
+    clustering claim.
+
+    Determinism: same md5 rank recipe as `shuffle_global_order`
+    (replayed verbatim), adjacency via an equi-join on rank+1 (never a
+    corpus-wide window); both rates are exact integer ratios and the
+    final mixing ratio is ONE cross-multiplied division.  Scale: the
+    rank is the distributed two-pass prefix sum; the adjacency join
+    shuffles on the rank key with uniform distribution by
+    construction."""
+    from ..operators.packing import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keyed = docs.withColumn(
+        "_hashnum",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_SHUFFLE_SEED), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    ranked = global_row_number(keyed, "_hashnum", "doc_id", out_col="pos")
+    a, b = ranked.alias("a"), ranked.alias("b")
+    obs = a.join(b, F.col("b.pos") == F.col("a.pos") + 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            (F.col("a.source") == F.col("b.source")).cast("long")
+        ).alias("same_adj"),
+    )
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("num"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    return obs.crossJoin(F.broadcast(counts)).select(
+        F.col("n").alias("n_docs"),
+        "n_pairs",
+        F.col("same_adj").alias("same_adjacent"),
+        F.round(
+            F.col("same_adj") / F.col("n_pairs").cast("double"), 6
+        ).alias("observed_rate"),
+        F.round(
+            F.col("num") / (F.col("n") * (F.col("n") - 1)).cast("double"), 6
+        ).alias("expected_rate"),
+        F.round(
+            F.col("same_adj")
+            * (F.col("n") * (F.col("n") - 1))
+            / (F.col("n_pairs") * F.col("num")).cast("double"),
+            6,
+        ).alias("mixing_ratio"),
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import EN_STOPWORDS as _EN_STOPWORDS
 from ..operators.analytics import two_sample_rank_counts
 from ..sources.tables import load_table
 from .registry import query
@@ -1675,4 +1676,119 @@ def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(100.0 * cov_n * cov_n / (varx_n * vary_n), 4).alias(
             "var_reduction_pct"
         ),
+    )
+
+
+#: Vowel-ratio threshold for the McNemar comparison classifier,
+#: expressed as an integer cross-multiplication (ratio >= 347/1000).
+_VOWEL_NUM, _VOWEL_DEN = 347, 1000
+
+_MC_STOPS = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+
+
+@query(
+    "mcnemar_test",
+    oracle=f"""
+WITH t AS (
+  SELECT (lang = 'en') AS truth,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+         length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS vowels
+  FROM documents
+),
+flags AS (
+  SELECT ((len(list_filter(ltoks, x -> x IN ({_MC_STOPS}))) * 10
+           >= len(ltoks)) = truth) AS a_ok,
+         ((vowels * {_VOWEL_DEN} >= {_VOWEL_NUM} * alpha) = truth) AS b_ok
+  FROM t
+),
+cells AS (
+  SELECT count(*) AS n_docs,
+         SUM(CASE WHEN a_ok THEN 1 ELSE 0 END) AS a_right,
+         SUM(CASE WHEN b_ok THEN 1 ELSE 0 END) AS b_right,
+         SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END) AS n01,
+         SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END) AS n10
+  FROM flags
+),
+s AS (
+  SELECT *,
+         round(CASE WHEN n01 + n10 = 0 THEN NULL
+               ELSE pow(abs(n01 - n10) - 1.0, 2)
+                    / CAST(n01 + n10 AS DOUBLE) END, 6) AS mcnemar_stat
+  FROM cells
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       round(a_right / CAST(n_docs AS DOUBLE), 6) AS acc_stopword,
+       round(b_right / CAST(n_docs AS DOUBLE), 6) AS acc_vowel,
+       CAST(n01 AS BIGINT) AS n01,
+       CAST(n10 AS BIGINT) AS n10,
+       mcnemar_stat,
+       round({_pnorm_two_sided("sqrt(mcnemar_stat)")}, 6) AS p_value
+FROM s
+""",
+)
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST between two language classifiers on the SAME
+    documents — the paired-classifier comparison an eval pipeline runs
+    before swapping models (independent-sample accuracy tests are
+    WRONG on shared items; McNemar conditions on the discordant pairs
+    only): A = the stopword-ratio rule (`text_lang_id`'s decisive
+    feature), B = a vowel-letter-frequency rule, truth = the metadata
+    ``lang`` label.  Reports both accuracies, the discordant counts
+    n01 (A right / B wrong) and n10 (A wrong / B right), the
+    continuity-corrected statistic (|n01−n10|−1)²/(n01+n10), and the
+    two-sided p via the shared A&S normal-CDF polynomial (χ²(1) ≡ z²).
+
+    Determinism: both decision rules are integer cross-multiplied
+    (stops·10 ≥ n_tokens; vowels·1000 ≥ 347·alpha) so no float sits
+    under a threshold; the four confusion counts are exact; the p is
+    computed FROM the 6-dp-rounded statistic in both engines, so the
+    CDF sees identical input.  Scale: one tokenizing scan into a
+    4-cell aggregate; everything after is one-row scalar algebra."""
+    from ..operators.dedup import tokens_of
+
+    docs = load_table(spark, sf_dir, "documents")
+    lt = tokens_of(F.lower(F.col("text")))
+    stops = F.size(F.filter(lt, lambda t: t.isin(*_EN_STOPWORDS)))
+    alpha = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", ""))
+    vowels = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^aeiou]", "")
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").alias("truth"),
+        (stops * 10 >= F.size(lt)).alias("pred_a"),
+        (vowels * _VOWEL_DEN >= _VOWEL_NUM * alpha).alias("pred_b"),
+    ).select(
+        (F.col("pred_a") == F.col("truth")).alias("a_ok"),
+        (F.col("pred_b") == F.col("truth")).alias("b_ok"),
+    )
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("a_ok").cast("long")).alias("a_right"),
+        F.sum(F.col("b_ok").cast("long")).alias("b_right"),
+        F.sum((F.col("a_ok") & ~F.col("b_ok")).cast("long")).alias("n01"),
+        F.sum((~F.col("a_ok") & F.col("b_ok")).cast("long")).alias("n10"),
+    )
+    stat = F.round(
+        F.try_divide(
+            F.pow(F.abs(F.col("n01") - F.col("n10")) - 1.0, 2),
+            (F.col("n01") + F.col("n10")).cast("double"),
+        ),
+        6,
+    )
+    withstat = cells.select(
+        "n_docs",
+        F.round(F.col("a_right") / F.col("n_docs").cast("double"), 6).alias(
+            "acc_stopword"
+        ),
+        F.round(F.col("b_right") / F.col("n_docs").cast("double"), 6).alias(
+            "acc_vowel"
+        ),
+        "n01",
+        "n10",
+        stat.alias("mcnemar_stat"),
+    )
+    return withstat.withColumn(
+        "p_value",
+        F.round(F.expr(_pnorm_two_sided("sqrt(mcnemar_stat)")), 6),
     )
