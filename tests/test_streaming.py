@@ -589,3 +589,44 @@ def test_stateful_gap_sessions_both_emission_paths(spark, tmp_path):
         (1, us(12, 0), us(12, 0), 1),   # timeout flush
         (2, us(10, 30), us(10, 30), 1), # timeout flush
     ]
+
+
+def test_stateful_gap_sessions_out_of_order_across_batches(spark, tmp_path):
+    """An out-of-order event arriving in a LATER micro-batch (legal
+    while above the watermark) must only ever GROW the open session:
+    a t earlier than the stored end extends n but neither regresses
+    session_end_us nor shrinks the event-time timeout (the old
+    ``e = t`` assignment did both, and a shrunken timeout can land
+    below the watermark — a query-killing runtime error)."""
+    from video_metadata_db_spark.streaming.stateful import gap_sessions
+
+    src, cp = str(tmp_path / "src"), str(tmp_path / "cp")
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    # batch 1: session spans 10:00-12:00 (watermark after = 10:00)
+    spark.createDataFrame(
+        [(1, _t(10, 0)), (1, _t(12, 0))], schema
+    ).repartition(1).write.parquet(src)
+    # batch 2: OUT-OF-ORDER 11:00 (above watermark, before stored end)
+    spark.createDataFrame([(1, _t(11, 0))], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 3: sentinel pushes the watermark past end + gap -> flush
+    spark.createDataFrame([(-1, _t(23, 59))], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sessions = gap_sessions(
+        file_stream(spark, src, schema, max_files_per_trigger=1),
+        gap="3 hours",
+        watermark="120 minutes",
+    )
+    got = run_available_now(sessions, cp, output_mode="update")
+    out = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in got.filter(F.col("user_id") >= 0).collect()
+    )
+    us = lambda h, m: int(_t(h, m).replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000  # noqa: E731
+    # end stays 12:00 — NOT regressed to the late 11:00 arrival
+    assert out == [(1, us(10, 0), us(12, 0), 3)]

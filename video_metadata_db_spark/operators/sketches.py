@@ -30,13 +30,18 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+def _hash32(term: F.Column, i: F.Column) -> F.Column:
+    """The shared CMS row-hash recipe (md5 first-8-hex as a 32-bit
+    int) — the ONE definition both the fixed-width sketch and the
+    width-sweep audit (`q_cms_width_tradeoff`) derive buckets from, so
+    a recipe change can never silently diverge between them."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("#", term, i)), 1, 8), 16, 10
+    ).cast("long")
+
+
 def _bucket(term: F.Column, i: F.Column) -> F.Column:
-    return (
-        F.conv(F.substring(F.md5(F.concat_ws("#", term, i)), 1, 8), 16, 10).cast(
-            "long"
-        )
-        % CMS_WIDTH
-    )
+    return _hash32(term, i) % CMS_WIDTH
 
 
 def cms_cells(term_counts: DataFrame) -> DataFrame:

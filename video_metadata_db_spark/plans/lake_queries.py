@@ -407,10 +407,14 @@ def _two_layout_files(q, layout_a: tuple, layout_b: tuple):
        single-partition window), exploding each row into its two
        (layout, file_id) cells only at the end.
 
-    The bucket test is a flat sum of strict-< comparisons (whole-stage
-    codegen'd; the lambda-based array filter it replaces ran
-    interpreted, measured ~3x slower per scan), so equal keys share a
-    bucket and tiebreaks only ever order WITHIN one.  ``q`` must carry
+    The bucket test is a higher-order ``F.filter`` over the literal
+    boundary array (size of elements strictly below the key).  It runs
+    interpreted, yet beats the codegen'd 31-branch CASE-sum it
+    replaced: the generated method needs ~3 JIT warmup executions
+    before C2 compiles it (measured 3.8 s/scan until then vs 0.45 s
+    for the HOF), and a best-of-2 bench run never gets past that
+    warmup cliff.  Either form gives equal keys the same bucket, so
+    tiebreaks only ever order WITHIN one.  ``q`` must carry
     a broadcast ``n_total`` column; ``file_id = (rank * N) div n + 1``
     gives the same contiguous equal-split layout as ntile (sizes
     differ by at most one row in remainder placement, mirrored exactly

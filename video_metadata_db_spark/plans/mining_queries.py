@@ -3380,7 +3380,7 @@ def q_cms_width_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key is (width, row, bucket) — ≤ DEPTH·Σwidths cells
     regardless of term cardinality; probes join the broadcastable cell
     table."""
-    from ..operators.sketches import CMS_DEPTH, _bucket
+    from ..operators.sketches import CMS_DEPTH, _hash32
 
     events = load_table(spark, sf_dir, "events")
     tc = events.groupBy(
@@ -3390,11 +3390,10 @@ def q_cms_width_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(w) for w in _CMS_SWEEP_WIDTHS])
     ).alias("w")
     rows = F.expr(f"explode(sequence(0, {CMS_DEPTH - 1}))").alias("i")
-    hash32 = F.conv(
-        F.substring(F.md5(F.concat_ws("#", F.col("term"), F.col("i"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    # single-sourced row-hash: buckets are sketches._hash32 mod the
+    # swept width, the exact recipe heavy_hitters_cms fixes at
+    # CMS_WIDTH — a recipe change there changes this audit with it.
+    hash32 = _hash32(F.col("term"), F.col("i"))
     cells = (
         tc.select("term", "cnt", widths)
         .select("term", "cnt", "w", rows)

@@ -1955,8 +1955,8 @@ SELECT CAST(n AS BIGINT) AS n_docs,
        CAST(same_adj AS BIGINT) AS same_adjacent,
        round(same_adj / CAST(n_pairs AS DOUBLE), 6) AS observed_rate,
        round(num / CAST(n * (n - 1) AS DOUBLE), 6) AS expected_rate,
-       round(same_adj * (n * (n - 1))
-             / CAST(n_pairs * num AS DOUBLE), 6) AS mixing_ratio
+       round((same_adj / CAST(n_pairs AS DOUBLE))
+             / (num / CAST(n * (n - 1) AS DOUBLE)), 6) AS mixing_ratio
 FROM obs CROSS JOIN counts
 """,
 )
@@ -2024,10 +2024,13 @@ def q_shuffle_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("num") / (F.col("n") * (F.col("n") - 1)).cast("double"), 6
         ).alias("expected_rate"),
+        # ratio of the two exact rates, each an IEEE-exact long/long
+        # division — never same_adj*(n*(n-1)) / (n_pairs*num), whose
+        # O(n^3) long products overflow past ~2M documents (ANSI
+        # arithmetic-overflow in Spark, out-of-range in DuckDB).
         F.round(
-            F.col("same_adj")
-            * (F.col("n") * (F.col("n") - 1))
-            / (F.col("n_pairs") * F.col("num")).cast("double"),
+            (F.col("same_adj") / F.col("n_pairs").cast("double"))
+            / (F.col("num") / (F.col("n") * (F.col("n") - 1)).cast("double")),
             6,
         ).alias("mixing_ratio"),
     )

@@ -185,14 +185,25 @@ def _make_session_updater(gap_us: int):
             if n == 0:
                 s, e, n = t, t, 1
             elif t - e <= gap_us:
-                e, n = t, n + 1
+                # out-of-order events (allowed within the watermark
+                # delay) can carry t < e across micro-batches: the
+                # session must only ever GROW, so extend the bounds
+                # monotonically instead of assigning t blindly —
+                # otherwise session_end_us regresses (even below
+                # start_us) and the shrunken timeout below can land
+                # under the current watermark, which Spark rejects.
+                s, e, n = min(s, t), max(e, t), n + 1
             else:
                 closed.append((user_id, s, e, n))
                 s, e, n = t, t, 1
         state.update((s, e, n))
         # event-time timeout: fires once the WATERMARK (not the clock)
-        # passes the gap horizon of the still-open session
-        state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
+        # passes the gap horizon of the still-open session; clamp to
+        # strictly above the current watermark — a timeout at or below
+        # it is a runtime error that kills the query.
+        timeout_ms = e // 1000 + gap_us // 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
         yield pd.DataFrame(closed, columns=cols)
 
     return _update_sessions
