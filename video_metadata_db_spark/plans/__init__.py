@@ -20,6 +20,35 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
+#: Round-11 rotation (VERDICT r10 item 1, the judge's exact picks):
+#: 18 first driver checks — the 12 round-10 additions
+#: (kendall_tau_daily, cuped_adjusted_ab, partition_pruning_audit,
+#: compaction_bin_plan, topk_churn_weekly, cms_width_tradeoff,
+#: fairness_parity_audit, truncation_waste_curve,
+#: stream_stateful_sessions, bloom_fpr_audit, mcnemar_test,
+#: shuffle_mixing_audit) plus the 6 suggested queue veterans
+#: (acf_daily_revenue, activity_streaks, benford_first_digit,
+#: bm25_search, cohort_retention, sessionize_events) — each
+#: fresh-process verified at sf0.001/0.01/0.1 via
+#: tools/drive_entry.py before this rotation was committed.  Out (all
+#: r10-green, every family keeps >=1 green representative, all still
+#: oracle-verified every test run): heaps_law_fit +
+#: cohens_kappa_langid + entropy_by_source (text_metrics keeps text),
+#: mann_kendall_trend + fdr_bh_correction + quantile_treatment_effect
+#: + ab_test_proportions (gini_revenue keeps stats; three new stats
+#: names enter), linkpred_resource_allocation (triangle_count keeps
+#: graph), join_cardinality_estimate (heavy_hitters_cms keeps
+#: sketches; cms_width_tradeoff enters), stream_scd2_enrich
+#: (scd2_point_snapshot keeps lake/CDC; two new lake audits enter),
+#: rank_biased_overlap (markov_transitions keeps mining),
+#: knn_shapley_values + embedding_mmd_drift (knn_cosine_topk +
+#: kmeans_clusters keep similarity), domain_cap_sample
+#: (horvitz_thompson_total keeps sampling), peak_concurrency +
+#: funnel_time_to_convert (rolling_median_values keeps timeseries;
+#: four veterans enter), stream_left_outer_join +
+#: stream_chained_windows (three streaming greens stay;
+#: stream_stateful_sessions keeps the custom-stateful shape).
+#:
 #: Round-10 rotation (VERDICT r9 item 1, the judge's exact picks):
 #: 18 first driver checks — the 13 round-9 additions
 #: (knn_shapley_values, linkpred_resource_allocation,
@@ -191,6 +220,8 @@ CHECKED_FIRST = [
     "variant_report",
     "update_anti_join",
     "merge_union_sort",
+    # membership scale path (Bloom-prefilter sizing audit first check)
+    "bloom_fpr_audit",
     # aggregations
     "q1_pricing_summary",
     # joins (star keeps broadcast, asof keeps the custom-join shape;
@@ -207,62 +238,61 @@ CHECKED_FIRST = [
     "distinct_users_exact",
     # reference formatters
     "fmt_scalars",
-    # text / quality (anchor + Heaps' law, Cohen's kappa,
-    # source-entropy first checks)
+    # text / quality (anchor + BM25 ranking, Benford screen and
+    # fairness parity audit first checks)
     "text_metrics",
-    "heaps_law_fit",
-    "cohens_kappa_langid",
-    "entropy_by_source",
-    # stats / distribution analytics (gini anchor; Mann-Kendall,
-    # BH-FDR, quantile treatment effect, A/B proportions first checks)
+    "bm25_search",
+    "benford_first_digit",
+    "fairness_parity_audit",
+    # stats / experimentation (gini anchor; Kendall tau, CUPED and
+    # McNemar first checks)
     "gini_revenue",
-    "mann_kendall_trend",
-    "fdr_bh_correction",
-    "quantile_treatment_effect",
-    "ab_test_proportions",
-    # privacy (t-closeness r9-green keeps the family)
+    "kendall_tau_daily",
+    "cuped_adjusted_ab",
+    "mcnemar_test",
+    # privacy (t-closeness r10-green keeps the family)
     "t_closeness_audit",
-    # graph analytics (anchor + link-prediction first check)
+    # graph analytics
     "triangle_count",
-    "linkpred_resource_allocation",
-    # sketches (anchor + CMS join-size estimation first check)
+    # sketches (anchor + width-sweep sizing audit first check)
     "heavy_hitters_cms",
-    "join_cardinality_estimate",
-    # lake / CDC (batch + streaming SCD2 anchors, both green)
+    "cms_width_tradeoff",
+    # lake / CDC (batch SCD2 anchor + partition-pruning and
+    # compaction-planning first checks)
     "scd2_point_snapshot",
-    "stream_scd2_enrich",
-    # sequence / behavior / mining (anchor + rank-biased-overlap
+    "partition_pruning_audit",
+    "compaction_bin_plan",
+    # sequence / behavior / mining (anchor + weekly top-k churn
     # first check)
     "markov_transitions",
-    "rank_biased_overlap",
+    "topk_churn_weekly",
     # dedup (the four green anchors)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    # similarity search / clustering (+ KNN-Shapley + MMD drift
-    # first checks)
+    # similarity search / clustering
     "knn_cosine_topk",
     "kmeans_clusters",
-    "knn_shapley_values",
-    "embedding_mmd_drift",
-    # sequence packing and sampling/estimation (+ domain capping
-    # first check)
+    # packing / sampling / pipeline audits (+ truncation-waste sweep
+    # and shuffle-mixing first checks)
     "pack_sequences",
     "horvitz_thompson_total",
-    "domain_cap_sample",
-    # timeseries / behavioral series (first driver checks ever for
-    # this family: the r5-era queue's oldest members)
-    "peak_concurrency",
-    "funnel_time_to_convert",
+    "truncation_waste_curve",
+    "shuffle_mixing_audit",
+    # timeseries / behavioral series (anchor + ACF, streaks, cohort
+    # retention and sessionization first checks)
     "rolling_median_values",
-    # streaming (four green anchors + left-outer interval join and
-    # chained window-on-window first checks)
+    "acf_daily_revenue",
+    "activity_streaks",
+    "cohort_retention",
+    "sessionize_events",
+    # streaming (three green anchors + the custom gap sessionizer
+    # first check)
     "stream_session_windows",
     "stream_stateful_user_totals",
     "stream_dedup",
-    "stream_left_outer_join",
-    "stream_chained_windows",
+    "stream_stateful_sessions",
     # UDF / multimodal
     "udf_grouped_zscore",
     "multimodal_features",
