@@ -95,7 +95,7 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     ``google.protobuf`` (its state server speaks protobuf); this CI
     image ships NO protobuf at all (``import google.protobuf`` →
     ModuleNotFoundError: No module named 'google'; re-probed each
-    round, last r9 2026-08-16), so the API can only be smoke-checked
+    round, last r11 2026-08-16), so the API can only be smoke-checked
     where protobuf imports
     (``tests/test_streaming.py::test_transform_with_state_api`` skips
     otherwise, recording the exact reason).  The
