@@ -2034,3 +2034,181 @@ def q_shuffle_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mixing_ratio"),
     )
+
+
+# ----------------------------------- leakage-safe splits / encoding (r11) ----
+
+
+@query(
+    "group_holdout_split",
+    oracle="""
+WITH assigned AS (
+  SELECT user_id, event_id,
+         CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT user_id, event_id,
+               CAST(concat('0x', substr(md5(concat('grp1#', user_id)),
+                           1, 8)) AS BIGINT) % 100 AS h
+        FROM events)
+),
+leak AS (
+  SELECT COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0)
+           AS leaked_users
+  FROM (SELECT user_id, count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY user_id)
+),
+per AS (
+  SELECT split, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events
+  FROM assigned GROUP BY split
+),
+tot AS (SELECT SUM(n_events) AS all_events FROM per)
+SELECT split, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events / CAST(all_events AS DOUBLE), 6) AS event_share,
+       CAST(leaked_users AS BIGINT) AS leaked_users
+FROM per CROSS JOIN tot CROSS JOIN leak
+ORDER BY split
+""",
+)
+def q_group_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE holdout split with a leakage audit — the
+    user-level analogue of `split_train_val_test`'s row-level split:
+    ALL of a user's events land in the same split (assignment is a
+    salted md5 of user_id alone), because row-level splits leak
+    near-duplicate behavior of the same user across train and eval
+    and overstate generalization.  Emits per-split user/event counts,
+    the realized event share (group splits only approximate 80/10/10
+    when activity is skewed — the deviation is the point of auditing),
+    and the machine-checked ``leaked_users`` count, which the
+    assignment construction forces to 0.
+
+    Determinism: split is a pure function of user_id (salt 'grp1#'),
+    shares are single exact-long divisions.  Scale: no join — the
+    assignment is computed per row from the grouping key; one
+    (split, user) distinct-aggregate plus a 3-row rollup."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("grp1#"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    assigned = events.select(
+        "user_id",
+        "event_id",
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(
+            F.coalesce(
+                F.sum((F.col("n_splits") > 1).cast("long")), F.lit(0)
+            ).alias("leaked_users")
+        )
+    )
+    per = assigned.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tot = per.agg(F.sum("n_events").alias("all_events"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            "n_users",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("all_events").cast("double"), 6
+            ).alias("event_share"),
+            "leaked_users",
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "target_encode_kfold",
+    oracle="""
+WITH tagged AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(o.o_orderkey % 5 AS INTEGER) AS fold,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT segment, fold, count(*) AS n, SUM(cents) AS s
+  FROM tagged GROUP BY 1, 2
+),
+enc AS (
+  SELECT segment, fold, n,
+         SUM(n) OVER (PARTITION BY segment) - n AS n_oof,
+         SUM(s) OVER (PARTITION BY segment) - s AS s_oof
+  FROM cells
+)
+SELECT segment, fold, CAST(n AS BIGINT) AS n_rows,
+       CAST(n_oof AS BIGINT) AS n_oof,
+       round(s_oof / CAST(n_oof AS DOUBLE), 6) AS encoded_cents
+FROM enc
+ORDER BY segment, fold
+""",
+)
+def q_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE K-FOLD TARGET ENCODING — the feature-engineering
+    staple for high-cardinality categoricals: each (category, fold)
+    cell's encoded value is the target mean computed from the OTHER
+    folds only (out-of-fold), so a row never sees its own target —
+    naive whole-data target means leak the label and are the classic
+    silent overfit.  Category = market segment, fold = o_orderkey
+    mod 5, target = order value in cents.
+
+    Determinism: fold and cell sums are exact integers; the
+    out-of-fold mean is sum-minus-own over count-minus-own (exact
+    longs) with ONE double division per cell.  Scale: the encoding
+    table is |categories| x K cells — the window runs over that
+    bounded aggregate (partitioned by segment, never by row), and at
+    apply time the table broadcast-joins back to the fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    tagged = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "segment",
+        (F.col("o_orderkey") % 5).cast("int").alias("fold"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = tagged.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    w = Window.partitionBy("segment")
+    return (
+        cells.select(
+            "segment",
+            "fold",
+            F.col("n").alias("n_rows"),
+            (F.sum("n").over(w) - F.col("n")).alias("n_oof"),
+            (F.sum("s").over(w) - F.col("s")).alias("s_oof"),
+        )
+        .select(
+            "segment",
+            "fold",
+            "n_rows",
+            "n_oof",
+            F.round(
+                F.col("s_oof") / F.col("n_oof").cast("double"), 6
+            ).alias("encoded_cents"),
+        )
+        .orderBy("segment", "fold")
+    )

@@ -1792,3 +1792,353 @@ def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_value",
         F.round(F.expr(_pnorm_two_sided("sqrt(mcnemar_stat)")), 6),
     )
+
+
+# ------------------------------------------ causal / agreement (r11) ----
+
+
+@query(
+    "did_revenue_estimate",
+    oracle="""
+WITH cutoff AS (
+  SELECT (epoch_us(min(o_orderdate)) + epoch_us(max(o_orderdate))) // 2
+           AS mid_us
+  FROM orders
+),
+tagged AS (
+  SELECT (c.c_nationkey < 12) AS treat,
+         (epoch_us(o.o_orderdate) >= mid_us) AS post,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  CROSS JOIN cutoff
+),
+cells AS (
+  SELECT
+    SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS n11,
+    SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS n10,
+    SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS n01,
+    SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS n00,
+    SUM(CASE WHEN treat AND post THEN cents ELSE 0 END) AS s11,
+    SUM(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS s10,
+    SUM(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS s01,
+    SUM(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS s00
+  FROM tagged
+)
+SELECT CAST(n11 AS BIGINT) AS n_treat_post,
+       CAST(n10 AS BIGINT) AS n_treat_pre,
+       CAST(n01 AS BIGINT) AS n_ctrl_post,
+       CAST(n00 AS BIGINT) AS n_ctrl_pre,
+       round(s11 / CAST(n11 AS DOUBLE), 6) AS mean_treat_post,
+       round(s10 / CAST(n10 AS DOUBLE), 6) AS mean_treat_pre,
+       round(s01 / CAST(n01 AS DOUBLE), 6) AS mean_ctrl_post,
+       round(s00 / CAST(n00 AS DOUBLE), 6) AS mean_ctrl_pre,
+       round((s11 / CAST(n11 AS DOUBLE) - s10 / CAST(n10 AS DOUBLE))
+             - (s01 / CAST(n01 AS DOUBLE) - s00 / CAST(n00 AS DOUBLE)),
+             6) AS did_cents
+FROM cells
+""",
+)
+def q_did_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES: the 2x2 pre/post x treat/control
+    estimator — the workhorse for launches that hit a cohort at a
+    known time with no randomization (a naive post-period comparison
+    confounds the launch with whatever both arms drifted by; DiD
+    nets the common trend out).  Treatment = customers in nations
+    0-11, the period break = the integer midpoint of the order-date
+    range (so the query is self-contained at every SF), outcome =
+    order value in cents.
+
+    Determinism: the cutoff is integer microseconds ((min+max) div 2
+    — no float date math), the eight cell statistics are exact
+    conditional longs from ONE aggregate, and the estimate is
+    assembled from the four means with the identical expression tree
+    in both engines before a single 6-dp round.  Scale: the customer
+    dim broadcasts; the fact scan reduces map-side to one 8-number
+    row — no shuffle wider than the broadcast join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_nationkey") < 12).alias("treat")
+    )
+    # o_orderdate is TIMESTAMP_NTZ in the parquet; the session runs
+    # UTC so the cast is a wall-clock identity in both engines
+    od = F.col("o_orderdate").cast("timestamp")
+    bounds = orders.agg(
+        F.expr(
+            "(unix_micros(CAST(min(o_orderdate) AS TIMESTAMP))"
+            " + unix_micros(CAST(max(o_orderdate) AS TIMESTAMP))) div 2"
+        ).alias("mid_us")
+    )
+    tagged = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "treat",
+            (F.unix_micros(od) >= F.col("mid_us")).alias("post"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    t, p = F.col("treat"), F.col("post")
+    cells = tagged.agg(
+        F.sum((t & p).cast("long")).alias("n11"),
+        F.sum((t & ~p).cast("long")).alias("n10"),
+        F.sum((~t & p).cast("long")).alias("n01"),
+        F.sum((~t & ~p).cast("long")).alias("n00"),
+        F.sum(F.when(t & p, F.col("cents")).otherwise(0)).alias("s11"),
+        F.sum(F.when(t & ~p, F.col("cents")).otherwise(0)).alias("s10"),
+        F.sum(F.when(~t & p, F.col("cents")).otherwise(0)).alias("s01"),
+        F.sum(F.when(~t & ~p, F.col("cents")).otherwise(0)).alias("s00"),
+    )
+    m = {
+        k: F.col(f"s{k}") / F.col(f"n{k}").cast("double")
+        for k in ("11", "10", "01", "00")
+    }
+    return cells.select(
+        F.col("n11").alias("n_treat_post"),
+        F.col("n10").alias("n_treat_pre"),
+        F.col("n01").alias("n_ctrl_post"),
+        F.col("n00").alias("n_ctrl_pre"),
+        F.round(m["11"], 6).alias("mean_treat_post"),
+        F.round(m["10"], 6).alias("mean_treat_pre"),
+        F.round(m["01"], 6).alias("mean_ctrl_post"),
+        F.round(m["00"], 6).alias("mean_ctrl_pre"),
+        F.round((m["11"] - m["10"]) - (m["01"] - m["00"]), 6).alias(
+            "did_cents"
+        ),
+    )
+
+
+@query(
+    "ipw_ate_stratified",
+    oracle="""
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         (c.c_nationkey % 2 = 0) AS treat,
+         COALESCE(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+           AS cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+),
+cells AS (
+  SELECT segment,
+         SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS n_t,
+         SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END) AS n_c,
+         SUM(CASE WHEN treat THEN cents ELSE 0 END) AS s_t,
+         SUM(CASE WHEN NOT treat THEN cents ELSE 0 END) AS s_c
+  FROM spend GROUP BY segment
+),
+seg AS (
+  SELECT segment, n_t, n_c,
+         round(s_t / CAST(n_t AS DOUBLE), 6) AS m_t,
+         round(s_c / CAST(n_c AS DOUBLE), 6) AS m_c,
+         round(s_t / CAST(n_t AS DOUBLE) - s_c / CAST(n_c AS DOUBLE), 6)
+           AS diff
+  FROM cells
+),
+overall AS (
+  SELECT 'OVERALL' AS segment,
+         SUM(n_t) AS n_t, SUM(n_c) AS n_c,
+         round(SUM(s_t) / CAST(SUM(n_t) AS DOUBLE), 6) AS m_t,
+         round(SUM(s_c) / CAST(SUM(n_c) AS DOUBLE), 6) AS m_c,
+         round(CAST(SUM(CAST(round(s_t / CAST(n_t AS DOUBLE)
+                                   - s_c / CAST(n_c AS DOUBLE), 6)
+                             AS DECIMAL(24,6)) * (n_t + n_c)) AS DOUBLE)
+               / SUM(n_t + n_c), 6) AS diff
+  FROM cells
+)
+SELECT segment, CAST(n_t AS BIGINT) AS n_treat, CAST(n_c AS BIGINT) AS n_ctrl,
+       m_t AS mean_treat_cents, m_c AS mean_ctrl_cents, diff AS diff_cents
+FROM (SELECT * FROM seg UNION ALL SELECT * FROM overall)
+ORDER BY segment
+""",
+)
+def q_ipw_ate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED (subclassification) average-treatment-effect — the
+    propensity-bucket estimator run when arms are imbalanced across a
+    confounder: per market segment, the treated-vs-control mean spend
+    difference; the OVERALL row reweights those per-stratum
+    differences by stratum size, Sum n_s*diff_s / N, which differs
+    from the naive overall mean gap (also shown in its mean columns)
+    exactly when segment mix differs across arms — the confounding
+    the adjustment removes.  Treatment = even nation key; outcome =
+    lifetime order value in cents (customers with no orders count 0).
+
+    Determinism: all cell statistics are exact conditional longs; the
+    per-stratum diffs are rounded to 6 dp and re-enter the OVERALL
+    estimate as DECIMAL(24,6) x integer products summed decimal
+    (order-free), so the 5-term reweighting can never see float
+    summation order.  Scale: one equi-join shuffle (orders pre-
+    aggregated per customer map-side), then a 5x4-cell aggregate;
+    the OVERALL row folds the 5-row frame, never row data."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("c_nationkey") % 2 == 0).alias("treat"),
+    )
+    per_order = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    spend = (
+        cust.join(per_order, cust.c_custkey == per_order.o_custkey, "left")
+        .groupBy("c_custkey", "segment", "treat")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"))
+    )
+    t = F.col("treat")
+    cells = spend.groupBy("segment").agg(
+        F.sum(t.cast("long")).alias("n_t"),
+        F.sum((~t).cast("long")).alias("n_c"),
+        F.sum(F.when(t, F.col("cents")).otherwise(0)).alias("s_t"),
+        F.sum(F.when(~t, F.col("cents")).otherwise(0)).alias("s_c"),
+    )
+    m_t = F.col("s_t") / F.col("n_t").cast("double")
+    m_c = F.col("s_c") / F.col("n_c").cast("double")
+    seg = cells.select(
+        "segment",
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.round(m_t, 6).alias("mean_treat_cents"),
+        F.round(m_c, 6).alias("mean_ctrl_cents"),
+        F.round(m_t - m_c, 6).alias("diff_cents"),
+    )
+    overall = cells.agg(
+        F.sum("n_t").alias("n_t"),
+        F.sum("n_c").alias("n_c"),
+        F.sum("s_t").alias("s_t"),
+        F.sum("s_c").alias("s_c"),
+        F.sum(
+            F.expr(
+                "CAST(round(s_t / CAST(n_t AS DOUBLE)"
+                "           - s_c / CAST(n_c AS DOUBLE), 6)"
+                "     AS DECIMAL(24,6)) * (n_t + n_c)"
+            )
+        ).alias("wsum"),
+        F.sum(F.col("n_t") + F.col("n_c")).alias("n_all"),
+    ).select(
+        F.lit("OVERALL").alias("segment"),
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_ctrl"),
+        F.round(F.col("s_t") / F.col("n_t").cast("double"), 6).alias(
+            "mean_treat_cents"
+        ),
+        F.round(F.col("s_c") / F.col("n_c").cast("double"), 6).alias(
+            "mean_ctrl_cents"
+        ),
+        F.round(F.col("wsum").cast("double") / F.col("n_all"), 6).alias(
+            "diff_cents"
+        ),
+    )
+    return seg.unionByName(overall).orderBy("segment")
+
+
+@query(
+    "fleiss_kappa_ratings",
+    oracle="""
+WITH ratings AS (
+  SELECT doc_id,
+         CASE WHEN n_chars
+                   + (CAST(concat('0x', substr(md5(concat(doc_id, '#', r)),
+                                  1, 8)) AS BIGINT) % 241) - 120 < 220 THEN 0
+              WHEN n_chars
+                   + (CAST(concat('0x', substr(md5(concat(doc_id, '#', r)),
+                                  1, 8)) AS BIGINT) % 241) - 120 < 380 THEN 1
+              ELSE 2 END AS cat
+  FROM documents, (SELECT unnest([0, 1, 2]) AS r)
+),
+ndc AS (
+  SELECT doc_id, cat, count(*) AS cnt FROM ratings GROUP BY 1, 2
+),
+subj AS (
+  SELECT count(DISTINCT doc_id) AS n, SUM(cnt * cnt) AS a FROM ndc
+),
+cols AS (
+  SELECT SUM(CAST(round(pc * pc, 12) AS DECIMAL(16,12))) AS pe_dec
+  FROM (SELECT SUM(cnt) / CAST(3 * (SELECT n FROM subj) AS DOUBLE) AS pc
+        FROM ndc GROUP BY cat)
+)
+SELECT CAST(n AS BIGINT) AS n_subjects,
+       CAST(3 AS INTEGER) AS n_raters,
+       round((a - n * 3) / CAST(n * 3 * 2 AS DOUBLE), 6) AS p_agree,
+       round(CAST(pe_dec AS DOUBLE), 6) AS p_chance,
+       round(((a - n * 3) / CAST(n * 3 * 2 AS DOUBLE)
+              - CAST(pe_dec AS DOUBLE))
+             / (1 - CAST(pe_dec AS DOUBLE)), 6) AS kappa
+FROM subj CROSS JOIN cols
+""",
+)
+def q_fleiss_kappa_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA — chance-corrected agreement among m>2 raters,
+    the multi-annotator generalization `cohens_kappa_langid`'s paired
+    form cannot express (labeling pipelines routinely run 3+ human or
+    model judges per item and gate on kappa before training on the
+    labels).  Three deterministic synthetic raters each bucket a
+    document into short/medium/long after a rater-specific md5 jitter
+    of +-120 chars on the length — near-boundary documents draw
+    disagreement exactly like real annotators.
+
+    kappa = (P_bar - P_e)/(1 - P_e) with P_bar from A = Sum n_dc^2
+    (n_dc <= m, so A <= m^2 N stays exact long at any N) and
+    P_e = Sum p_c^2 with each squared share rounded to 12 dp and
+    summed as DECIMAL(16,12) — order-free, so the 3-term sum can
+    never see float ordering; both engines then run the identical
+    one-row kappa expression.  Scale: explode x3, one (doc,cat)
+    aggregate, one 3-row column aggregate — all partial-aggregatable,
+    no windows, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    jitter = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 241
+        - 120
+    )
+    jittered = F.col("n_chars") + jitter
+    ratings = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r"),
+        "n_chars",
+    ).select(
+        "doc_id",
+        F.when(jittered < 220, 0).when(jittered < 380, 1).otherwise(2).alias(
+            "cat"
+        ),
+    )
+    ndc = ratings.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    subj = ndc.agg(
+        F.countDistinct("doc_id").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("a"),
+    )
+    cols = (
+        ndc.groupBy("cat")
+        .agg(F.sum("cnt").alias("tc"))
+        .crossJoin(F.broadcast(subj.select("n")))
+        .select(
+            (F.col("tc") / (F.lit(3) * F.col("n")).cast("double")).alias("pc")
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(pc * pc, 12) AS DECIMAL(16,12))")
+            ).alias("pe_dec")
+        )
+    )
+    pbar = (F.col("a") - F.col("n") * 3) / (F.col("n") * 6).cast("double")
+    pe = F.col("pe_dec").cast("double")
+    return subj.crossJoin(F.broadcast(cols)).select(
+        F.col("n").alias("n_subjects"),
+        F.lit(3).cast("int").alias("n_raters"),
+        F.round(pbar, 6).alias("p_agree"),
+        F.round(pe, 6).alias("p_chance"),
+        F.round((pbar - pe) / (F.lit(1) - pe), 6).alias("kappa"),
+    )
