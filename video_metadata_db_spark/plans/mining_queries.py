@@ -3427,3 +3427,416 @@ def q_cms_width_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width")
     )
+
+
+# ------------------------------- information / inequality measures (r11) ----
+
+
+@query(
+    "mutual_info_features",
+    oracle="""
+WITH cells AS (
+  SELECT lang, source, count(*) AS c
+  FROM documents GROUP BY 1, 2
+),
+n AS (SELECT SUM(c) AS n FROM cells),
+sj AS (
+  SELECT SUM(CAST(round(c * round(ln(c), 6), 6) AS DECIMAL(24,6))) AS s,
+         count(*) AS n_cells
+  FROM cells
+),
+sl AS (
+  SELECT SUM(CAST(round(c * round(ln(c), 6), 6) AS DECIMAL(24,6))) AS s,
+         count(*) AS n_lang
+  FROM (SELECT lang, SUM(c) AS c FROM cells GROUP BY lang)
+),
+ss AS (
+  SELECT SUM(CAST(round(c * round(ln(c), 6), 6) AS DECIMAL(24,6))) AS s,
+         count(*) AS n_source
+  FROM (SELECT source, SUM(c) AS c FROM cells GROUP BY source)
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n_lang AS BIGINT) AS n_lang,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       round(CAST(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n - sl.s AS DOUBLE)
+             / n / 0.6931471805599453, 6) AS h_lang_bits,
+       round(CAST(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n - ss.s AS DOUBLE)
+             / n / 0.6931471805599453, 6) AS h_source_bits,
+       round(CAST(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n - sj.s AS DOUBLE)
+             / n / 0.6931471805599453, 6) AS h_joint_bits,
+       round(CAST(CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n
+                  + sj.s - sl.s - ss.s AS DOUBLE)
+             / n / 0.6931471805599453, 6) AS mi_bits
+FROM n CROSS JOIN sj CROSS JOIN sl CROSS JOIN ss
+""",
+)
+def q_mutual_info_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between two categorical document features
+    (language x source), in bits — the dependence screen feature
+    selection and leakage hunts run where `chi_square_independence`
+    only tests significance: MI measures HOW MUCH one column predicts
+    the other (a high-MI metadata column next to a training label is
+    the classic leak).  I(X;Y) = H(X) + H(Y) - H(X,Y); since the
+    ln N terms cancel, the estimate reduces to
+    (N ln N + S_joint - S_lang - S_source)/N with each S a sum of
+    c*ln c over the respective count distribution.
+
+    Determinism: `entropy_by_source`'s recipe applied three times —
+    every transcendental is a per-count ln rounded to 6 dp, products
+    re-rounded and summed as DECIMAL(24,6) (order-free), numerators
+    assembled in decimal before ONE double division; the ln 2 divisor
+    is a shared literal.  Scale: ONE (lang, source) cell aggregate —
+    marginal sums derive from the bounded cell table, never a second
+    corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    clnc = "SUM(CAST(round(c * round(ln(c), 6), 6) AS DECIMAL(24,6)))"
+    sj = cells.agg(
+        F.expr(clnc).alias("s_j"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("c").alias("n"),
+    )
+    sl = (
+        cells.groupBy("lang")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.expr(clnc).alias("s_l"), F.count(F.lit(1)).alias("n_lang"))
+    )
+    ss = (
+        cells.groupBy("source")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.expr(clnc).alias("s_s"), F.count(F.lit(1)).alias("n_source"))
+    )
+    nlnn = "CAST(round(ln(n), 6) AS DECIMAL(18,6)) * n"
+    bits = "/ n / 0.6931471805599453D, 6)"
+    return (
+        sj.crossJoin(F.broadcast(sl))
+        .crossJoin(F.broadcast(ss))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_docs",
+            "CAST(n_lang AS BIGINT) AS n_lang",
+            "CAST(n_source AS BIGINT) AS n_source",
+            "CAST(n_cells AS BIGINT) AS n_cells",
+            f"round(CAST({nlnn} - s_l AS DOUBLE) {bits} AS h_lang_bits",
+            f"round(CAST({nlnn} - s_s AS DOUBLE) {bits} AS h_source_bits",
+            f"round(CAST({nlnn} - s_j AS DOUBLE) {bits} AS h_joint_bits",
+            f"round(CAST({nlnn} + s_j - s_l - s_s AS DOUBLE) {bits}"
+            " AS mi_bits",
+        )
+    )
+
+
+@query(
+    "theil_inequality_decomposition",
+    oracle="""
+WITH x AS (
+  SELECT c.c_mktsegment AS g,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+grp AS (
+  SELECT g, count(*) AS n_g, SUM(cents) AS s_g,
+         SUM(CAST(round(cents * round(ln(cents), 6), 6)
+                  AS DECIMAL(38,6))) AS xlnx_g
+  FROM x GROUP BY g
+),
+tot AS (
+  SELECT SUM(n_g) AS n, SUM(s_g) AS s, SUM(xlnx_g) AS xlnx FROM grp
+),
+terms AS (
+  SELECT
+    SUM(CAST(round(
+      (s_g / CAST(s AS DOUBLE))
+      * (round(ln(s_g / CAST(n_g AS DOUBLE)), 6)
+         - round(ln(s / CAST(n AS DOUBLE)), 6)), 12)
+        AS DECIMAL(20,12))) AS t_between,
+    SUM(CAST(round(
+      (s_g / CAST(s AS DOUBLE))
+      * (CAST(xlnx_g AS DOUBLE) / s_g
+         - round(ln(s_g / CAST(n_g AS DOUBLE)), 6)), 12)
+        AS DECIMAL(20,12))) AS t_within
+  FROM grp CROSS JOIN tot
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       round(CAST(xlnx AS DOUBLE) / s
+             - round(ln(s / CAST(n AS DOUBLE)), 6), 6) AS theil_total,
+       round(CAST(t_between AS DOUBLE), 6) AS theil_between,
+       round(CAST(t_within AS DOUBLE), 6) AS theil_within,
+       round(CAST(t_between AS DOUBLE)
+             / (CAST(t_between AS DOUBLE) + CAST(t_within AS DOUBLE)),
+             6) AS between_share
+FROM tot CROSS JOIN terms
+""",
+)
+def q_theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-T INEQUALITY with exact between/within-group
+    decomposition — the additive property `gini_revenue` lacks (Gini
+    does not decompose): how much of total order-value inequality is
+    BETWEEN market segments vs WITHIN them, the standard diagnosis
+    before segment-level interventions.  T = (1/N) Sum (x/mu)ln(x/mu)
+    rewritten as Sum(x ln x)/S - ln mu so the per-row transcendental
+    is ln of an exact cents integer; T_between = Sum w_g ln(mu_g/mu),
+    T_within = Sum w_g T_g, with income shares w_g = S_g/S.
+
+    Determinism: per-row x*ln x uses the 6-dp-round + DECIMAL(38,6)
+    order-free sum recipe; the 5 per-group between/within terms are
+    rounded to 12 dp and summed as DECIMAL(20,12) (order-free); all
+    ln-of-mean arguments are IEEE-exact long/long divisions so both
+    engines feed libm the same double.  Scale: one fact scan into a
+    5-row group aggregate; everything after is scalar algebra on the
+    bounded group table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("g")
+    )
+    x = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "g",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    grp = x.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("cents").alias("s_g"),
+        F.expr(
+            "SUM(CAST(round(cents * round(ln(cents), 6), 6)"
+            " AS DECIMAL(38,6)))"
+        ).alias("xlnx_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("xlnx_g").alias("xlnx"),
+    )
+    terms = grp.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "SUM(CAST(round("
+            " (s_g / CAST(s AS DOUBLE))"
+            " * (round(ln(s_g / CAST(n_g AS DOUBLE)), 6)"
+            "    - round(ln(s / CAST(n AS DOUBLE)), 6)), 12)"
+            " AS DECIMAL(20,12)))"
+        ).alias("t_between"),
+        F.expr(
+            "SUM(CAST(round("
+            " (s_g / CAST(s AS DOUBLE))"
+            " * (CAST(xlnx_g AS DOUBLE) / s_g"
+            "    - round(ln(s_g / CAST(n_g AS DOUBLE)), 6)), 12)"
+            " AS DECIMAL(20,12)))"
+        ).alias("t_within"),
+    )
+    return tot.crossJoin(F.broadcast(terms)).selectExpr(
+        "CAST(n AS BIGINT) AS n_orders",
+        "round(CAST(xlnx AS DOUBLE) / s"
+        " - round(ln(s / CAST(n AS DOUBLE)), 6), 6) AS theil_total",
+        "round(CAST(t_between AS DOUBLE), 6) AS theil_between",
+        "round(CAST(t_within AS DOUBLE), 6) AS theil_within",
+        "round(CAST(t_between AS DOUBLE)"
+        " / (CAST(t_between AS DOUBLE) + CAST(t_within AS DOUBLE)), 6)"
+        " AS between_share",
+    )
+
+
+_KMV_K = 256
+_KMV_DEN = "1152921504606846976.0"  # 16^15 — the 60-bit hash range
+
+
+@query(
+    "kmv_distinct_intersect",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_cl,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_pu
+  FROM events GROUP BY user_id
+),
+members AS (
+  SELECT 'a' AS s, user_id FROM per_user WHERE n_cl % 2 = 1
+  UNION ALL
+  SELECT 'b' AS s, user_id FROM per_user WHERE n_pu % 2 = 1
+),
+hashed AS (
+  SELECT s, user_id,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / {_KMV_DEN} AS h
+  FROM members
+),
+sketch AS (
+  SELECT s, user_id, h
+  FROM (SELECT s, user_id, h,
+               row_number() OVER (PARTITION BY s ORDER BY h, user_id) AS rk
+        FROM hashed)
+  WHERE rk <= {_KMV_K}
+),
+stats AS (
+  SELECT s, count(*) AS k_seen, max(h) AS theta FROM sketch GROUP BY s
+),
+exact AS (
+  SELECT
+    SUM(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS n_a,
+    SUM(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS n_b,
+    SUM(CASE WHEN in_both THEN 1 ELSE 0 END) // 2 AS n_inter
+  FROM (SELECT s, user_id,
+               count(*) OVER (PARTITION BY user_id) = 2 AS in_both
+        FROM members)
+),
+thetas AS (
+  SELECT
+    CASE WHEN (SELECT n_a FROM exact) < {_KMV_K} THEN 1.0
+         ELSE (SELECT theta FROM stats WHERE s = 'a') END AS th_a,
+    CASE WHEN (SELECT n_b FROM exact) < {_KMV_K} THEN 1.0
+         ELSE (SELECT theta FROM stats WHERE s = 'b') END AS th_b
+),
+inter AS (
+  SELECT count(*) AS matched
+  FROM sketch a JOIN sketch b
+    ON a.user_id = b.user_id AND a.s = 'a' AND b.s = 'b'
+  CROSS JOIN thetas
+  WHERE a.h < least(th_a, th_b)
+)
+SELECT CAST({_KMV_K} AS INTEGER) AS k,
+       CAST(n_a AS BIGINT) AS exact_a,
+       CAST(n_b AS BIGINT) AS exact_b,
+       CAST(n_inter AS BIGINT) AS exact_intersect,
+       round(CASE WHEN n_a < {_KMV_K} THEN CAST(n_a AS DOUBLE)
+             ELSE ({_KMV_K} - 1)
+                  / (SELECT theta FROM stats WHERE s = 'a') END,
+             6) AS est_a,
+       round(CASE WHEN n_b < {_KMV_K} THEN CAST(n_b AS DOUBLE)
+             ELSE ({_KMV_K} - 1)
+                  / (SELECT theta FROM stats WHERE s = 'b') END,
+             6) AS est_b,
+       round(matched / least(th_a, th_b), 6) AS est_intersect
+FROM exact CROSS JOIN thetas CROSS JOIN inter
+""",
+)
+def q_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / THETA-SKETCH distinct intersection — the set-operation
+    capability `hll_sketch_users` cannot offer (HLL unions but never
+    intersects): estimate the overlap of two behavioral
+    audiences (users with an ODD click count vs an ODD purchase count
+    — data-driven subsets that genuinely differ) from two
+    k-minimum-value sketches via the theta rule
+    |A∩B| ≈ |{x ∈ sk(A)∩sk(B) : h(x) < θ}| / θ, θ = min(θ_A, θ_B) —
+    the audience-overlap question at billion-user scale where exact
+    distinct joins are the cost ceiling.  Unlike the RNG-seeded
+    library sketches this KMV is a pure function of md5, so BOTH the
+    estimates and the exact twins value-oracle to the last digit
+    (sets smaller than k degrade to exact counts by the standard KMV
+    rule — the estimator is then the set itself).
+
+    Determinism: h = 60-bit md5 prefix / 16^15 (an IEEE-exact
+    division both engines perform identically); sketch membership is
+    a total order (h, user_id); every estimate is one double
+    division of exact quantities.  Scale: the k-min selection is the
+    two-stage distributed top-k (per-(set,bucket) heads, then the
+    bounded 2*64k candidate pool) — no global single-partition
+    window, and the sketch join touches 2k rows regardless of
+    corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    k = _KMV_K
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("n_cl"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_pu"),
+    )
+    members = (
+        per_user.filter(F.col("n_cl") % 2 == 1)
+        .select(F.lit("a").alias("s"), "user_id")
+        .unionByName(
+            per_user.filter(F.col("n_pu") % 2 == 1).select(
+                F.lit("b").alias("s"), "user_id"
+            )
+        )
+    )
+    hashed = members.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(16**15)),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 64,
+    )
+    head = Window.partitionBy("s", "bucket").orderBy("h", "user_id")
+    fin = Window.partitionBy("s").orderBy("h", "user_id")
+    sketch = (
+        hashed.withColumn("rk", F.row_number().over(head))
+        .filter(F.col("rk") <= k)
+        .withColumn("rk2", F.row_number().over(fin))
+        .filter(F.col("rk2") <= k)
+        .select("s", "user_id", "h")
+    )
+    stats = sketch.groupBy("s").agg(
+        F.count(F.lit(1)).alias("k_seen"), F.max("h").alias("theta")
+    )
+    exact = members.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sets")
+    ).agg(
+        F.sum(F.lit(1)).alias("_ign"),
+        F.sum((F.col("n_sets") == 2).cast("long")).alias("n_inter"),
+    ).crossJoin(
+        F.broadcast(
+            members.agg(
+                F.sum((F.col("s") == "a").cast("long")).alias("n_a"),
+                F.sum((F.col("s") == "b").cast("long")).alias("n_b"),
+            )
+        )
+    ).select("n_a", "n_b", "n_inter")
+    th = (
+        stats.groupBy()
+        .pivot("s", ["a", "b"])
+        .agg(F.first("theta"))
+        .withColumnRenamed("a", "theta_a")
+        .withColumnRenamed("b", "theta_b")
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            "theta_a",
+            "theta_b",
+            F.when(F.col("n_a") < k, F.lit(1.0))
+            .otherwise(F.col("theta_a"))
+            .alias("th_a"),
+            F.when(F.col("n_b") < k, F.lit(1.0))
+            .otherwise(F.col("theta_b"))
+            .alias("th_b"),
+        )
+    )
+    sa = sketch.filter(F.col("s") == "a").select(
+        "user_id", F.col("h").alias("h_a")
+    )
+    sb = sketch.filter(F.col("s") == "b").select("user_id")
+    matched = (
+        sa.join(sb, "user_id")
+        .crossJoin(F.broadcast(th.select("th_a", "th_b")))
+        .agg(
+            F.sum(
+                (F.col("h_a") < F.least("th_a", "th_b")).cast("long")
+            ).alias("matched")
+        )
+    )
+    return th.crossJoin(F.broadcast(matched)).select(
+        F.lit(k).cast("int").alias("k"),
+        F.col("n_a").alias("exact_a"),
+        F.col("n_b").alias("exact_b"),
+        F.col("n_inter").alias("exact_intersect"),
+        F.round(
+            F.when(F.col("n_a") < k, F.col("n_a").cast("double")).otherwise(
+                F.lit(k - 1) / F.col("theta_a")
+            ),
+            6,
+        ).alias("est_a"),
+        F.round(
+            F.when(F.col("n_b") < k, F.col("n_b").cast("double")).otherwise(
+                F.lit(k - 1) / F.col("theta_b")
+            ),
+            6,
+        ).alias("est_b"),
+        F.round(
+            F.col("matched") / F.least("th_a", "th_b"), 6
+        ).alias("est_intersect"),
+    )
