@@ -961,3 +961,96 @@ def q_embedding_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("diff_micro")).desc(), "dim")
         .limit(10)
     )
+
+
+# ---------------------------------------- k-center greedy coreset (r11) ----
+
+_KC_K = 8
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled 8-step greedy selection as chained CTEs — each step's
+    argmax replays the identical round-6 + vec_id tie-break rule the
+    Spark loop applies, so the 'iterative' algorithm is still a full
+    value oracle."""
+    def dist(ci: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, 65),"
+            f" i -> (e.v[i] - {ci}.v[i]) * (e.v[i] - {ci}.v[i])))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT vec_id, v, 0.0 AS d FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(1, _KC_K):
+        joins = " CROSS JOIN ".join(f"c{i}" for i in range(j))
+        exclude = ", ".join(f"c{i}.vec_id" for i in range(j))
+        dists = ", ".join(dist(f"c{i}") for i in range(j))
+        least = dists if j == 1 else f"least({dists})"
+        ctes.append(
+            f"c{j} AS (SELECT e.vec_id, e.v, round({least}, 6) AS d"
+            f" FROM e CROSS JOIN {joins}"
+            f" WHERE e.vec_id NOT IN ({exclude})"
+            f" ORDER BY d DESC, e.vec_id LIMIT 1)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {j} AS sel_order, vec_id, d AS min_dist_sq FROM c{j}"
+        for j in range(_KC_K)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + sel
+        + "\n) ORDER BY sel_order"
+    )
+
+
+@query("coreset_kcenter_greedy", oracle=_kcenter_oracle())
+def q_coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER GREEDY CORESET (farthest-point traversal) — the
+    2-approximation cover every embedding-space data-selection recipe
+    leans on (pick the point farthest from the chosen set, repeat):
+    8 maximally-spread exemplars whose selection radii are also the
+    k-center cost curve.  Complements `dedup_semantic` (which REMOVES
+    near-duplicates) by SELECTING for coverage — the "diverse
+    subset" half of curation.
+
+    Iterative-by-nature, priced the `kmeans_clusters` way: the
+    driver holds only the k chosen vectors (k x 64 doubles), each of
+    the k rounds is ONE corpus scan with the centers folded in as
+    literal arrays (JVM-parsed as a single SQL expression — the
+    round-5 lesson: thousands of py4j Column calls cost seconds,
+    one expr string does not), and the argmax is a TakeOrdered, not
+    a collect.  Selection compares round-6 distances with a vec_id
+    tie-break so both engines' 64-term left-to-right float folds can
+    never disagree on WHO gets picked; the oracle unrolls the same
+    greedy recursion as chained CTEs.  Scale: k passes over the
+    corpus, broadcast-only state — the textbook distributed
+    farthest-point traversal."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    first = emb.orderBy("vec_id").select("vec_id", "v").first()
+    chosen: list[tuple[int, int, float]] = [(0, int(first["vec_id"]), 0.0)]
+    vecs: list[list[float]] = [list(first["v"])]
+    for step in range(1, _KC_K):
+        folds = [
+            "aggregate(zip_with(v, array("
+            + ", ".join(f"{x!r}D" for x in c)
+            + "), (x, y) -> (x - y) * (x - y)), 0D, (a, x) -> a + x)"
+            for c in vecs
+        ]
+        least = folds[0] if len(folds) == 1 else "least(" + ", ".join(folds) + ")"
+        row = (
+            emb.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .select(
+                "vec_id", F.round(F.expr(least), 6).alias("d"), "v"
+            )
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .first()
+        )
+        chosen.append((step, int(row["vec_id"]), float(row["d"])))
+        vecs.append(list(row["v"]))
+    return spark.createDataFrame(
+        chosen, "sel_order int, vec_id bigint, min_dist_sq double"
+    ).orderBy("sel_order")

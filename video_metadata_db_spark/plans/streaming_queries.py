@@ -869,3 +869,117 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("user_id") >= 0).orderBy(
         "user_id", "session_start_us"
     )
+
+
+@query(
+    "stream_dynamic_gap_sessions",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'purchase' THEN 1800000000
+              ELSE 600000000 END AS gap_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE user_id % 10 = 3
+),
+flagged AS (
+  SELECT event_id, user_id, us, gap_us, cents,
+         CASE WHEN max(us + gap_us) OVER
+                (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR us >= max(us + gap_us) OVER
+                (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sess AS (
+  SELECT user_id, us, gap_us, cents,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us + gap_us) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+""",
+)
+def q_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP session windows under a REAL checkpointed
+    AvailableNow run — ``session_window(ts, CASE ...)`` with a
+    PER-ROW gap expression, the Spark capability neither the
+    fixed-gap built-in (`stream_session_windows`) nor the custom
+    stateful sessionizer (`stream_stateful_sessions`) exercises: a
+    purchase holds its session open for 30 minutes, any other event
+    for 10 — per-event-type engagement timeouts without custom
+    state.  Each merged session's end is max(ts_i + gap_i); Spark
+    sessions are half-open, so an event landing exactly at that
+    horizon opens a NEW session (hence ``>=`` in the oracle's
+    running-max island test, which replays the merge rule as a
+    per-user ROWS window over the total order (ts, event_id)).
+
+    Determinism: bounds are exact microsecond integers, money is
+    cents longs — no floats anywhere.  Scale: session state is
+    bounded by ACTIVE sessions x watermark horizon; the shuffle key
+    is user_id, and the drain runs at 8 shuffle partitions for the
+    same idle-state-store reason as `stream_late_data_drop` (a
+    cluster sizes partitions to data instead)."""
+    work = tempfile.mkdtemp(prefix="vmdb_dyng_")
+    events = load_table(spark, sf_dir, "events")
+    reals = events.filter(F.col("user_id") % 10 == 3).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    reals.repartition(1).write.mode("overwrite").parquet(f"{work}/src")
+    # session-window aggregations only support APPEND mode: sessions
+    # emit once the watermark passes their horizon, so a far-future
+    # sentinel staged as a SECOND micro-batch flushes every real
+    # session (its own open session stays in state, filtered out)
+    spark.createDataFrame(
+        [(-1, -1)], "event_id bigint, user_id bigint"
+    ).select(
+        "event_id",
+        "user_id",
+        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"),
+        F.lit(0).cast("long").alias("cents"),
+    ).repartition(1).write.mode("append").parquet(f"{work}/src")
+    stream = file_stream(
+        spark, f"{work}/src", reals.schema, max_files_per_trigger=1
+    )
+    # gap must be CalendarIntervalType: ANSI INTERVAL literals are
+    # DayTimeIntervalType in Spark 4 and are rejected, so pass the
+    # per-row gap as a string column (parsed as calendar intervals)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("30 minutes")
+    ).otherwise(F.lit("10 minutes"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("total_cents"),
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(agg, f"{work}/cp", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "total_cents",
+    ).orderBy("user_id", "session_start_us")
