@@ -296,6 +296,17 @@ HEADLINE = [
     "bloom_fpr_audit",
     "mcnemar_test",
     "shuffle_mixing_audit",
+    # round-11 additions
+    "did_revenue_estimate",
+    "ipw_ate_stratified",
+    "fleiss_kappa_ratings",
+    "group_holdout_split",
+    "target_encode_kfold",
+    "mutual_info_features",
+    "theil_inequality_decomposition",
+    "kmv_distinct_intersect",
+    "stream_dynamic_gap_sessions",
+    "coreset_kcenter_greedy",
 ]
 
 REPEATS = 2
