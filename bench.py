@@ -307,6 +307,8 @@ HEADLINE = [
     "kmv_distinct_intersect",
     "stream_dynamic_gap_sessions",
     "coreset_kcenter_greedy",
+    "stream_full_outer_join",
+    "edge_triangle_support",
 ]
 
 REPEATS = 2

@@ -307,3 +307,51 @@ def test_theil_components_sum(spark):
     assert row["theil_between"] + row["theil_within"] == pytest.approx(
         row["theil_total"], abs=5e-6
     )
+
+
+def test_full_outer_join_three_output_paths(spark, tmp_path):
+    """Crafted slice (users % 10 == 6): a converting view, an orphan
+    click (no view in the preceding 4 h), and an unconverted view —
+    all three full-outer output paths with exact rows."""
+    t = lambda h, m=0: dt.datetime(2024, 3, 1, h, m)  # noqa: E731
+    events = [
+        (0, t(10), 6, "view", 1.0, "{}"),
+        (1, t(11), 6, "click", 1.0, "{}"),   # matched (within 4 h)
+        (2, t(10), 16, "click", 1.0, "{}"),  # orphan click
+        (3, t(23), 16, "view", 1.0, "{}"),   # unconverted view
+    ]
+    _write(spark, tmp_path, "events", events, EVENT_SCHEMA)
+    got = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in QUERIES["stream_full_outer_join"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # one matched pair, one unconverted view (right-null), one orphan
+    # click (left-null)
+    assert got == {(6, 0, 1), (16, 3, None), (16, None, 2)}
+
+
+def test_edge_support_k4_plus_pendant(spark, tmp_path):
+    """K4 on suppliers 1-4 (every edge in exactly 2 triangles) plus a
+    pendant edge (4,5) with support 0."""
+    rows = []
+    ok = 0
+    for _ in range(2):  # two shared orders -> pair counts hit the threshold
+        for supp in (1, 2, 3, 4):
+            rows.append((ok, supp))
+        ok += 1
+        rows.append((ok, 4))
+        rows.append((ok, 5))
+        ok += 1
+    _write(
+        spark, tmp_path, "lineitem", rows, "l_orderkey bigint, l_suppkey bigint"
+    )
+    got = {
+        (r["s1"], r["s2"]): r["support"]
+        for r in QUERIES["edge_triangle_support"](spark, str(tmp_path)).collect()
+    }
+    k4_edges = {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    assert set(got) == k4_edges | {(4, 5)}
+    assert all(got[e] == 2 for e in k4_edges)
+    assert got[(4, 5)] == 0

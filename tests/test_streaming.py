@@ -204,8 +204,9 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = [(r["ad_id"], r["r_click_id"]) for r in got.collect()]
     assert rows == [(1, 100)]
 
-    # ADVICE r9: only inner/left_outer have a designed+tested eviction
-    # contract; other outer modes must be rejected, not silently wrong
+    # ADVICE r9: only modes with a designed+tested eviction contract
+    # are accepted (inner/left_outer, and full_outer as of r11 —
+    # `stream_full_outer_join` oracles it); right_outer stays rejected
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="interval_join supports"):
@@ -213,7 +214,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
             file_stream(spark, imp_src, imp_schema),
             file_stream(spark, clk_src, clk_schema),
             key="ad_id",
-            how="full_outer",
+            how="right_outer",
         )
 
 

@@ -230,6 +230,82 @@ def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame
     )
 
 
+def edge_triangle_support(
+    edges: DataFrame, a: str = "s1", b: str = "s2"
+) -> DataFrame:
+    """Per-EDGE triangle support — the k-truss substrate: for every
+    canonical edge (``a < b``, no duplicates), the number of triangles
+    it participates in; an edge of support s belongs to at most the
+    (s+2)-truss, and iterating "drop edges below s, recount" yields
+    the full truss decomposition.  Complements
+    :func:`triangle_counts`'s NODE-level counts with the edge-level
+    cohesion signal community-pruning uses (an edge inside a dense
+    community has high support; a spam bridge has 0).
+
+    Same skew-proof shape as :func:`triangle_counts`: degree-oriented
+    wedge enumeration generates each triangle exactly once, then each
+    triangle is exploded into its three canonical edges and counted —
+    two equi-join shuffles plus a bounded (edge-keyed) aggregate,
+    never a per-node wedge blowup on hubs."""
+    edges = edges.select(F.col(a).alias("s1"), F.col(b).alias("s2"))
+    deg = (
+        edges.select(F.col("s1").alias("node"))
+        .unionByName(edges.select(F.col("s2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "s1"), "s1")
+        .withColumnRenamed("degree", "d1")
+        .join(
+            deg.withColumnRenamed("node", "s2").withColumnRenamed("degree", "d2"),
+            "s2",
+        )
+    )
+    fwd = F.struct(F.col("d1"), F.col("s1")) < F.struct(F.col("d2"), F.col("s2"))
+    oriented = ed.select(
+        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+    )
+    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o1.v") == F.col("o2.u"))
+        .join(
+            o3,
+            (F.col("o3.u") == F.col("o1.u")) & (F.col("o3.v") == F.col("o2.v")),
+        )
+        .select(
+            F.col("o1.u").alias("x"),
+            F.col("o1.v").alias("y"),
+            F.col("o2.v").alias("z"),
+        )
+    )
+    pair = lambda p, q: F.struct(  # noqa: E731
+        F.least(p, q).alias("e1"), F.greatest(p, q).alias("e2")
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                pair(F.col("x"), F.col("y")),
+                pair(F.col("x"), F.col("z")),
+                pair(F.col("y"), F.col("z")),
+            )
+        ).alias("e")
+    ).select("e.e1", "e.e2")
+    supp = tri_edges.groupBy("e1", "e2").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return edges.join(
+        supp,
+        (edges.s1 == supp.e1) & (edges.s2 == supp.e2),
+        "left",
+    ).select(
+        "s1",
+        "s2",
+        F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,

@@ -1496,3 +1496,52 @@ def q_linkpred_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .limit(20)
     )
+
+
+@query(
+    "edge_triangle_support",
+    oracle=f"""
+WITH {_TRI_EDGES_CTE},
+tri AS (
+  SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+  FROM edges e1
+  JOIN edges e2 ON e1.s2 = e2.s1
+  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+tri_edges AS (
+  SELECT x AS e1, y AS e2 FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+),
+supp AS (
+  SELECT e1, e2, count(*) AS support FROM tri_edges GROUP BY 1, 2
+)
+SELECT e.s1, e.s2,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM edges e LEFT JOIN supp s ON e.s1 = s.e1 AND e.s2 = s.e2
+ORDER BY support DESC, e.s1, e.s2
+LIMIT 20
+""",
+)
+def q_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EDGE triangle support over the supplier co-occurrence graph
+    — the k-truss substrate `triangle_count`'s node-level view cannot
+    give: an edge of support s survives into at most the (s+2)-truss,
+    so this ranking IS the first peel of the truss decomposition (the
+    edge-cohesion complement of `graph_peeling_profile`'s node
+    k-cores).  High-support edges sit inside dense communities;
+    support-0 edges are bridges/spam links.
+
+    The Spark side is :func:`..operators.graph.edge_triangle_support`
+    (degree-oriented wedges, each triangle exploded into its three
+    canonical edges); the DuckDB oracle enumerates the SAME triangles
+    by the id-canonical x<y<z chain join — a different orientation —
+    so agreement verifies the oriented algorithm against the spec.
+    Top-20 by the total order (support desc, s1, s2)."""
+    from ..operators.graph import edge_triangle_support
+
+    return (
+        edge_triangle_support(_supplier_edges(spark, sf_dir))
+        .orderBy(F.col("support").desc(), "s1", "s2")
+        .limit(20)
+    )

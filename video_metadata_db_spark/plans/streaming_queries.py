@@ -983,3 +983,87 @@ def q_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "total_cents",
     ).orderBy("user_id", "session_start_us")
+
+
+@query(
+    "stream_full_outer_join",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'view' AND user_id % 10 = 6
+),
+c AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND user_id % 10 = 6
+)
+SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+       v.event_id AS l_event_id, v.ts AS l_ts,
+       c.event_id AS r_event_id, c.ts AS r_ts
+FROM v FULL JOIN c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 4 HOUR
+ORDER BY l_event_id, r_event_id
+""",
+)
+def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-OUTER watermarked stream-stream join under a REAL
+    AvailableNow run — `stream_left_outer_join` plus the THIRD output
+    path: orphan clicks (a click with no view in the preceding 4
+    hours → null LEFT row), the "conversion with no tracked
+    impression" rows an attribution audit must surface.  Exercises
+    the eviction horizon full-outer adds: a right row's null-match
+    flushes once the watermark passes its OWN timestamp (no future
+    view can precede it), earlier than the left side's
+    ``view.ts + 4h`` horizon — one sentinel staging past
+    ``max(ts) + delay`` flushes both (streaming/joins.py:interval_join
+    docstring derives this).  Right-only rows keep their key via the
+    coalesced join key.
+
+    Same staging economics as the left-outer query (one partitionBy
+    job for both sides' reals, one for both sentinels, 8 state
+    partitions, maxFilesPerTrigger=1 so eviction happens across REAL
+    micro-batches); a disjoint 10% user slice (% 10 = 6) keeps the
+    two queries' state footprints equivalent.  The DuckDB oracle is
+    the batch FULL JOIN with side filters INSIDE the join inputs
+    (a WHERE would discard the null-extended rows it filters on)."""
+    work = tempfile.mkdtemp(prefix="vmdb_sfoj_")
+    events = load_table(spark, sf_dir, "events")
+    cols = ["user_id", "ts", "event_id"]
+    reals = events.filter(
+        F.col("event_type").isin("view", "click") & (F.col("user_id") % 10 == 6)
+    ).select("event_type", *cols)
+    reals.repartition("event_type").write.partitionBy("event_type").mode(
+        "overwrite"
+    ).parquet(f"{work}/src")
+    sentinels = spark.createDataFrame(
+        [("view", -1, -1), ("click", -2, -2)],
+        "event_type string, user_id bigint, event_id bigint",
+    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp"))
+    # repartition(1), NOT coalesce(1) — see stream_left_outer_join
+    sentinels.select("event_type", *cols).repartition(1).write.partitionBy(
+        "event_type"
+    ).mode("append").parquet(f"{work}/src")
+    schema = events.select(*cols).schema
+    joined = interval_join(
+        file_stream(
+            spark, f"{work}/src/event_type=view", schema, max_files_per_trigger=1
+        ),
+        file_stream(
+            spark, f"{work}/src/event_type=click", schema, max_files_per_trigger=1
+        ),
+        key="user_id",
+        max_delay="4 hours",
+        watermark="10 minutes",
+        how="full_outer",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(joined, f"{work}/cp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        out.filter(F.col("user_id") >= 0)
+        .select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+        .orderBy("l_event_id", "r_event_id")
+    )

@@ -35,14 +35,29 @@ def interval_join(
     micro-batch; callers that drain with AvailableNow must ensure
     subsequent batches advance the watermark past the rows they expect
     flushed (see ``stream_left_outer_join``'s sentinel staging).
+
+    ``how="full_outer"`` additionally emits null-matches for RIGHT
+    rows no future left partner can reach.  Its eviction horizon is
+    EARLIER than the left side's: the range condition
+    ``l.ts <= r.ts <= l.ts + max_delay`` means a right row at t only
+    matches left rows with ``l.ts in [t - max_delay, t]``, so its
+    null-match flushes once the watermark passes ``t`` itself, while
+    an unmatched left row waits until ``l.ts + max_delay``.  A
+    sentinel staging that advances the watermark past
+    ``max(l.ts) + max_delay`` therefore flushes BOTH paths (it is
+    past every ``r.ts`` too) — the same staging
+    ``stream_left_outer_join`` uses, verified end-to-end by
+    ``stream_full_outer_join``'s batch FULL JOIN oracle.  The join
+    key is taken from whichever side is non-null so right-only rows
+    keep their key.
     """
-    if how not in ("inner", "left_outer"):
-        # the watermark/eviction contract documented above (and the
-        # sentinel staging it requires) covers only these two modes;
-        # right/full outer would silently emit wrong null-match rows
-        # until someone designs + tests their eviction path (ADVICE r9)
+    if how not in ("inner", "left_outer", "full_outer"):
+        # right_outer stays rejected: nothing exercises its (mirror)
+        # eviction path, and a silently wrong null-match is worse
+        # than a loud error (ADVICE r9)
         raise ValueError(
-            f"interval_join supports how in ('inner', 'left_outer'); got {how!r}"
+            f"interval_join supports how in ('inner', 'left_outer',"
+            f" 'full_outer'); got {how!r}"
         )
     l = left.withWatermark("ts", watermark).select(
         F.col(key),
@@ -57,4 +72,11 @@ def interval_join(
         & (F.col(f"{right_prefix}ts") >= F.col(f"{left_prefix}ts"))
         & (F.col(f"{right_prefix}ts") <= F.col(f"{left_prefix}ts") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, how).drop("__rkey")
+    joined = l.join(r, cond, how)
+    if how == "full_outer":
+        # right-only rows carry a null left key — surface the key from
+        # whichever side has it before dropping the internal alias
+        joined = joined.withColumn(
+            key, F.coalesce(F.col(key), F.col("__rkey"))
+        )
+    return joined.drop("__rkey")
