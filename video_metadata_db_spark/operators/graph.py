@@ -159,22 +159,26 @@ def pagerank_oracle_sql(
     return ",\n".join(parts)
 
 
-def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame:
-    """Per-node triangle counts and local clustering coefficients for an
-    undirected graph given as CANONICAL edges (``a < b``, no duplicates):
-    returns ``(node, degree, n_triangles, clustering)`` for every node of
-    degree ≥ 1, with ``clustering = 2T / d(d−1)`` rounded to 6 dp (0.0
-    for degree-1 nodes).
+def _oriented_triangles(
+    edges: DataFrame, a: str, b: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared substrate of the two triangle operators: canonicalized
+    ``edges(s1, s2)``, per-node ``deg(node, degree)``, and the triangle
+    list ``tri(x, y, z)`` from DEGREE-ORIENTED wedge enumeration —
+    every edge directed from its (degree, id)-smaller to its
+    (degree, id)-larger endpoint (a total order, so orientation is
+    unique and acyclic), each triangle generated by EXACTLY ONE wedge
+    rooted at its lowest-degree corner.  The wedge count drops from
+    Σ d(v)² (ruinous on hubs) to Σ d⁺(v)² with out-degree bounded by
+    O(√|E|) — the standard skew-proof mitigation.
 
-    Distributed shape — DEGREE-ORIENTED wedge enumeration: every edge is
-    directed from its (degree, id)-smaller to its (degree, id)-larger
-    endpoint (a total order, so orientation is unique and acyclic), and
-    each triangle is generated by EXACTLY ONE wedge rooted at its
-    lowest-degree corner.  The wedge count drops from Σ d(v)² (ruinous
-    on hubs) to Σ d⁺(v)² with out-degree bounded by O(√|E|) — the
-    standard skew-proof mitigation.  Wedge build and closure check are
-    plain equi-joins; callers SHOULD persist ``edges`` (it roots five
-    downstream subtrees).
+    ``deg`` and ``oriented`` are eagerly ``localCheckpoint``-ed: both
+    root 3 downstream subtrees (the three wedge-join legs reference
+    ``oriented``; degrees feed the orientation joins and the final
+    output join), and without the lineage cut every consumer re-plans
+    and re-executes the scan + degree aggregate + double join — the
+    before-plan carried 88 Exchanges / 94 re-scans for the node query
+    (plans/r11/triangle_count_before.txt) versus 7 Exchanges after.
     """
     edges = edges.select(F.col(a).alias("s1"), F.col(b).alias("s2"))
     deg = (
@@ -182,6 +186,7 @@ def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame
         .unionByName(edges.select(F.col("s2").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     ed = (
         edges.join(deg.withColumnRenamed("node", "s1"), "s1")
@@ -195,7 +200,7 @@ def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame
     oriented = ed.select(
         F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
         F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     tri = (
         o1.join(o2, F.col("o1.v") == F.col("o2.u"))
@@ -209,10 +214,27 @@ def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame
             F.col("o2.v").alias("z"),
         )
     )
+    return edges, deg, tri
+
+
+def triangle_counts(edges: DataFrame, a: str = "s1", b: str = "s2") -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients for an
+    undirected graph given as CANONICAL edges (``a < b``, no duplicates):
+    returns ``(node, degree, n_triangles, clustering)`` for every node of
+    degree ≥ 1, with ``clustering = 2T / d(d−1)`` rounded to 6 dp (0.0
+    for degree-1 nodes).
+
+    Distributed shape: :func:`_oriented_triangles` (skew-proof wedge
+    enumeration, checkpointed substrate), then ONE pass over the
+    triangle list exploding each triangle into its three corners — the
+    same multiset the previous three-branch union produced, without
+    re-running the wedge join per corner.
+    """
+    edges, deg, tri = _oriented_triangles(edges, a, b)
     node_tri = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
@@ -246,40 +268,10 @@ def edge_triangle_support(
     wedge enumeration generates each triangle exactly once, then each
     triangle is exploded into its three canonical edges and counted —
     two equi-join shuffles plus a bounded (edge-keyed) aggregate,
-    never a per-node wedge blowup on hubs."""
-    edges = edges.select(F.col(a).alias("s1"), F.col(b).alias("s2"))
-    deg = (
-        edges.select(F.col("s1").alias("node"))
-        .unionByName(edges.select(F.col("s2").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    ed = (
-        edges.join(deg.withColumnRenamed("node", "s1"), "s1")
-        .withColumnRenamed("degree", "d1")
-        .join(
-            deg.withColumnRenamed("node", "s2").withColumnRenamed("degree", "d2"),
-            "s2",
-        )
-    )
-    fwd = F.struct(F.col("d1"), F.col("s1")) < F.struct(F.col("d2"), F.col("s2"))
-    oriented = ed.select(
-        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
-        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
-    )
-    o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
-    tri = (
-        o1.join(o2, F.col("o1.v") == F.col("o2.u"))
-        .join(
-            o3,
-            (F.col("o3.u") == F.col("o1.u")) & (F.col("o3.v") == F.col("o2.v")),
-        )
-        .select(
-            F.col("o1.u").alias("x"),
-            F.col("o1.v").alias("y"),
-            F.col("o2.v").alias("z"),
-        )
-    )
+    never a per-node wedge blowup on hubs.  Substrate (and its
+    checkpoint discipline) shared with :func:`triangle_counts` via
+    :func:`_oriented_triangles`."""
+    edges, _deg, tri = _oriented_triangles(edges, a, b)
     pair = lambda p, q: F.struct(  # noqa: E731
         F.least(p, q).alias("e1"), F.greatest(p, q).alias("e2")
     )
