@@ -176,10 +176,17 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles present in more than that many docs —
     they cannot push any pair over a meaningful threshold but dominate
     the join fan-out (the skew bomb at scale).
+
+    The exploded shingle frame is persisted in the shared LRU scope
+    (same discipline as :func:`jaccard_prefix_pairs`): both sides of
+    the posting self-join plus the size aggregate consume it, and
+    without the persist the tokenize→shingle explode runs once per
+    consumer — 3+ passes over the corpus text instead of one.
     """
     sh = docs.select(
         F.col(id_col).alias("doc"), tokens_of(F.col(text_col)).alias("_toks")
     ).select("doc", F.explode(shingles_of_tokens(F.col("_toks"), k)).alias("s"))
+    sh = _scoped_persist(sh)
     if max_df is not None:
         rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(rare.select("s"), "s")
@@ -263,7 +270,13 @@ def jaccard_prefix_pairs(
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # per-doc (df, s) ascending = rarest-first with the shingle string
     # as tiebreak — the same global total order the r5 window ranked by
-    arr = (
+    # arr is the root of THREE consumers (both sides of the prefix
+    # self-join and, via the size projection below, both sizes joins);
+    # the r11 before-plan (plans/r11/dedup_jaccard_prefix_before.txt)
+    # shows the df aggregate + df join + collect_list/sort subtree
+    # executed TWICE because each self-join side re-derived it.  The
+    # scoped persist bounds that subtree to one run.
+    arr = _scoped_persist(
         sh.join(df, "s")
         .groupBy("doc")
         .agg(
@@ -281,7 +294,10 @@ def jaccard_prefix_pairs(
     prefix = arr.select(
         "doc", F.explode(F.slice("arr", F.lit(1), plen_expr)).alias("e")
     ).select("doc", F.col("e.s").alias("s"))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |shingle set| == |arr| by construction (the df join is inner and
+    # every shingle has a df row), so sizes is a free projection of the
+    # cached arr instead of a second full aggregation over sh.
+    sizes = arr.select("doc", F.size("arr").alias("n_sh"))
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (

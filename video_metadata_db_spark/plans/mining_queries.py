@@ -3734,10 +3734,17 @@ def q_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size."""
     events = load_table(spark, sf_dir, "events")
     k = _KMV_K
+    # per_user roots BOTH membership branches and, through them, five
+    # downstream subtrees (sketch → {stats, sa, sb}, the exact-count
+    # aggregate, the broadcast set-size aggregate).  Without a lineage
+    # cut each consumer re-plans and re-executes the full events scan +
+    # per-user aggregate — the before-plan carried 72 Exchanges
+    # (plans/r11/kmv_distinct_intersect_before.txt); checkpointing the
+    # (bounded, one-row-per-user) aggregate runs it once.
     per_user = events.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "click").cast("long")).alias("n_cl"),
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_pu"),
-    )
+    ).localCheckpoint(eager=True)
     members = (
         per_user.filter(F.col("n_cl") % 2 == 1)
         .select(F.lit("a").alias("s"), "user_id")
@@ -3762,12 +3769,15 @@ def q_kmv_distinct_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     head = Window.partitionBy("s", "bucket").orderBy("h", "user_id")
     fin = Window.partitionBy("s").orderBy("h", "user_id")
+    # ≤ 2k rows by construction; three consumers (stats, sa, sb) would
+    # otherwise each replay the two-stage top-k window chain.
     sketch = (
         hashed.withColumn("rk", F.row_number().over(head))
         .filter(F.col("rk") <= k)
         .withColumn("rk2", F.row_number().over(fin))
         .filter(F.col("rk2") <= k)
         .select("s", "user_id", "h")
+        .localCheckpoint(eager=True)
     )
     stats = sketch.groupBy("s").agg(
         F.count(F.lit(1)).alias("k_seen"), F.max("h").alias("theta")
