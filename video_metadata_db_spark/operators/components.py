@@ -235,15 +235,15 @@ def connected_components_star(
         # (u, m(v)), and m(v) < u always, so the output is born
         # canonical — no greatest/least, no a != b filter.
         mins = e.groupBy("u").agg(F.min("v").alias("mn"))
-        lg = (
-            e.join(
-                mins.select(F.col("u").alias("v"), F.col("mn").alias("m")),
-                "v",
-                "left",
-            )
-            .select("u", F.coalesce("m", F.col("v")).alias("v"))
-            .distinct()
-        )
+        # no distinct on lg: duplicates cannot change mins2 (a min) or
+        # connectivity, and the round-end cut distincts the edge set —
+        # dropping it removes one Exchange per round while |lg| stays
+        # bounded by |e| (each canonical edge emits exactly one row)
+        lg = e.join(
+            mins.select(F.col("u").alias("v"), F.col("mn").alias("m")),
+            "v",
+            "left",
+        ).select("u", F.coalesce("m", F.col("v")).alias("v"))
         # small-star on the (larger → smaller) canonical edges
         mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
         sm = (

@@ -390,33 +390,37 @@ def hits_bipartite(
     max is the only driver-side value — one scalar per half-round,
     never row data.
     """
+    from pyspark.sql import Observation
+
     e = edges.select("hub", "auth").persist()
     hubs = e.select("hub").distinct()
     h = hubs.select("hub", F.lit(1.0).alias("score"))
     a = None
+
+    def gather(side: DataFrame, join_key: str, out_key: str) -> DataFrame:
+        """One half-round: gather + max-normalize.  The per-side max
+        rides the checkpoint materialization itself via ``observe``
+        (CollectMetrics merges per-task partials during the SAME job
+        that writes the cut — the `connected_components` discipline),
+        so each half-round is exactly ONE job, not a checkpoint job
+        plus a second max() pass over the cut."""
+        obs = Observation()
+        raw = (
+            e.join(side, join_key)
+            .select(out_key, F.col("score").cast("decimal(24,12)").alias("c"))
+            .groupBy(out_key)
+            .agg(F.sum("c").cast("double").alias("raw"))
+            .observe(obs, F.max("raw").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        m = float(obs.get["m"])
+        return raw.select(
+            out_key, F.round(F.col("raw") / F.lit(m), _RANK_DP).alias("score")
+        )
+
     for _ in range(iterations):
-        a_raw = (
-            e.join(h, "hub")
-            .select("auth", F.col("score").cast("decimal(24,12)").alias("c"))
-            .groupBy("auth")
-            .agg(F.sum("c").cast("double").alias("raw"))
-            .localCheckpoint(eager=True)
-        )
-        a_m = float(a_raw.agg(F.max("raw")).first()[0])
-        a = a_raw.select(
-            "auth", F.round(F.col("raw") / F.lit(a_m), _RANK_DP).alias("score")
-        )
-        h_raw = (
-            e.join(a, "auth")
-            .select("hub", F.col("score").cast("decimal(24,12)").alias("c"))
-            .groupBy("hub")
-            .agg(F.sum("c").cast("double").alias("raw"))
-            .localCheckpoint(eager=True)
-        )
-        h_m = float(h_raw.agg(F.max("raw")).first()[0])
-        h = h_raw.select(
-            "hub", F.round(F.col("raw") / F.lit(h_m), _RANK_DP).alias("score")
-        )
+        a = gather(h, "hub", "auth")
+        h = gather(a, "auth", "hub")
     e.unpersist()
     return h, a
 

@@ -152,10 +152,14 @@ def q_frequent_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # baskets roots THREE consumers (item counts, the pruned fb, the
+    # basket total) — the eager checkpoint bounds the lineitem⋈part
+    # distinct to one run instead of three.
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     freq_items = item_counts.filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
@@ -655,10 +659,13 @@ def q_frequent_brand_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the basket build and the triple count."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # same three-consumer shape as frequent_brand_pairs (freq_items, fb,
+    # total): checkpoint bounds the basket build to one run.
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("item"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq_items = (
         baskets.groupBy("item")
@@ -1047,11 +1054,15 @@ def q_brand_affinity_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
+    # cb roots both the brand-size aggregate and the per-customer set
+    # build — the checkpoint bounds the 3-table join + distinct to one
+    # run instead of two.
     cb = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = cb.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
     sets = cb.groupBy("cust").agg(F.array_sort(F.collect_set("brand")).alias("bs"))
