@@ -2512,9 +2512,14 @@ def q_term_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an exact integer ratio; one ln per OUTPUT pair, 6-dp-rounded
     with the pair itself as tiebreak."""
     docs = load_table(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(tokens_of(F.col("text"))).alias("term")
-    ).distinct()
+    # dt roots THREE consumers (document frequencies, the corpus doc
+    # count, and the pruned per-doc term sets) — the checkpoint bounds
+    # the tokenize→explode→distinct corpus pass to one run.
+    dt = (
+        docs.select("doc_id", F.explode(tokens_of(F.col("text"))).alias("term"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     df = dt.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     ft = df.filter(F.col("c") >= _PMI_MIN_DF)
     tot = dt.agg(F.count_distinct("doc_id").alias("n"))
