@@ -1689,9 +1689,15 @@ def q_packing_efficiency_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.packing import global_row_number
 
     docs = load_table(spark, sf_dir, "documents")
+    # tc roots SIX subtree executions without a cut (the one_doc
+    # aggregate, tot re-aggregated by three consumers, and the two-pass
+    # prefix-sum rank) — each re-running the corpus tokenize scan.  The
+    # checkpointed frame is two integers per doc; everything downstream
+    # re-reads that instead of the text.
     tc = (
         docs.select("doc_id", token_count(F.col("text")).alias("n"))
         .filter(F.col("n") > 0)
+        .localCheckpoint(eager=True)
     )
     tot = tc.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_docs")
