@@ -1160,6 +1160,11 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines combine identical IEEE operands."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # trade roots four subtree executions (both union legs of the
+    # degree build — itself consumed by BOTH endpoint joins — plus the
+    # edge frame) and deg two; without the cuts the before-plan ran the
+    # orders⋈lineitem distinct 6× (20 parquet scans for a 1-row
+    # result).  Two eager checkpoints bound each to one run.
     trade = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
@@ -1167,11 +1172,16 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = trade.select(F.col("cnode").alias("node")).unionAll(
         trade.select(F.col("snode").alias("node"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
     da = deg.select(F.col("node").alias("cnode"), F.col("d").alias("j"))
     db = deg.select(F.col("node").alias("snode"), F.col("d").alias("k"))
     ed = trade.join(da, "cnode").join(db, "snode")

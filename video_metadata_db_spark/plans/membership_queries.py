@@ -196,9 +196,13 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcastable); probes take one broadcast join per hash row —
     same topology as the production prefilter."""
     orders = load_table(spark, sf_dir, "orders")
-    sized = orders.agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).select("n", ((F.lit(1) + F.floor(F.col("n") / 4)) * 64).alias("m"))
+    # sized (ONE row) is consumed by both probe builds and the final
+    # select — the eager checkpoint bounds the sizing count to one run.
+    sized = (
+        orders.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("n", ((F.lit(1) + F.floor(F.col("n") / 4)) * 64).alias("m"))
+        .localCheckpoint(eager=True)
+    )
 
     def positions(key_str: F.Column) -> F.Column:
         # pos per (key, i): md5 32-bit prefix mod m — m rides along as

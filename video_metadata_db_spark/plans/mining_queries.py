@@ -3188,6 +3188,10 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.count("first_depth").alias("overlap"))
     )
+    # terms (≤ depth rows) roots both the scalar RBO total and the
+    # output rows — without a cut each consumer re-runs the WHOLE
+    # BM25-scoring + brute-force-cosine pipeline above (the before-plan
+    # carried 28 parquet scans / 36 Exchanges for a 20-row result).
     terms = overlaps.select(
         "d",
         "overlap",
@@ -3200,7 +3204,7 @@ def q_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("term_pico"),
-    )
+    ).localCheckpoint(eager=True)
     total = terms.agg(F.sum("term_pico").alias("tp"))
     return (
         terms.crossJoin(F.broadcast(total))

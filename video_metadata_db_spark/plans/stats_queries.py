@@ -1119,11 +1119,20 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
                 % 2
             ).alias("fold"),
         )
+        # rows_s roots four subtree executions (pred referenced twice,
+        # the residual scoring, the test fold) and pred itself two —
+        # the before-plan ran the orders⋈customer join + md5 fold hash
+        # 4× (16 parquet scans).  The two cuts bound each to one run.
+        .localCheckpoint(eager=True)
     )
     calib = rows_s.filter(F.col("fold") == 0)
-    pred = calib.groupBy("seg").agg(
-        (F.sum("cents") / F.count(F.lit(1)).cast("double")).alias("mean_cents"),
-        F.count(F.lit(1)).alias("n_calib"),
+    pred = (
+        calib.groupBy("seg")
+        .agg(
+            (F.sum("cents") / F.count(F.lit(1)).cast("double")).alias("mean_cents"),
+            F.count(F.lit(1)).alias("n_calib"),
+        )
+        .localCheckpoint(eager=True)
     )
     scored = calib.join(F.broadcast(pred), "seg").select(
         "seg",
