@@ -275,12 +275,17 @@ def q_association_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFram
     per-basket pair expansion → one pair count."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # baskets roots FOUR subtree executions (item counts, both sides of
+    # the fb self-join, the basket total) — the checkpoint bounds the
+    # lineitem⋈part distinct to one run (frequent_brand_pairs
+    # discipline).
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(
             F.col("l_orderkey").alias("order_id"), F.col("p_brand").alias("item")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     item_counts = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
     freq_items = item_counts.filter(F.col("n_item") >= _PAIR_MIN_SUPPORT)
@@ -304,6 +309,10 @@ def q_association_rules_confidence(spark: SparkSession, sf_dir: str) -> DataFram
             F.any_value(F.col("b.n_item")).alias("n_b"),
         )
         .filter(F.col("n_both") >= _PAIR_MIN_SUPPORT)
+        # pairs (≤ brands² rows) feeds both directions of the rules
+        # union — without the cut the whole basket-pair pipeline runs
+        # twice (the before-plan carried 36 parquet scans).
+        .localCheckpoint(eager=True)
     )
     rules = pairs.select(
         F.col("brand_a").alias("antecedent"),

@@ -1345,6 +1345,10 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("rev_cents")
         )
+        # rev feeds the rank's boundary collect + both prefix-sum
+        # passes — the cut bounds the customer⋈orders aggregate to one
+        # run instead of three.
+        .localCheckpoint(eager=True)
     )
     ranked = global_row_number(rev, "rev_cents", "c_custkey", out_col="pos")
     agg = ranked.agg(
@@ -1725,6 +1729,10 @@ def q_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # global_row_number ranks ascending; rank on the NEGATED value
         # so decile 0 is the top-revenue bucket, custkey breaks ties
         .withColumn("neg_rev", -F.col("rev_cents"))
+        # rev feeds the rank's three passes plus the grand-total and
+        # headcount aggregates — five executions of the customer⋈orders
+        # aggregate without the cut (14 scans in the before-plan).
+        .localCheckpoint(eager=True)
     )
     ranked = global_row_number(rev, "neg_rev", "c_custkey", out_col="pos")
     tot = rev.agg(F.sum("rev_cents").alias("grand"))
@@ -1939,7 +1947,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.round(F.col("value") * 100, 0).cast("long")), F.lit(0)
         ).alias("cents"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ per_user feeds THREE distributed ranks (3 passes each) plus the
+    # headcount — ten executions of the events aggregate without the
+    # cut (14 parquet scans in the before-plan).
     r = global_row_number(per_user, "recency_days", "user_id", out_col="r_pos")
     f_ranked = global_row_number(
         per_user.withColumn("neg_f", -F.col("freq")), "neg_f", "user_id",
@@ -2428,8 +2439,15 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("rev_cents")
         )
+        # rev feeds the rank's boundary collect + two prefix-sum passes,
+        # and ranked feeds two consumers — without the cuts the
+        # customer⋈orders aggregate ran 4x (16 parquet scans in the
+        # before-plan).
+        .localCheckpoint(eager=True)
     )
-    ranked = global_row_number(rev, "rev_cents", "c_custkey", out_col="pos")
+    ranked = global_row_number(
+        rev, "rev_cents", "c_custkey", out_col="pos"
+    ).localCheckpoint(eager=True)
     tot = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("t"),

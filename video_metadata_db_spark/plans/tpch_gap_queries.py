@@ -554,6 +554,10 @@ def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("cents")
         )
+        # flows (≤ |nations|² rows) feeds both sides of the pairing
+        # self-join — without the cut the whole fact-table pass runs
+        # twice (the before-plan carried 24 parquet scans).
+        .localCheckpoint(eager=True)
     )
     a = flows.alias("a")
     b = flows.alias("b")
