@@ -1033,6 +1033,11 @@ def q_embedding_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d2"
             )
         )
+        # d (one row per vector) feeds the median, the deviation join
+        # (twice) and the final rollup — without the cut the two
+        # corpus-sized positional-explode aggregates above re-run per
+        # consumer (16 parquet scans in the before-plan).
+        .localCheckpoint(eager=True)
     )
     med = d.groupBy("label").agg(
         F.round(F.percentile("d2", F.lit(0.5)), 1).alias("med")

@@ -3703,8 +3703,15 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stats_queries import _pnorm_two_sided
 
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c")
+    # daily (≤ |days| rows) roots the anchor, both sides of the pair
+    # join, the count and the tie aggregate — six executions of the
+    # orders aggregate without the cut (16 scans in the before-plan).
+    daily = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("c")
+        )
+        .localCheckpoint(eager=True)
     )
     d0 = daily.agg(F.min("d").alias("d0"))
     pts = daily.join(F.broadcast(d0)).select(

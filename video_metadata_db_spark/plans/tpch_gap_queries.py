@@ -697,6 +697,9 @@ def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cents"
             )
         )
+        # rev (|nations| rows) feeds the world total and the windowed
+        # output — the cut bounds the fact pass to one run.
+        .localCheckpoint(eager=True)
     )
     wr = Window.partitionBy("region")
     tot = rev.agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("t"))
