@@ -49,10 +49,18 @@ def test_dedup_cache_scope_is_bounded_and_releasable(spark):
     D.minhash_incremental_pairs(new, corpus, threshold=0.5).count()
     assert len(D._SCOPED_CACHES) == 4  # + new & corpus signatures
 
-    # a 5th distinct frame evicts the oldest: the scope never exceeds
-    # _MAX_SCOPED however many dedup calls a session makes
     half = docs.filter(F.col("doc_id") % 2 == 0)
     D.minhash_lsh_dedup(half, threshold=0.5).count()
+    assert len(D._SCOPED_CACHES) == 5
+
+    # distinct frames beyond the bound evict the oldest: the scope
+    # never exceeds _MAX_SCOPED (6 since r11 — the prefix-jaccard path
+    # persists two frames per corpus) however many dedup calls a
+    # session makes
+    for mod in (3, 4, 5):
+        D.minhash_lsh_dedup(
+            docs.filter(F.col("doc_id") % mod == 0), threshold=0.5
+        ).count()
     assert len(D._SCOPED_CACHES) == D._MAX_SCOPED
 
     assert D.release_dedup_caches() == D._MAX_SCOPED

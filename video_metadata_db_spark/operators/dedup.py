@@ -49,7 +49,14 @@ ROWS_PER_BAND = N_HASHES // BANDS
 #: :func:`release_dedup_caches` once they've consumed the results
 #: (tests/test_cache_hygiene.py pins both behaviors).
 _SCOPED_CACHES: list[DataFrame] = []
-_MAX_SCOPED = 4
+#: 6, not 4, since r11: the prefix-jaccard path persists TWO frames per
+#: corpus (the shingle postings and the per-doc sorted array), so a
+#: mixed dedup session's working set (minhash sigs + simhash
+#: fingerprints + both jaccard frames + an incremental pair's two
+#: signature tables) outgrew the old bound and evicted the minhash
+#: cache mid-session (tests/test_plans.py::
+#: test_threshold_sweep_reuses_one_pair_stream caught the eviction).
+_MAX_SCOPED = 6
 
 
 def release_dedup_caches() -> int:
