@@ -389,6 +389,55 @@ def test_trade_balance_matrix_self_join_runs_on_checkpoint(spark):
     assert "CartesianProduct" not in p
 
 
+def test_abc_prefix_sum_runs_on_checkpoint(spark):
+    """The per-part revenue aggregate roots THREE consumers (both
+    prefix-sum passes + the grand total); the r11 eager cut bounds the
+    lineitem scan+aggregate to ONE run — zero parquet scans in the
+    returned plan is the proof."""
+    p = plan_of(spark, "abc_classification")
+    assert "Scan ExistingRDD" in p, "per-part revenue must be a checkpoint leaf"
+    assert "Scan parquet" not in p, "lineitem aggregate must not re-run per pass"
+    assert "CartesianProduct" not in p
+
+
+def test_encode_vocab_cut_is_take_ordered(spark):
+    """The top-256 vocab cut must be a TakeOrderedAndProject over the
+    token-count aggregate — never a whole-vocabulary single-partition
+    sort (the rank window may only run on the 256-row result)."""
+    p = plan_of(spark, "encode_tokens")
+    assert "TakeOrderedAndProject" in p, "vocab cut must be top-k, not full sort"
+    # formatted mode prints each node twice (tree + detail): 2 scans = 4
+    assert p.count("Scan parquet") <= 4, "corpus tokenize feeds counts + encode only"
+
+
+def test_poisson_point_rides_bootstrap_cells(spark):
+    """The point estimate must be derived from the checkpointed
+    bootstrap cell frame (rep-0 slice), not a second full orders
+    scan — zero parquet scans in the returned plan."""
+    p = plan_of(spark, "poisson_bootstrap_ci")
+    assert "Scan ExistingRDD" in p, "cells must be a checkpoint leaf"
+    assert "Scan parquet" not in p, "orders must not be re-scanned for the point mean"
+
+
+def test_resample_runs_on_hourly_checkpoint(spark):
+    """Bounds derive from the hourly aggregate (date_trunc commutes
+    with min/max), so the raw event scan runs exactly once — the grid
+    build and the fill join both read the checkpoint."""
+    p = plan_of(spark, "resample_forward_fill")
+    assert "Scan ExistingRDD" in p, "hourly frame must be a checkpoint leaf"
+    assert "Scan parquet" not in p, "events must be scanned only inside the cut"
+
+
+def test_decile_mobility_self_join_runs_on_checkpoint(spark):
+    """Both sides of the consecutive-month self-join must read the
+    checkpointed (cust, month, decile) frame, not re-run the orders
+    aggregate + rank window per side."""
+    p = plan_of(spark, "spend_decile_mobility")
+    assert "Scan ExistingRDD" in p, "ranked frame must be a checkpoint leaf"
+    assert "Scan parquet" not in p, "orders aggregate must not re-run per join side"
+    assert "CartesianProduct" not in p
+
+
 def test_reach_curve_windows_are_day_bounded(spark):
     """The only window is the cumulative sum over the DAY grain — the
     corpus contributes two partial-aggregatable exchanges (distinct +

@@ -2201,7 +2201,11 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the negated-revenue order) — NEVER the single-reducer global
     window the oracle is allowed to use; boundaries are exact integer
     cross-multiplications (cum*5 <= total*4), so no float share ever
-    decides a class.  Output is the 3-row class rollup."""
+    decides a class.  Output is the 3-row class rollup.  ``per_part``
+    (one narrow row per part) is eagerly cut (r11): it roots THREE
+    subtree executions — both prefix-sum passes plus the grand total —
+    and without the cut each re-ran the full lineitem scan+aggregate
+    (6 parquet scans in the before-plan, see plans/r11/)."""
     from ..operators.packing import sequence_offsets
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2215,6 +2219,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
         .withColumn("neg_cents", -F.col("cents"))
+        .localCheckpoint(eager=True)
     )
     cum = sequence_offsets(
         per_part, "neg_cents", "cents", tiebreak_col="part_id"

@@ -506,23 +506,30 @@ def q_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: vocab induction is one (token) count aggregate with
     map-side partials; real vocabularies (50-100 k entries) broadcast;
     the encode pass is scan + broadcast-join; the only corpus-keyed
-    shuffle is the per-doc regroup.  The tiny rank window runs over the
-    vocab-sized aggregate, never the corpus.  Output ids are
-    space-joined so the row stays driver-hashable."""
+    shuffle is the per-doc regroup.  The top-256 cut is a
+    ``TakeOrderedAndProject`` — (c desc, token) is a TOTAL order
+    (token is the group key), so ``limit`` selects exactly the rows
+    the rank filter kept — and the rank window then runs over the
+    256-row literal frame, never the full distinct-token set (the r11
+    fix: the previous shape sorted the WHOLE vocabulary in one
+    partition to rank it, a single-partition window whose input grows
+    with the corpus by Heaps' law).  Output ids are space-joined so
+    the row stays driver-hashable."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.posexplode(tokens_of(F.col("text"))).alias("pos", "token")
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     vocab = (
-        counts.withColumn(
+        counts.orderBy(F.col("c").desc(), "token")
+        .limit(256)
+        .withColumn(
             "id",
             F.row_number().over(
                 Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), "token")
             )
             - 1,
         )
-        .filter(F.col("id") < 256)
         .select("token", "id")
     )
     enc = tok.join(F.broadcast(vocab), "token", "left").select(

@@ -957,9 +957,15 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan fans each row into {_BOOT_REPS} (row, rep) pairs
     (a flat projection, no shuffle), then ONE map-side-combinable
     groupBy over groups x reps cells; replicate means are exact
-    integer cent sums divided once.  No resample materialization, no
-    driver loop — this is why Poisson bootstrap is THE bootstrap that
-    survives 100 TB."""
+    integer cent sums divided once.  The POINT estimate rides the
+    same cells (r11): each cell also carries the unweighted
+    sum(cents)/count, and any single replicate's cells hold exactly
+    the per-priority totals of the raw table (cents are per-row
+    constants across reps), so the rep-0 slice of the eagerly-cut
+    ~|priorities|x{_BOOT_REPS}-row cell frame IS the point aggregate —
+    the second full orders scan the r10 shape paid is gone.  No
+    resample materialization, no driver loop — this is why Poisson
+    bootstrap is THE bootstrap that survives 100 TB."""
     orders = load_table(spark, sf_dir, "orders")
     u = (
         F.conv(
@@ -996,23 +1002,22 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("u", u)
         .withColumn("wgt", wgt)
     )
-    boot = (
+    cells = (
         w.groupBy("o_orderpriority", "rep")
         .agg(
             F.sum(F.col("wgt") * F.col("cents")).alias("wc"),
             F.sum("wgt").alias("ws"),
+            F.sum("cents").alias("sc"),
+            F.count(F.lit(1)).alias("cnt"),
         )
-        .filter(F.col("ws") > 0)
-        .select(
-            "o_orderpriority", (F.col("wc") / (100.0 * F.col("ws"))).alias("mean_r")
-        )
+        .localCheckpoint(eager=True)
     )
-    point = orders.groupBy("o_orderpriority").agg(
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-            / (100.0 * F.count(F.lit(1))),
-            4,
-        ).alias("point_mean")
+    boot = cells.filter(F.col("ws") > 0).select(
+        "o_orderpriority", (F.col("wc") / (100.0 * F.col("ws"))).alias("mean_r")
+    )
+    point = cells.filter(F.col("rep") == 0).select(
+        "o_orderpriority",
+        F.round(F.col("sc") / (100.0 * F.col("cnt")), 4).alias("point_mean"),
     )
     return (
         boot.groupBy("o_orderpriority")

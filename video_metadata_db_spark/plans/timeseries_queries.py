@@ -55,7 +55,12 @@ def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join against a calendar table; (3) fill = ``last(value,
     ignorenulls=True)`` over an unbounded-preceding per-user window.
     Every shuffle keys on user_id, so AQE reuses one exchange; the
-    window is per-user, never global.  At 100 TB the grid explodes
+    window is per-user, never global.  The span bounds are derived
+    from the HOURLY aggregate, not a second raw scan —
+    ``date_trunc('hour', ·)`` is monotone, so min/max commute with it
+    (``min(trunc(ts)) == trunc(min(ts))``) — and ``hourly`` is cut
+    once (r11), so the raw event table is read exactly once however
+    many consumers ride it.  At 100 TB the grid explodes
     proportionally to Σ per-user spans — bound it with the span filter,
     not a post-filter."""
     events = load_table(spark, sf_dir, "events")
@@ -68,10 +73,10 @@ def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("h_uid", "h")
         .agg(F.max_by("value", "ts").alias("v"))
+        .localCheckpoint(eager=False)
     )
-    bounds = events.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("s"),
-        F.date_trunc("hour", F.max("ts")).alias("e"),
+    bounds = hourly.groupBy(F.col("h_uid").alias("user_id")).agg(
+        F.min("h").alias("s"), F.max("h").alias("e")
     )
     grid = bounds.select(
         "user_id",
@@ -3307,16 +3312,23 @@ def q_spend_decile_mobility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
     )
     wm = Window.partitionBy("m").orderBy("cents", "cust")
-    ranked = cm.select(
-        "cust",
-        "m",
-        (
-            ((F.row_number().over(wm) - 1) * 10)
-            / F.count(F.lit(1)).over(Window.partitionBy("m"))
+    ranked = (
+        cm.select(
+            "cust",
+            "m",
+            (
+                ((F.row_number().over(wm) - 1) * 10)
+                / F.count(F.lit(1)).over(Window.partitionBy("m"))
+            )
+            .cast("long")
+            .alias("_d"),
         )
-        .cast("long")
-        .alias("_d"),
-    ).select("cust", "m", (F.col("_d") + 1).alias("decile"))
+        .select("cust", "m", (F.col("_d") + 1).alias("decile"))
+        # both sides of the consecutive-month self-join consume this
+        # narrow (cust, m, decile) frame; the eager cut bounds the
+        # orders scan + month aggregate + rank window to ONE run (r11)
+        .localCheckpoint(eager=True)
+    )
     a = ranked.alias("a")
     b = ranked.alias("b")
     return (
