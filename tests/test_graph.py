@@ -217,3 +217,22 @@ def test_label_propagation_unreachable_stays_null(spark):
     got = {r["node"]: r["label"] for r in label_propagation(edges, seeds).collect()}
     assert got[2] == 7
     assert got[8] is None and got[9] is None
+
+
+def test_triangle_substrate_cache_scope_bounded(spark):
+    """r12: the oriented edge frame persists (MEMORY_AND_DISK — lineage
+    kept, recompute on executor loss) instead of localCheckpoint; the
+    per-call persists must stay bounded by the FIFO scope and be
+    releasable, so a long mixed session cannot accumulate edge-sized
+    cache entries."""
+    from video_metadata_db_spark.operators import graph as g
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "s1 long, s2 long"
+    )
+    g.release_graph_caches()
+    for _ in range(3):
+        g.triangle_counts(e).collect()
+    assert len(g._GRAPH_CACHES) <= g._MAX_GRAPH_CACHES
+    assert g.release_graph_caches() > 0
+    assert not g._GRAPH_CACHES

@@ -389,6 +389,28 @@ def test_trade_balance_matrix_self_join_runs_on_checkpoint(spark):
     assert "CartesianProduct" not in p
 
 
+def test_trade_balance_build_broadcasts_all_dims(spark):
+    """VERDICT r11 item 6: the r11 checkpoint hid the flow build's dim
+    joins from the returned plan, and the old >=4-BroadcastHashJoin
+    assertion was dropped with it.  Re-pin the BUILD frame itself (the
+    pre-checkpoint `_trade_flows`): customer, supplier and both nation
+    legs must broadcast against the single fact pass."""
+    import contextlib
+    import io
+
+    from video_metadata_db_spark.plans.tpch_gap_queries import _trade_flows
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _trade_flows(spark, SF).explain("formatted")
+    p = buf.getvalue()
+    assert p.count("BroadcastHashJoin") >= 4, "all four dim joins must broadcast"
+    assert "CartesianProduct" not in p
+    # formatted mode prints each node twice (tree + detail); 6 scans =
+    # lineitem + orders + customer + supplier + nation x2 (ns, nc)
+    assert p.count("Scan parquet") <= 12, "one fact pass + dim scans only"
+
+
 def test_abc_prefix_sum_runs_on_checkpoint(spark):
     """The per-part revenue aggregate roots THREE consumers (both
     prefix-sum passes + the grand total); the r11 eager cut bounds the

@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Dump explain("formatted") for named queries to /root/repo/plans/r11/<name>_<tag>.txt
+"""Dump explain("formatted") for named queries to /root/repo/plans/$VMDB_PLANS_ROUND/<name>_<tag>.txt
 
 Usage: python explain_some.py <tag> name1 name2 ...
-Env: SPARK_GRAFT_SF_DIR (default sf0.1).
+Env: SPARK_GRAFT_SF_DIR (default sf0.1), VMDB_PLANS_ROUND (default r12).
 """
 import os
 import sys
@@ -19,7 +19,7 @@ def main():
     from video_metadata_db_spark.plans import QUERIES
     from video_metadata_db_spark.session import get_spark
 
-    outdir = Path("/root/repo/plans/r11")
+    outdir = Path("/root/repo/plans") / os.environ.get("VMDB_PLANS_ROUND", "r12")
     outdir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("explain-some")
     for name in names:

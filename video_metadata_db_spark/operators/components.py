@@ -88,16 +88,29 @@ def connected_components(
         cut = _cut(frame.observe(obs, F.sum("comp").alias("s")), checkpoint_mode)
         return cut, obs.get["s"]
 
-    labels, prev_sum = cut_with_sum(vertices.withColumn("comp", F.col("v")))
-    for _ in range(max_iter):
+    def one_round(labels: DataFrame) -> DataFrame:
         # no broadcast hints: labels can be billions of rows at corpus
         # scale — AQE turns these into broadcast joins at runtime
         # whenever the side is actually small
-        new_labels, new_sum = cut_with_sum(
+        return (
             sym.join(labels, sym["a"] == labels["v"])
             .groupBy(F.col("b").alias("v"))
             .agg(F.min("comp").alias("comp"))
         )
+
+    labels, prev_sum = cut_with_sum(vertices.withColumn("comp", F.col("v")))
+    # TWO propagation rounds per lineage cut (r12, guide §2.4): the cut
+    # job is the per-round synchronization barrier — halving the cut
+    # count halves the checkpoint materializations and driver
+    # round-trips.  Each round's subtree is consumed exactly once by
+    # the next round's join, so lineage depth between cuts stays
+    # bounded at two join+aggregate pairs.  Convergence detection
+    # coarsens to double-round boundaries: Σcomp is monotone
+    # non-increasing per round, so equality across a double round still
+    # certifies the fixpoint; the overshoot is ≤1 no-op round on the
+    # converged (tiny) label frame.
+    for _ in range(max(1, (max_iter + 1) // 2)):
+        new_labels, new_sum = cut_with_sum(one_round(one_round(labels)))
         labels = new_labels
         if new_sum == prev_sum:
             return labels.select(F.col("v").alias("doc"), F.col("comp").alias("component"))
@@ -164,6 +177,47 @@ def components_incremental(
     return merged.unionByName(singles)
 
 
+def _star_round(e: DataFrame) -> DataFrame:
+    """ONE large-star + small-star round over canonical (u > v) edges,
+    returning the canonical distinct edge set — module-level so
+    tests/test_plans.py can pin the double-round plan shape.
+
+    Large-star WITHOUT materializing the symmetric view (VERDICT r4):
+    in canonical (u > v) form, the symmetric pairs with a
+    strictly-larger second vertex are exactly the canonical edges, and
+    the neighborhood-min of v collapses to m(v) = min(v, min of v's
+    SMALLER neighbors) — larger neighbors can never win a min that
+    already includes v.  v's smaller neighbors are the rows where v
+    sits in the u slot, so one aggregate over e + one join replace the
+    2×-sized sym union: each canonical edge (u, v) emits the
+    large-star edge (u, m(v)), and m(v) < u always, so the output is
+    born canonical — no greatest/least, no a != b filter.
+    """
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    # no distinct on lg: duplicates cannot change mins2 (a min) or
+    # connectivity, and the round-end distinct restores the set —
+    # dropping it removes one Exchange per round while |lg| stays
+    # bounded by |e| (each canonical edge emits exactly one row)
+    lg = e.join(
+        mins.select(F.col("u").alias("v"), F.col("mn").alias("m")),
+        "v",
+        "left",
+    ).select("u", F.coalesce("m", F.col("v")).alias("v"))
+    # small-star on the (larger → smaller) canonical edges
+    mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
+    sm = (
+        lg.join(mins2, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
+    )
+    return (
+        sm.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "doc_a",
@@ -222,41 +276,17 @@ def connected_components_star(
         .distinct(),
         checkpoint_mode,
     )
+    # ONE large+small star round per lineage cut.  r12 measured the
+    # two-rounds-per-cut variant (the barrier-halving that wins for
+    # label propagation and pagerank, see those operators): it REGRESSED
+    # here — dedup_components_incremental 8.6 → 11.3 s best-of-3
+    # same-box A/B — because a star round is 2 joins + 2 aggregates and
+    # the inner round's distinct is re-aggregated per consumer (only its
+    # exchange is reused), while the star edge set stays node-sized so
+    # the coarser convergence check costs up to two real no-op rounds.
+    # Reverted; details in OPTIMIZATION_r12.md.
     for _ in range(max_rounds):
-        # Large-star WITHOUT materializing the symmetric view (VERDICT
-        # r4): in canonical (u > v) form, the symmetric pairs with a
-        # strictly-larger second vertex are exactly the canonical edges,
-        # and the neighborhood-min of v collapses to
-        # m(v) = min(v, min of v's SMALLER neighbors) — larger neighbors
-        # can never win a min that already includes v.  v's smaller
-        # neighbors are the rows where v sits in the u slot, so one
-        # aggregate over e + one join replace the 2×-sized sym union:
-        # each canonical edge (u, v) emits the large-star edge
-        # (u, m(v)), and m(v) < u always, so the output is born
-        # canonical — no greatest/least, no a != b filter.
-        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
-        # no distinct on lg: duplicates cannot change mins2 (a min) or
-        # connectivity, and the round-end cut distincts the edge set —
-        # dropping it removes one Exchange per round while |lg| stays
-        # bounded by |e| (each canonical edge emits exactly one row)
-        lg = e.join(
-            mins.select(F.col("u").alias("v"), F.col("mn").alias("m")),
-            "v",
-            "left",
-        ).select("u", F.coalesce("m", F.col("v")).alias("v"))
-        # small-star on the (larger → smaller) canonical edges
-        mins2 = lg.groupBy("u").agg(F.min("v").alias("m"))
-        sm = (
-            lg.join(mins2, "u")
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .unionByName(mins2.select(F.col("u").alias("a"), F.col("m").alias("b")))
-        )
-        e, cur = cut_with_checksum(
-            sm.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        e, cur = cut_with_checksum(_star_round(e))
         if cur == prev:
             break
         prev = cur

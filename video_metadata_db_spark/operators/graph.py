@@ -83,7 +83,7 @@ def pagerank(
     init = round(1.0 / n, _RANK_DP)
 
     ranks = nodes.select("node", F.lit(float(init)).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(deg, "src")
@@ -95,21 +95,29 @@ def pagerank(
             )
         )
         gathered = contrib.groupBy("node").agg(F.sum("c").alias("c"))
-        ranks = (
-            nodes.join(gathered, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("c").cast("double"), F.lit(0.0)),
-                    _RANK_DP,
-                ).alias("rank"),
-            )
-            # cut lineage so round k+1 plans over a leaf, not k nested
-            # join-aggregates; eager so no round re-executes prior ones
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(gathered, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(teleport)
+                + F.lit(damping)
+                * F.coalesce(F.col("c").cast("double"), F.lit(0.0)),
+                _RANK_DP,
+            ).alias("rank"),
         )
+        # cut lineage every SECOND round and at the LAST round (r12,
+        # guide §2.4): each round's frame is consumed exactly once by
+        # the next round's scatter join, so the plan can carry two
+        # rounds between cuts — one checkpoint job fewer per 3-round
+        # run.  The final round MUST still cut: the loop-invariant
+        # e/deg/nodes caches are unpersisted below, so an un-cut return
+        # frame would recompute the whole edge build at action time.
+        # Eager so no round re-executes prior ones.  The cut is
+        # localCheckpoint (executor-local, unrecoverable on executor
+        # loss): right for bench/local runs; a long 100 TB job should
+        # pass ranks through reliable checkpoint() instead — recompute
+        # on loss matters more than the cut's speed there.
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     for f in (e, deg, nodes):
         f.unpersist()
     return ranks
@@ -159,6 +167,37 @@ def pagerank_oracle_sql(
     return ",\n".join(parts)
 
 
+#: Edge-frame persists owned by the triangle substrate — a bounded FIFO
+#: (NOT a semantic LRU: every call persists ITS OWN frame, so per-query
+#: bench cost never depends on what ran before; the bound only caps the
+#: session-lifetime cache leak, since the operator cannot unpersist a
+#: frame its caller has not consumed yet).  2 = the two triangle
+#: operators' frames in a mixed session.
+_GRAPH_CACHES: list[DataFrame] = []
+_MAX_GRAPH_CACHES = 2
+
+
+def release_graph_caches() -> int:
+    """Unpersist every edge frame still held by the triangle substrate;
+    returns how many were released.  Results consumed after release
+    simply recompute (correct, one extra pass)."""
+    n = 0
+    while _GRAPH_CACHES:
+        _GRAPH_CACHES.pop().unpersist(blocking=True)
+        n += 1
+    return n
+
+
+def _graph_persist(df: DataFrame) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    while len(_GRAPH_CACHES) >= _MAX_GRAPH_CACHES:
+        _GRAPH_CACHES.pop(0).unpersist(blocking=True)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _GRAPH_CACHES.append(df)
+    return df
+
+
 def _oriented_triangles(
     edges: DataFrame, a: str, b: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -172,13 +211,30 @@ def _oriented_triangles(
     Σ d(v)² (ruinous on hubs) to Σ d⁺(v)² with out-degree bounded by
     O(√|E|) — the standard skew-proof mitigation.
 
-    ``deg`` and ``oriented`` are eagerly ``localCheckpoint``-ed: both
-    root 3 downstream subtrees (the three wedge-join legs reference
-    ``oriented``; degrees feed the orientation joins and the final
-    output join), and without the lineage cut every consumer re-plans
-    and re-executes the scan + degree aggregate + double join — the
-    before-plan carried 88 Exchanges / 94 re-scans for the node query
+    ``deg`` and ``oriented`` both root 3 downstream subtrees (the three
+    wedge-join legs reference ``oriented``; degrees feed the
+    orientation joins and the final output join), and without a
+    materialization boundary every consumer re-plans and re-executes
+    the scan + degree aggregate + double join — the before-plan carried
+    88 Exchanges / 94 re-scans for the node query
     (plans/r11/triangle_count_before.txt) versus 7 Exchanges after.
+
+    Cut choice per frame (VERDICT r11 items 3/5 — the fault-tolerance
+    trade): ``deg`` is NODE-sized, so its eager ``localCheckpoint``
+    (executor-local, unrecoverable on executor loss) is cheap to
+    re-derive and fine at any scale.  ``oriented`` is EDGE-LIST-sized —
+    at 100 TB an executor loss under localCheckpoint kills the whole
+    query, so it uses ``persist(MEMORY_AND_DISK)`` instead: the lineage
+    stays in the plan and a lost partition recomputes from the (still
+    checkpointed) ``deg``.  Measured A/B (r12, interleaved same-session,
+    steal-clean windows only): persist is also marginally FASTER
+    locally (triangle_count 1.61 vs 1.70 s, edge support 1.55 vs
+    1.58 s best-of-3) — no eager materialization job, one fewer
+    barrier.  The persisted frames are bounded by the small
+    ``_GRAPH_CACHES`` FIFO (per-call persist, NO cross-query reuse —
+    per-query bench numbers stay session-order-independent, unlike the
+    dedup LRU's documented coupling); callers wanting a cache-free
+    session call :func:`release_graph_caches`.
     """
     edges = edges.select(F.col(a).alias("s1"), F.col(b).alias("s2"))
     deg = (
@@ -197,10 +253,12 @@ def _oriented_triangles(
         )
     )
     fwd = F.struct(F.col("d1"), F.col("s1")) < F.struct(F.col("d2"), F.col("s2"))
-    oriented = ed.select(
-        F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
-        F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
-    ).localCheckpoint(eager=True)
+    oriented = _graph_persist(
+        ed.select(
+            F.when(fwd, F.col("s1")).otherwise(F.col("s2")).alias("u"),
+            F.when(fwd, F.col("s2")).otherwise(F.col("s1")).alias("v"),
+        )
+    )
     o1, o2, o3 = oriented.alias("o1"), oriented.alias("o2"), oriented.alias("o3")
     tri = (
         o1.join(o2, F.col("o1.v") == F.col("o2.u"))

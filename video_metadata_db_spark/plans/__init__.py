@@ -20,6 +20,37 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 
 #: The 50 names the driver hash-checks, one-or-more per §2 family.
 #:
+#: Round-12 rotation (VERDICT r11 item 7, the judge's picks plus the
+#: next-oldest never-checked queue names): 18 first driver checks —
+#: the 8 named picks (attribution_multi_touch, audience_overlap,
+#: basket_size_histogram, burst_hours_scan, collocation_pmi_bigrams,
+#: corpus_diff, cusum_changepoint, bpe_merges) plus the 10 oldest
+#: remaining r5-era never-checked names (distinctive_terms_logodds,
+#: phrase_search_positional, sample_weighted_aes, rolling_active_users,
+#: referential_integrity_audit, frequent_brand_triples,
+#: twap_event_values, brand_affinity_jaccard, bpe_fertility,
+#: centroid_cosine_matrix) — each fresh-process verified at
+#: sf0.001/0.01/0.1 via tools/drive_entry.py before this rotation was
+#: committed (see OPTIMIZATION_r12.md).  Out (all r11-green, every
+#: family keeps >=1 green representative, all still oracle-verified by
+#: the recorded full-sweep runs and the always-on smoke window):
+#: merge_union_sort (variant_report + update_anti_join keep parity),
+#: bm25_search + benford_first_digit + fairness_parity_audit
+#: (text_metrics keeps text; five text names enter), kendall_tau_daily
+#: + cuped_adjusted_ab + mcnemar_test (gini_revenue keeps stats;
+#: cusum_changepoint enters), cms_width_tradeoff (heavy_hitters_cms
+#: keeps sketches), partition_pruning_audit + compaction_bin_plan
+#: (scd2_point_snapshot keeps lake/CDC; corpus_diff enters),
+#: topk_churn_weekly (markov_transitions keeps mining; four mining/
+#: behavior names enter), kmeans_clusters (knn_cosine_topk keeps
+#: similarity; brand_affinity_jaccard + centroid_cosine_matrix enter),
+#: truncation_waste_curve + shuffle_mixing_audit (pack_sequences +
+#: horvitz_thompson_total keep packing/sampling; sample_weighted_aes
+#: + referential_integrity_audit enter), acf_daily_revenue +
+#: activity_streaks + cohort_retention + sessionize_events
+#: (rolling_median_values keeps timeseries; burst_hours_scan,
+#: rolling_active_users, twap_event_values enter).
+#:
 #: Round-11 rotation (VERDICT r10 item 1, the judge's exact picks):
 #: 18 first driver checks — the 12 round-10 additions
 #: (kendall_tau_daily, cuped_adjusted_ab, partition_pruning_audit,
@@ -216,11 +247,11 @@ __all__ = ["CHECKED_FIRST", "ORACLES", "QUERIES"]
 #: have their CORRECTNESS row, keeping ≥1 green representative per
 #: family as usual.
 CHECKED_FIRST = [
-    # reference parity (the three modes of the original tool)
+    # reference parity (two of the three modes of the original tool;
+    # merge_union_sort rotated out r12, still smoke-checked every run)
     "variant_report",
     "update_anti_join",
-    "merge_union_sort",
-    # membership scale path (Bloom-prefilter sizing audit first check)
+    # membership scale path
     "bloom_fpr_audit",
     # aggregations
     "q1_pricing_summary",
@@ -238,57 +269,61 @@ CHECKED_FIRST = [
     "distinct_users_exact",
     # reference formatters
     "fmt_scalars",
-    # text / quality (anchor + BM25 ranking, Benford screen and
-    # fairness parity audit first checks)
+    # text / quality / search (anchor + the r5-era first checks:
+    # log-odds distinctive terms, positional phrase search, PMI
+    # collocations, release-CDC corpus diff, tokenizer training +
+    # fertility)
     "text_metrics",
-    "bm25_search",
-    "benford_first_digit",
-    "fairness_parity_audit",
-    # stats / experimentation (gini anchor; Kendall tau, CUPED and
-    # McNemar first checks)
+    "distinctive_terms_logodds",
+    "phrase_search_positional",
+    "collocation_pmi_bigrams",
+    "corpus_diff",
+    "bpe_merges",
+    "bpe_fertility",
+    # stats / experimentation (gini anchor; CUSUM changepoint first
+    # check)
     "gini_revenue",
-    "kendall_tau_daily",
-    "cuped_adjusted_ab",
-    "mcnemar_test",
+    "cusum_changepoint",
     # privacy (t-closeness r10-green keeps the family)
     "t_closeness_audit",
     # graph analytics
     "triangle_count",
-    # sketches (anchor + width-sweep sizing audit first check)
+    # sketches
     "heavy_hitters_cms",
-    "cms_width_tradeoff",
-    # lake / CDC (batch SCD2 anchor + partition-pruning and
-    # compaction-planning first checks)
+    # lake / CDC (batch SCD2 anchor)
     "scd2_point_snapshot",
-    "partition_pruning_audit",
-    "compaction_bin_plan",
-    # sequence / behavior / mining (anchor + weekly top-k churn
-    # first check)
+    # sequence / behavior / mining (anchor + the r5-era first checks:
+    # multi-touch attribution, audience overlap, basket sizes,
+    # A-Priori level-3 triples)
     "markov_transitions",
-    "topk_churn_weekly",
+    "attribution_multi_touch",
+    "audience_overlap",
+    "basket_size_histogram",
+    "frequent_brand_triples",
     # dedup (the four green anchors)
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_semantic",
-    # similarity search / clustering
+    # similarity search / clustering (knn anchor + brand-affinity and
+    # centroid-matrix first checks)
     "knn_cosine_topk",
-    "kmeans_clusters",
-    # packing / sampling / pipeline audits (+ truncation-waste sweep
-    # and shuffle-mixing first checks)
+    "brand_affinity_jaccard",
+    "centroid_cosine_matrix",
+    # packing / sampling / pipeline audits (+ weighted-AES sampling and
+    # referential-integrity first checks)
     "pack_sequences",
     "horvitz_thompson_total",
-    "truncation_waste_curve",
-    "shuffle_mixing_audit",
-    # timeseries / behavioral series (anchor + ACF, streaks, cohort
-    # retention and sessionization first checks)
+    "sample_weighted_aes",
+    "referential_integrity_audit",
+    # timeseries / behavioral series (anchor + burst-hours, rolling
+    # actives and TWAP first checks)
     "rolling_median_values",
-    "acf_daily_revenue",
-    "activity_streaks",
-    "cohort_retention",
-    "sessionize_events",
-    # streaming (three green anchors + the custom gap sessionizer
-    # first check)
+    "burst_hours_scan",
+    "rolling_active_users",
+    "twap_event_values",
+    # streaming (three green anchors + the custom gap sessionizer,
+    # first-checked r11 and kept green)
     "stream_session_windows",
     "stream_stateful_user_totals",
     "stream_dedup",

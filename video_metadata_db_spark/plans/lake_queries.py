@@ -393,10 +393,15 @@ def _two_layout_files(q, layout_a: tuple, layout_b: tuple):
 
     ``layout_a`` / ``layout_b`` are ``(name, [order_cols])`` where
     ``order_cols[0]`` is the range-bucket key and the full tuple is
-    unique per row.  Three jobs total over ``q``:
+    unique per row.  Takes the RAW (pre-materialization) frame and cuts
+    it here; two jobs over the cut frame (r12 — was three):
 
-    1. BOTH layouts' quantile boundaries in one aggregate (driver sees
-       ≤ 2×31 longs, never row data);
+    1. the lineage cut itself, with BOTH layouts' quantile boundaries
+       riding the materialization job via ``observe`` (CollectMetrics
+       merges per-task sketches during the SAME job that writes the
+       cut — the `hits_bipartite` discipline), so the old separate
+       bounds pass over the cut is gone; driver sees ≤ 2×31 longs,
+       never row data;
     2. one (bucket_a, bucket_b) count-cell aggregate — ≤ num_ranges²
        cells of bucket METADATA collected driver-side (the zone-map
        scale of the boundary list, independent of row count) and
@@ -407,38 +412,56 @@ def _two_layout_files(q, layout_a: tuple, layout_b: tuple):
        single-partition window), exploding each row into its two
        (layout, file_id) cells only at the end.
 
-    The bucket test is a higher-order ``F.filter`` over the literal
-    boundary array (size of elements strictly below the key).  It runs
-    interpreted, yet beats the codegen'd 31-branch CASE-sum it
-    replaced: the generated method needs ~3 JIT warmup executions
-    before C2 compiles it (measured 3.8 s/scan until then vs 0.45 s
-    for the HOF), and a best-of-2 bench run never gets past that
-    warmup cliff.  Either form gives equal keys the same bucket, so
-    tiebreaks only ever order WITHIN one.  ``q`` must carry
+    The bucket test stays the interpreted higher-order ``F.filter``
+    over the literal boundary array (size of elements strictly below
+    the key): the r12 A/B of VERDICT r11 item 4's binary-search nested
+    CASE measured it SLOWER on clean windows (see ``pid`` below and
+    OPTIMIZATION_r12.md) — generated branch trees pay a JIT warmup
+    cliff a best-of-2 bench never gets past.  Any monotone bucket test
+    gives equal keys the same bucket, so tiebreaks only ever order
+    WITHIN one and the exact global rank — hence the result — is
+    invariant to the boundary values.  ``q`` must carry
     a broadcast ``n_total`` column; ``file_id = (rank * N) div n + 1``
     gives the same contiguous equal-split layout as ntile (sizes
     differ by at most one row in remainder placement, mirrored exactly
     in the oracle).
+
+    The cut is ``localCheckpoint`` (executor-local, lost on executor
+    failure): right for local/bench runs; a multi-hour 100 TB audit
+    should prefer ``checkpoint()`` to reliable storage or accept
+    re-scans of the columnar source (the frame is ~5 ints/row — a
+    fraction of the source table either way).
     """
-    from pyspark.sql import Window
+    from pyspark.sql import Observation, Window
 
     (name_a, cols_a), (name_b, cols_b) = layout_a, layout_b
     num_ranges = 32
     probs = [i / num_ranges for i in range(1, num_ranges)]
-    brow = q.agg(
+    obs = Observation()
+    q = q.observe(
+        obs,
         F.percentile_approx(cols_a[0], probs, 10_000).alias("ba"),
         F.percentile_approx(cols_b[0], probs, 10_000).alias("bb"),
-    ).first()
+    )
+    # repartition before the checkpoint: the parquet scan yields a
+    # handful of partitions at test SF, and every downstream job
+    # inherits the checkpointed partitioning — 32 slices keeps the
+    # cells/rank scans parallel (at cluster scale the scan already
+    # arrives well-partitioned; the exchange is then moot)
+    q = q.repartition(32).localCheckpoint(eager=True)
+    brow = obs.get
 
     def pid(col: str, bounds) -> F.Column:
         if not bounds:
             return F.lit(0).cast("int")
         # strict-< bucket test over the literal boundary array.  The
-        # interpreted higher-order filter beats the codegen'd flat
-        # CASE-sum here: the generated 31-branch method needs ~3 JIT
-        # warmup executions before C2 kicks in (measured 3.8 s/scan
-        # until then vs 0.45 s for the HOF at 32 partitions), and a
-        # best-of-2 bench run never gets past the warmup cliff.
+        # interpreted higher-order filter beats BOTH codegen'd forms:
+        # the flat 31-branch CASE-sum (r9 measurement — ~3 JIT warmup
+        # executions at 3.8 s/scan before C2 kicks in) and the r12
+        # depth-5 binary-search nested CASE (4-combo interleaved A/B,
+        # clean windows: hof 3.29/3.46 s vs case 4.82/3.50 s on
+        # hilbert/zorder — the generated branch tree pays the same
+        # warmup cliff a best-of-2 bench never gets past).
         return F.size(
             F.filter(F.lit(list(bounds)), lambda b: b < F.col(col))
         ).cast("int")
@@ -604,21 +627,12 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("py"),
     )
     z = F.expr(_z16("px", "py", "shiftright({x}, {i})"))
-    # materialize the quantized projection ONCE: the fused two-layout
-    # rank reads its input 3x (one combined quantile-bounds job, one
-    # combined bucket-totals job, the row pass), so without the cut
-    # the scan + Morton arithmetic would re-run per read.  ~5 ints/row
-    # — a fraction of the source table; at cluster scale use
-    # checkpoint() to reliable storage or accept re-scans of the
-    # columnar source.
-    # repartition before the checkpoint: the parquet scan yields a
-    # handful of partitions at test SF, and every downstream job
-    # inherits the checkpointed partitioning — 32 slices keeps the
-    # bounds/cells/rank scans parallel (at cluster scale the scan
-    # already arrives well-partitioned; the exchange is then moot)
-    q = q.withColumn("z", z).repartition(32).localCheckpoint(eager=True)
+    # _two_layout_files materializes the quantized projection ONCE
+    # (repartition + localCheckpoint + observe-folded quantile bounds),
+    # then reads the cut twice (bucket totals, row pass) — without the
+    # cut the scan + Morton arithmetic would re-run per read.
     files = _two_layout_files(
-        q,
+        q.withColumn("z", z),
         ("natural", ["l_orderkey", "l_linenumber"]),
         ("zorder", ["z", "l_orderkey", "l_linenumber"]),
     )
@@ -814,10 +828,9 @@ def q_hilbert_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{ny} AS hy",
             f"{d} AS hd",
         )
-    # materialize the curve values ONCE (see zorder audit: the fused
-    # two-layout rank reads its input 3x; re-running the 8-stage
-    # hilbert chain per read measured 50 s vs ~6 s pre-checkpoint)
-    df = df.repartition(32).localCheckpoint(eager=True)  # see zorder audit
+    # _two_layout_files materializes the curve values ONCE (re-running
+    # the 8-stage hilbert chain per read measured 50 s vs ~6 s
+    # pre-checkpoint; the quantile bounds now ride the cut job)
     files = _two_layout_files(
         df,
         ("hilbert", ["hd", "l_orderkey", "l_linenumber"]),

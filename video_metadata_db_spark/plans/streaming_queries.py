@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import LongType, StringType, StructType, TimestampType
+
 from ..sources.tables import load_table
 from ..streaming.joins import interval_join
 from ..streaming.runner import (
@@ -26,6 +28,62 @@ from ..streaming.runner import (
 from ..streaming.stateful import running_user_totals
 from ..streaming.windows import session_stats, sliding_avg, stream_dedup, tumbling_counts
 from .registry import query
+
+#: The fixed far-future watermark-advancing timestamp every sentinel
+#: row carries (past any real event + delay at every SF).
+_SENTINEL_TS = "2099-01-01 00:00:00"
+
+
+def _stage_sentinel(path: str, schema: StructType, rows: list[tuple]) -> None:
+    """Write a 1-2 row far-future SENTINEL parquet file directly from
+    the driver (pyarrow), bypassing Spark's write path.
+
+    The sentinel is O(1) rows whose only job is to arrive in a LATER
+    micro-batch and advance the watermark; staging it through
+    ``spark.createDataFrame(...).repartition(1).write`` costs a full
+    Spark job (~0.3-0.5 s of pure scheduling per streaming query —
+    measured in the r12 staging/drain phase split, tools/
+    stream_phases.py).  A driver-side pyarrow write is the same bytes
+    with zero jobs.  Written AFTER the reals' write job returns, so its
+    modification time is strictly later and the file source's
+    oldest-first ordering (maxFilesPerTrigger=1) still delivers it in
+    its own trailing batch.  Timestamps are written as tz-aware UTC
+    micros (isAdjustedToUTC=true), which Spark's parquet reader maps to
+    TimestampType exactly like its own INT96/INT64 output.
+    """
+    import datetime as _dt
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    def _pa_type(dt):
+        if isinstance(dt, LongType):
+            return _pa.int64()
+        if isinstance(dt, StringType):
+            return _pa.string()
+        if isinstance(dt, TimestampType):
+            return _pa.timestamp("us", tz="UTC")
+        raise TypeError(f"sentinel staging: unmapped Spark type {dt}")
+
+    def _conv(v, dt):
+        if isinstance(dt, TimestampType) and isinstance(v, str):
+            return _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S").replace(
+                tzinfo=_dt.timezone.utc
+            )
+        return v
+
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+    cols = list(schema.fields)
+    table = _pa.Table.from_arrays(
+        [
+            _pa.array([_conv(r[i], f.dataType) for r in rows], _pa_type(f.dataType))
+            for i, f in enumerate(cols)
+        ],
+        names=[f.name for f in cols],
+    )
+    _pq.write_table(table, f"{path}/sentinel.parquet")
 
 
 @query(
@@ -677,20 +735,16 @@ def q_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(f"{work}/src")
     # fixed far-future sentinel ts — no max(ts) scan needed; any value
-    # past every real event + delay advances the watermark
-    sentinels = spark.createDataFrame(
-        [("view", -1, -1), ("click", -2, -2)],
-        "event_type string, user_id bigint, event_id bigint",
-    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp"))
-    # repartition(1), NOT coalesce(1): a Python createDataFrame frame
-    # is parallelized over defaultParallelism slices, and coalesce
-    # makes ONE task fetch all 32 sequentially (~5 s of driver
-    # roundtrips, measured); repartition fetches them in parallel
-    # first (~0.5 s) and still lands one file per partition dir
-    sentinels.select("event_type", *cols).repartition(1).write.partitionBy(
-        "event_type"
-    ).mode("append").parquet(f"{work}/src")
+    # past every real event + delay advances the watermark.  Driver-side
+    # pyarrow write into each partition dir: zero Spark jobs
+    # (_stage_sentinel; was a ~0.5 s repartition(1) write job)
     schema = events.select(*cols).schema
+    _stage_sentinel(
+        f"{work}/src/event_type=view", schema, [(-1, _SENTINEL_TS, -1)]
+    )
+    _stage_sentinel(
+        f"{work}/src/event_type=click", schema, [(-2, _SENTINEL_TS, -2)]
+    )
     joined = interval_join(
         file_stream(
             spark, f"{work}/src/event_type=view", schema, max_files_per_trigger=1
@@ -765,13 +819,12 @@ def q_stream_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.select(*cols).repartition(1).write.mode("overwrite").parquet(
         f"{work}/src"
     )
-    # repartition(1), not coalesce(1) — see stream_left_outer_join's
-    # sentinel write for the measured coalesce-on-parallelized pathology
-    spark.createDataFrame(
-        [("zz_sentinel",)], "event_type string"
-    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp")).select(
-        *cols
-    ).repartition(1).write.mode("append").parquet(f"{work}/src")
+    # driver-side pyarrow sentinel — zero Spark jobs (_stage_sentinel)
+    _stage_sentinel(
+        f"{work}/src",
+        events.select(*cols).schema,
+        [(_SENTINEL_TS, "zz_sentinel")],
+    )
     stream = file_stream(
         spark, f"{work}/src", events.select(*cols).schema, max_files_per_trigger=1
     )
@@ -850,12 +903,8 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["user_id", "ts"]
     reals = events.filter(F.col("user_id") % 10 == 7).select(*cols)
     reals.repartition(1).write.mode("overwrite").parquet(f"{work}/src")
-    # repartition(1), not coalesce(1) — see stream_left_outer_join
-    spark.createDataFrame(
-        [(-1,)], "user_id bigint"
-    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp")).select(
-        *cols
-    ).repartition(1).write.mode("append").parquet(f"{work}/src")
+    # driver-side pyarrow sentinel — zero Spark jobs (_stage_sentinel)
+    _stage_sentinel(f"{work}/src", reals.schema, [(-1, _SENTINEL_TS)])
     stream = file_stream(
         spark, f"{work}/src", reals.schema, max_files_per_trigger=1
     )
@@ -941,16 +990,11 @@ def q_stream_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     # session-window aggregations only support APPEND mode: sessions
     # emit once the watermark passes their horizon, so a far-future
     # sentinel staged as a SECOND micro-batch flushes every real
-    # session (its own open session stays in state, filtered out)
-    spark.createDataFrame(
-        [(-1, -1)], "event_id bigint, user_id bigint"
-    ).select(
-        "event_id",
-        "user_id",
-        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
-        F.lit("view").alias("event_type"),
-        F.lit(0).cast("long").alias("cents"),
-    ).repartition(1).write.mode("append").parquet(f"{work}/src")
+    # session (its own open session stays in state, filtered out).
+    # Driver-side pyarrow write — zero Spark jobs (_stage_sentinel)
+    _stage_sentinel(
+        f"{work}/src", reals.schema, [(-1, -1, _SENTINEL_TS, "view", 0)]
+    )
     stream = file_stream(
         spark, f"{work}/src", reals.schema, max_files_per_trigger=1
     )
@@ -1035,15 +1079,14 @@ def q_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reals.repartition("event_type").write.partitionBy("event_type").mode(
         "overwrite"
     ).parquet(f"{work}/src")
-    sentinels = spark.createDataFrame(
-        [("view", -1, -1), ("click", -2, -2)],
-        "event_type string, user_id bigint, event_id bigint",
-    ).withColumn("ts", F.lit("2099-01-01 00:00:00").cast("timestamp"))
-    # repartition(1), NOT coalesce(1) — see stream_left_outer_join
-    sentinels.select("event_type", *cols).repartition(1).write.partitionBy(
-        "event_type"
-    ).mode("append").parquet(f"{work}/src")
+    # driver-side pyarrow sentinels — zero Spark jobs (_stage_sentinel)
     schema = events.select(*cols).schema
+    _stage_sentinel(
+        f"{work}/src/event_type=view", schema, [(-1, _SENTINEL_TS, -1)]
+    )
+    _stage_sentinel(
+        f"{work}/src/event_type=click", schema, [(-2, _SENTINEL_TS, -2)]
+    )
     joined = interval_join(
         file_stream(
             spark, f"{work}/src/event_type=view", schema, max_files_per_trigger=1

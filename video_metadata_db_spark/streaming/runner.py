@@ -11,11 +11,20 @@ the broken mmap membership scan (:427-452).
 
 from __future__ import annotations
 
+import time
 import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+#: When a list, every AvailableNow drain below appends its wall seconds
+#: (tools/stream_phases.py sets this to split a streaming query's cost
+#: into STAGING — the temp-dir writes before the stream starts — vs
+#: DRAIN — the start→awaitTermination micro-batch run;
+#: staging = query-build wall − Σ drains).  None (the default) records
+#: nothing: two perf_counter calls per drain, no behavior change.
+DRAIN_SINK: list[float] | None = None
 
 
 def file_stream(
@@ -47,6 +56,7 @@ def run_available_now(
     the rows THIS run emitted.  The memory sink is test/debug plumbing —
     production sinks are parquet/Delta via the same writeStream."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
+    t0 = time.perf_counter()
     q = (
         result.writeStream.format("memory")
         .queryName(name)
@@ -56,6 +66,8 @@ def run_available_now(
         .start()
     )
     q.awaitTermination(timeout_s)
+    if DRAIN_SINK is not None:
+        DRAIN_SINK.append(time.perf_counter() - t0)
     return result.sparkSession.table(name)
 
 
@@ -71,6 +83,7 @@ def run_available_now_to_parquet(
     checkpoint continue exactly where the previous run stopped — the
     production-shaped update lifecycle."""
     spark = result.sparkSession
+    t0 = time.perf_counter()
     q = (
         result.writeStream.format("parquet")
         .option("path", out_dir)
@@ -80,6 +93,8 @@ def run_available_now_to_parquet(
         .start()
     )
     q.awaitTermination(timeout_s)
+    if DRAIN_SINK is not None:
+        DRAIN_SINK.append(time.perf_counter() - t0)
     return spark.read.parquet(out_dir)
 
 
@@ -93,6 +108,7 @@ def run_foreach_batch(
     """AvailableNow drain through a ``foreachBatch`` callback — the
     escape hatch for sinks Spark lacks natively (the reference's
     toast/notify side-channel, §2.10, maps here)."""
+    t0 = time.perf_counter()
     q = (
         result.writeStream.foreachBatch(batch_fn)
         .outputMode(output_mode)
@@ -101,3 +117,5 @@ def run_foreach_batch(
         .start()
     )
     q.awaitTermination(timeout_s)
+    if DRAIN_SINK is not None:
+        DRAIN_SINK.append(time.perf_counter() - t0)
