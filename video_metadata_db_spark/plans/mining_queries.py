@@ -2205,7 +2205,15 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one narrow row per part) is eagerly cut (r11): it roots THREE
     subtree executions — both prefix-sum passes plus the grand total —
     and without the cut each re-ran the full lineitem scan+aggregate
-    (6 parquet scans in the before-plan, see plans/r11/)."""
+    (6 parquet scans in the before-plan, see plans/r11/).
+
+    Cut trade-off at 100 TB (ADVICE r11): ``localCheckpoint`` stores
+    the cut unreplicated on executors — an executor loss fails the
+    query instead of recomputing — and ``eager=True`` runs the scan at
+    DataFrame-CONSTRUCTION time (tooling that only builds/explains the
+    query pays it).  Both are the right local/bench trade for this
+    part-count-bounded frame; a long-running cluster job should prefer
+    reliable ``checkpoint()`` or ``persist()`` (recompute on loss)."""
     from ..operators.packing import sequence_offsets
 
     li = load_table(spark, sf_dir, "lineitem")

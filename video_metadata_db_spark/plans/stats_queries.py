@@ -1010,6 +1010,11 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sc"),
             F.count(F.lit(1)).alias("cnt"),
         )
+        # bounded (priority x rep) frame; eager localCheckpoint is the
+        # local/bench trade — unreplicated, lost on executor failure,
+        # and the scan runs at construction time.  A cluster-scale run
+        # should use reliable checkpoint()/persist() here (ADVICE r11;
+        # recompute-on-loss beats a failed multi-hour job).
         .localCheckpoint(eager=True)
     )
     boot = cells.filter(F.col("ws") > 0).select(

@@ -62,7 +62,13 @@ def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (r11), so the raw event table is read exactly once however
     many consumers ride it.  At 100 TB the grid explodes
     proportionally to Σ per-user spans — bound it with the span filter,
-    not a post-filter."""
+    not a post-filter.  The cut stays ``eager=False`` deliberately
+    (ADVICE r11): it materializes on first action instead of at
+    DataFrame construction, so tooling that only builds/explains the
+    query pays nothing; and ``localCheckpoint`` storage is
+    executor-local — a cluster-scale run should use reliable
+    ``checkpoint()``/``persist()`` so an executor loss recomputes
+    instead of failing."""
     events = load_table(spark, sf_dir, "events")
     hourly = (
         events.select(
